@@ -1,0 +1,21 @@
+"""opensearch_jvector_tpu — a TPU-native DiskANN/Vamana vector search engine.
+
+A brand-new JAX/XLA/Pallas implementation of the capability surface of the
+OpenSearch jVector plugin (reference: opensearch-project/opensearch-jvector):
+Vamana graph construction, PQ/NVQ quantization with fused-ADC search, two-phase
+(approximate + rerank) beam search, incremental merge with codebook reuse,
+filtered/exact/rescored/MMR search, stats, and mesh-sharded distributed search.
+
+Layer map (mirrors SURVEY.md §7):
+  ops/      — Pallas/XLA kernels: distances, ADC, k-means, NVQ transcode, top-k
+  models/   — Vamana graph + builder + searcher; PQ / NVQ / scalar quantizers
+  index/    — segment store, writer/flush, reader/search, docmap, merge
+  query/    — knn query DSL, filters, rescoring, exact scoring, MMR
+  parallel/ — device-mesh sharding, distributed top-k, host pools
+  api/      — settings, method schemas (disk_ann), stats/counters
+  utils/    — ground truth, serialization helpers
+"""
+
+from opensearch_jvector_tpu.api.version import __version__
+
+__all__ = ["__version__"]

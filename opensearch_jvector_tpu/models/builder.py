@@ -1,0 +1,526 @@
+"""Batched Vamana graph construction (TPU-first).
+
+Replaces jVector's `GraphIndexBuilder` (thread-safe concurrent greedy insert,
+call sites JVectorWriter.java:1390-1417 fresh build / :1298-1331 incremental
+mutation) with bulk-synchronous *rounds*: each round beam-searches candidate
+sets for a whole batch of pending inserts on-device (one compiled program),
+alpha-robust-prunes the batch in one vmapped kernel, then applies adjacency
+updates with deterministic vectorized conflict resolution (numpy scatter on
+host — the adjacency bookkeeping is O(edges), not FLOP-bound).
+
+Capabilities mirrored from the reference builder:
+  * maxConn (M), beamWidth, alpha, neighborOverflow slack, hierarchy flag
+    (accepted, single-layer only — reference default is also off,
+    KNNConstants.java:112)
+  * quantized construction: beam scoring via a PQ build-score provider
+    (BuildScoreProvider.pqBuildScoreProvider, JVectorWriter.java:1059-1063)
+  * markNodeDeleted + cleanup() — tombstones folded in with 2-hop edge
+    repair at cleanup (GraphIndexBuilder.cleanup semantics)
+  * incremental append into a loaded graph (leading-segment merge,
+    JVectorWriter.java:1166-1341)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opensearch_jvector_tpu.models import searcher as searcher_mod
+from opensearch_jvector_tpu.models.graph import VamanaGraph
+from opensearch_jvector_tpu.ops.distances import (
+    SimilarityFunction,
+    pairwise_scores,
+)
+
+NEG_INF = float("-inf")
+
+
+def _score_to_dist(scores: jax.Array, simf: SimilarityFunction) -> jax.Array:
+    """Map similarity scores to a pruning distance (lower = closer)."""
+    if simf is SimilarityFunction.EUCLIDEAN:
+        # score = 1/(1+d2)  ->  d2 = 1/score - 1; use sqrt for a true metric.
+        return jnp.sqrt(jnp.maximum(1.0 / jnp.maximum(scores, 1e-30) - 1.0, 0.0))
+    # DOT/COSINE: score in ~[0,1]; 1 - score is a consistent pseudo-distance.
+    return 1.0 - scores
+
+
+@functools.partial(jax.jit, static_argnames=("m_out", "simf_id"))
+def robust_prune_batch(
+    point_vecs: jax.Array,  # [B, d] the nodes being pruned for
+    cand_ids: jax.Array,  # [B, C] candidate ids (-1 pad)
+    cand_vecs: jax.Array,  # [B, C, d]
+    cand_scores: jax.Array,  # [B, C] similarity to point (-inf pad)
+    alpha: float,
+    m_out: int,
+    simf_id: int,
+    point_ids: jax.Array | None = None,  # [B] to mask self-candidates
+) -> jax.Array:
+    """Vectorized alpha-robust-prune -> selected ids [B, m_out] (-1 pad).
+
+    DiskANN rule: repeatedly take the closest unpruned candidate c*, then
+    prune every c with alpha * d(c*, c) <= d(p, c). Sequential in the m_out
+    selections, O(C) vector work per step, vmapped over the batch.
+    (VamanaDiversityProvider semantics, JVectorWriter.java:1294.)
+    """
+    simf = SimilarityFunction(simf_id)
+    b, c = cand_ids.shape
+
+    d_p = _score_to_dist(cand_scores, simf)  # [B, C]
+    cc_scores = jax.vmap(lambda v: pairwise_scores(v, v, simf))(cand_vecs)
+    d_cc = _score_to_dist(cc_scores, simf)  # [B, C, C]
+
+    # Dedupe: keep only first occurrence of each candidate id.
+    eq = (cand_ids[:, :, None] == cand_ids[:, None, :]) & (
+        cand_ids[:, :, None] >= 0
+    )
+    lower = jnp.tril(jnp.ones((c, c), bool), k=-1)[None]
+    dup = jnp.any(eq & lower, axis=2)
+    valid0 = (cand_ids >= 0) & ~dup
+    if point_ids is not None:
+        valid0 &= cand_ids != point_ids[:, None]
+
+    inf = jnp.float32(jnp.inf)
+
+    def step(t, state):
+        alive, selected = state
+        dp = jnp.where(alive, d_p, inf)
+        i = jnp.argmin(dp, axis=1)  # [B]
+        ok = jnp.take_along_axis(dp, i[:, None], axis=1)[:, 0] < inf
+        sel_id = jnp.take_along_axis(cand_ids, i[:, None], axis=1)[:, 0]
+        selected = selected.at[:, t].set(jnp.where(ok, sel_id, -1))
+        d_star = jnp.take_along_axis(
+            d_cc, i[:, None, None], axis=1
+        )[:, 0, :]  # [B, C] distances from c* to all candidates
+        pruned = alpha * d_star <= d_p
+        alive = alive & ~pruned & ok[:, None]
+        alive = alive.at[jnp.arange(b), i].set(False)
+        return alive, selected
+
+    selected0 = jnp.full((b, m_out), -1, jnp.int32)
+    _, selected = jax.lax.fori_loop(0, m_out, step, (valid0, selected0))
+    return selected
+
+
+@dataclasses.dataclass
+class BuildCounters:
+    rounds: int = 0
+    nodes_inserted: int = 0
+    nodes_deleted: int = 0
+
+
+class GraphIndexBuilder:
+    """Bulk-synchronous Vamana builder.
+
+    Usage:
+        builder = GraphIndexBuilder(dim, max_degree=32, beam_width=100, ...)
+        graph = builder.build(vectors, simf)              # fresh build
+        graph = builder.add_nodes(graph, vectors, ids)    # delta insert
+        graph = builder.cleanup(graph, vectors)           # prune + repair
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        max_degree: int = 32,
+        beam_width: int = 100,
+        alpha: float = 1.2,
+        neighbor_overflow: float = 1.2,
+        hierarchy_enabled: bool = False,
+        batch_size: int = 1024,
+        seed: int = 42,
+    ):
+        if hierarchy_enabled:
+            # Reference default is off (KNNConstants.java:112); single-layer
+            # Vamana built here. Accepted for config parity.
+            pass
+        self.dim = dim
+        self.max_degree = int(max_degree)
+        self.beam_width = int(beam_width)
+        self.alpha = float(alpha)
+        self.neighbor_overflow = float(neighbor_overflow)
+        self.overflow_degree = max(
+            self.max_degree, int(self.max_degree * self.neighbor_overflow)
+        )
+        self.batch_size = int(batch_size)
+        self.seed = seed
+        self.counters = BuildCounters()
+
+    # -- scoring helpers ---------------------------------------------------
+
+    def _search_candidates(
+        self, graph_np, vectors, queries, simf, pq=None
+    ):
+        """Beam-search candidate pools for a batch of insert points.
+
+        Returns (ids [B, R], scores [B, R]) of the best-scored visited nodes.
+        """
+        r = self.beam_width
+        params = searcher_mod.SearchParams(
+            k=r, ef_search=r, overquery_factor=1, expansions_per_iter=4
+        )
+        kwargs = {}
+        if pq is not None:
+            kwargs = dict(
+                pq_codes=pq["codes"],
+                pq_codebooks=pq["codebooks"],
+                pq_center=pq.get("center"),
+                vectors=vectors,
+            )
+        else:
+            kwargs = dict(vectors=vectors)
+        res = searcher_mod.search(
+            graph_np["adjacency"],
+            graph_np["live"],
+            graph_np["entry"],
+            queries,
+            params,
+            simf,
+            **kwargs,
+        )
+        return res.ids, res.scores
+
+    # -- adjacency application (host-side, vectorized numpy) ---------------
+
+    @staticmethod
+    def _apply_forward_edges(adj, deg, new_ids, selected):
+        """adjacency[new] = selected (selected is [B, M'] with -1 pad)."""
+        m = adj.shape[1]
+        sel = selected[:, :m]
+        adj[new_ids, : sel.shape[1]] = sel
+        deg[new_ids] = (sel >= 0).sum(axis=1)
+
+    def _apply_back_edges(self, adj, deg, new_ids, selected, cap):
+        """Append src->dst reverse edges with vectorized conflict resolution.
+
+        Edges that don't fit in a full list are NOT silently dropped — they
+        are returned as overflow candidates so the subsequent robust-prune of
+        that node chooses among (current neighbors ∪ new sources), mirroring
+        the reference's insert-with-overflow-then-prune behavior. Silent
+        drops disconnect late-round nodes (no in-edges survive).
+
+        Returns (overflow_ids [n_over], extras [n_over, E]) with -1 padding.
+        Deterministic: edges processed in (dst, src-round-order) order.
+        """
+        b, ms = selected.shape
+        src = np.repeat(new_ids, ms)
+        dst = selected.reshape(-1)
+        keep = dst >= 0
+        src, dst = src[keep], dst[keep]
+        if dst.size == 0:
+            return np.empty((0,), np.int64), np.empty((0, 0), np.int32)
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        # rank of each edge within its dst group
+        group_start = np.searchsorted(dst, dst, side="left")
+        rank = np.arange(dst.size) - group_start
+        slot = deg[dst] + rank
+        ok = slot < cap
+        adj[dst[ok], slot[ok]] = src[ok]
+        counts = np.bincount(dst, minlength=deg.shape[0])
+        newdeg = np.minimum(deg + counts, cap)
+        overflow_ids = np.unique(dst[newdeg[dst] >= cap])
+        deg[:] = newdeg
+
+        # Collect dropped edges as prune candidates for their dst.
+        dropped = ~ok
+        max_extra = 2 * self.max_degree  # bound retrace shapes; beyond = rare
+        extras = np.full((overflow_ids.size, max_extra), -1, np.int32)
+        if dropped.any():
+            ddst, dsrc = dst[dropped], src[dropped]
+            dgs = np.searchsorted(ddst, ddst, side="left")
+            drank = np.arange(ddst.size) - dgs
+            sel_rows = np.searchsorted(overflow_ids, ddst)
+            m = drank < max_extra
+            extras[sel_rows[m], drank[m]] = dsrc[m]
+        return overflow_ids, extras
+
+    def _prune_nodes(self, adj, deg, node_ids, vectors, simf, extras=None):
+        """Re-prune the neighbor lists of `node_ids` down to max_degree.
+
+        `extras` [len(node_ids), E] optionally appends overflow edge sources
+        to each node's candidate set before pruning.
+        """
+        if node_ids.size == 0:
+            return
+        chunk = self.batch_size
+        e_width = 2 * self.max_degree  # constant candidate width (no retrace)
+        for s in range(0, node_ids.size, chunk):
+            ids = node_ids[s : s + chunk]
+            pad = chunk - ids.size
+            ids_p = np.pad(ids, (0, pad), constant_values=0)
+            cand = adj[ids_p]  # [chunk, cap]
+            ex = np.full((chunk, e_width), -1, np.int32)
+            if extras is not None and extras.size:
+                blk = extras[s : s + chunk]
+                ex[: blk.shape[0], : blk.shape[1]] = blk[:, :e_width]
+            cand = np.concatenate([cand, ex], axis=1)
+            pvecs = vectors[ids_p]
+            cvecs = np.asarray(vectors)[np.clip(cand, 0, None)]
+            scores = _candidate_scores_host(pvecs, cvecs, cand, simf)
+            sel = np.asarray(
+                robust_prune_batch(
+                    jnp.asarray(pvecs),
+                    jnp.asarray(cand),
+                    jnp.asarray(cvecs),
+                    scores,
+                    self.alpha,
+                    self.max_degree,
+                    simf.value,
+                    point_ids=jnp.asarray(ids_p, jnp.int32),
+                )
+            )
+            if pad:
+                sel = sel[: ids.size]
+            adj[ids] = -1
+            adj[ids, : sel.shape[1]] = sel
+            deg[ids] = (sel >= 0).sum(axis=1)
+
+    # -- public API --------------------------------------------------------
+
+    def build(
+        self,
+        vectors: jax.Array,  # [N, d]
+        simf: SimilarityFunction,
+        pq: dict | None = None,  # quantized-construction score source
+        capacity: int | None = None,
+    ) -> VamanaGraph:
+        """Fresh Vamana build over `vectors` (insertion in shuffled rounds)."""
+        n = int(vectors.shape[0])
+        capacity = capacity or n
+        cap_deg = self.overflow_degree
+        adj = np.full((capacity, cap_deg), -1, np.int32)
+        deg = np.zeros((capacity,), np.int32)
+        live = np.zeros((capacity,), bool)
+        vectors = jnp.asarray(vectors, jnp.float32)
+
+        if n == 0:
+            return VamanaGraph.empty(capacity, cap_deg)
+
+        # entry point: medoid approximation = nearest to the mean
+        mean = jnp.mean(vectors, axis=0, keepdims=True)
+        entry = int(jnp.argmax(pairwise_scores(mean, vectors, simf)[0]))
+
+        rng = np.random.default_rng(self.seed)
+        order = rng.permutation(n)
+        # The entry medoid MUST be in the bootstrap block: every round's beam
+        # search starts at `entry`, so if it isn't live from round 0 the
+        # early inserts can only link to each other and the bootstrap
+        # component ends up disconnected.
+        mpos = int(np.nonzero(order == entry)[0][0])
+        order[[0, mpos]] = order[[mpos, 0]]
+        # bootstrap block: all-pairs + prune (no graph to search yet)
+        b0 = min(n, max(self.max_degree + 1, 64))
+        boot = order[:b0]
+        self._bootstrap(adj, deg, boot, vectors, simf)
+        live[boot] = True
+
+        pos = b0
+        while pos < n:
+            batch = order[pos : pos + self.batch_size]
+            self._insert_round(
+                adj, deg, live, entry, batch, vectors, simf, pq
+            )
+            live[batch] = True
+            pos += len(batch)
+            self.counters.rounds += 1
+
+        self.counters.nodes_inserted += n
+        graph = VamanaGraph(
+            adjacency=jnp.asarray(adj),
+            degrees=jnp.asarray(deg),
+            live=jnp.asarray(live),
+            entry=jnp.int32(entry),
+        )
+        return self.cleanup(graph, vectors, simf)
+
+    def _bootstrap(self, adj, deg, ids, vectors, simf):
+        if len(ids) < 2:  # a single node has no candidates to prune
+            return
+        v = vectors[ids]
+        scores = pairwise_scores(v, v, simf)
+        scores = jnp.where(jnp.eye(len(ids), dtype=bool), NEG_INF, scores)
+        cand_scores, idx = jax.lax.top_k(scores, min(len(ids) - 1, self.beam_width))
+        cand_ids = jnp.asarray(ids, jnp.int32)[idx]
+        cand_vecs = v[idx]
+        sel = np.asarray(
+            robust_prune_batch(
+                v, cand_ids, cand_vecs, cand_scores,
+                self.alpha, self.max_degree, simf.value,
+            )
+        )
+        adj[ids, : sel.shape[1]] = sel
+        deg[ids] = (sel >= 0).sum(axis=1)
+
+    def _insert_round(self, adj, deg, live, entry, batch, vectors, simf, pq):
+        # Pad the batch to a constant size so every round hits the same
+        # compiled program (XLA retraces on shape changes).
+        real_b = len(batch)
+        if real_b < self.batch_size:
+            batch = np.concatenate(
+                [batch, np.full(self.batch_size - real_b, batch[0], batch.dtype)]
+            )
+        b = len(batch)
+        queries = vectors[batch]
+        graph_np = {
+            "adjacency": jnp.asarray(adj),
+            "live": jnp.asarray(live),
+            "entry": jnp.int32(entry),
+        }
+        cand_ids, cand_scores = self._search_candidates(
+            graph_np, vectors, queries, simf, pq
+        )
+        # intra-round candidates: nearest same-round peers (single matmul)
+        if b > 1:
+            rr = pairwise_scores(queries, queries, simf)
+            rr = jnp.where(jnp.eye(b, dtype=bool), NEG_INF, rr)
+            top_r = min(b - 1, self.max_degree)
+            rr_scores, rr_idx = jax.lax.top_k(rr, top_r)
+            rr_ids = jnp.asarray(batch, jnp.int32)[rr_idx]
+            cand_ids = jnp.concatenate([cand_ids, rr_ids], axis=1)
+            cand_scores = jnp.concatenate([cand_scores, rr_scores], axis=1)
+
+        cand_vecs = vectors[jnp.clip(cand_ids, 0)]
+        sel = np.asarray(
+            robust_prune_batch(
+                queries, cand_ids, cand_vecs, cand_scores,
+                self.alpha, self.max_degree, simf.value,
+                point_ids=jnp.asarray(batch, jnp.int32),
+            )
+        )[:real_b]
+        new_ids = np.asarray(batch)[:real_b]
+        self._apply_forward_edges(adj, deg, new_ids, sel)
+        overflowed, extras = self._apply_back_edges(
+            adj, deg, new_ids, sel, self.overflow_degree
+        )
+        vec_np = np.asarray(vectors)
+        self._prune_nodes(adj, deg, overflowed, vec_np, simf, extras=extras)
+
+    def add_nodes(
+        self,
+        graph: VamanaGraph,
+        vectors: jax.Array,  # full vector storage covering new ids
+        new_ids: np.ndarray,
+        simf: SimilarityFunction,
+        pq: dict | None = None,
+    ) -> VamanaGraph:
+        """Delta-insert `new_ids` into an existing graph (incremental merge).
+
+        Mirrors the reference's parallel addGraphNode append into a loaded
+        graph (JVectorWriter.java:1313-1319).
+        """
+        adj = np.asarray(graph.adjacency).copy()
+        deg = np.asarray(graph.degrees).copy()
+        live = np.asarray(graph.live).copy()
+        entry = int(graph.entry)
+        vectors = jnp.asarray(vectors, jnp.float32)
+
+        for s in range(0, len(new_ids), self.batch_size):
+            batch = new_ids[s : s + self.batch_size]
+            self._insert_round(adj, deg, live, entry, batch, vectors, simf, pq)
+            live[batch] = True
+            self.counters.rounds += 1
+        self.counters.nodes_inserted += len(new_ids)
+
+        return VamanaGraph(
+            adjacency=jnp.asarray(adj),
+            degrees=jnp.asarray(deg),
+            live=jnp.asarray(live),
+            entry=jnp.int32(entry),
+        )
+
+    @staticmethod
+    def mark_deleted(graph: VamanaGraph, ids: np.ndarray) -> VamanaGraph:
+        """Tombstone nodes (folded in at cleanup; markNodeDeleted parity)."""
+        live = np.asarray(graph.live).copy()
+        live[ids] = False
+        return dataclasses.replace(graph, live=jnp.asarray(live))
+
+    def cleanup(
+        self, graph: VamanaGraph, vectors: jax.Array, simf: SimilarityFunction
+    ) -> VamanaGraph:
+        """Fold deletes in and enforce the degree bound (cleanup() parity).
+
+        Dead neighbors are replaced by their own live neighbors (2-hop edge
+        repair), then every touched/overflowing node is re-pruned to
+        max_degree.
+        """
+        adj = np.asarray(graph.adjacency).copy()
+        deg = np.asarray(graph.degrees).copy()
+        live = np.asarray(graph.live)
+        vec_np = np.asarray(vectors)
+
+        valid = adj >= 0
+        dead_nb = valid & ~live[np.clip(adj, 0, None)]
+        has_dead = dead_nb.any(axis=1) & live
+        dead_nodes = np.nonzero(has_dead)[0]
+        if dead_nodes.size:
+            # splice: candidates = current live neighbors + neighbors of dead
+            # neighbors (2-hop), then robust-prune
+            for s in range(0, dead_nodes.size, self.batch_size):
+                ids = dead_nodes[s : s + self.batch_size]
+                pad = self.batch_size - ids.size
+                ids = np.pad(ids, (0, pad), constant_values=ids[0])
+                rows = adj[ids]  # [b, cap]
+                hop2 = adj[np.clip(rows, 0, None)].reshape(len(ids), -1)
+                hop2 = np.where(
+                    (rows < 0)[:, :, None].repeat(adj.shape[1], 2).reshape(
+                        len(ids), -1
+                    ),
+                    -1,
+                    hop2,
+                )
+                cand = np.concatenate([rows, hop2], axis=1)
+                cand = np.where(
+                    (cand >= 0) & live[np.clip(cand, 0, None)], cand, -1
+                )
+                # drop self references
+                cand = np.where(cand == ids[:, None], -1, cand)
+                pvecs = vec_np[ids]
+                cvecs = vec_np[np.clip(cand, 0, None)]
+                scores = _candidate_scores_host(pvecs, cvecs, cand, simf)
+                sel = np.asarray(
+                    robust_prune_batch(
+                        jnp.asarray(pvecs),
+                        jnp.asarray(cand),
+                        jnp.asarray(cvecs),
+                        scores,
+                        self.alpha,
+                        self.max_degree,
+                        simf.value,
+                    )
+                )
+                adj[ids] = -1
+                adj[ids, : sel.shape[1]] = sel
+                deg[ids] = (sel >= 0).sum(axis=1)
+
+        over = np.nonzero(deg > self.max_degree)[0]
+        self._prune_nodes(adj, deg, over, vec_np, simf)
+
+        # entry repair: if the entry died, pick the live node closest to mean
+        entry = int(graph.entry)
+        if not live[entry] and live.any():
+            live_ids = np.nonzero(live)[0]
+            mean = jnp.mean(jnp.asarray(vec_np[live_ids]), axis=0, keepdims=True)
+            s = pairwise_scores(mean, jnp.asarray(vec_np[live_ids]), simf)[0]
+            entry = int(live_ids[int(jnp.argmax(s))])
+
+        return VamanaGraph(
+            adjacency=jnp.asarray(adj),
+            degrees=jnp.asarray(deg),
+            live=jnp.asarray(live),
+            entry=jnp.int32(entry),
+        )
+
+
+def _candidate_scores_host(pvecs, cvecs, cand_ids, simf):
+    """Scores of candidate vecs vs their points, -inf at -1 pads. [B, C]."""
+    from opensearch_jvector_tpu.ops.distances import batched_candidate_scores
+
+    s = batched_candidate_scores(
+        jnp.asarray(pvecs, jnp.float32), jnp.asarray(cvecs, jnp.float32), simf
+    )
+    return jnp.where(jnp.asarray(cand_ids) >= 0, s, NEG_INF)

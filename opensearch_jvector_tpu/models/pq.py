@@ -1,0 +1,222 @@
+"""Product quantization model (codebooks + codes).
+
+TPU-native replacement for jVector's `ProductQuantization` /
+`PQVectors` (training call site JVectorIndexQuantization.java:114-140,
+encode at :133, query-time ADC at JVectorReader.java:355).
+
+Semantics mirrored from the reference:
+  * k-means++ per subspace, <=256 clusters => 1 byte/code
+    (`clusters = min(256, n)`, ProductQuantization.compute call)
+  * global-mean centering for EUCLIDEAN (`centerData = EUCLIDEAN?`)
+  * UNWEIGHTED clustering (plain-mean centroid updates)
+  * dimension-adaptive default subspace count — the strictly-increasing
+    bytes-per-vector schedule of JVectorIndexQuantization.PQ
+    .defaultNumSubspaces (:428-446)
+  * codebook reuse: an existing trained PQ re-encodes new vectors without
+    retraining (merge path, JVectorWriter.java:1110-1125), plus the
+    `refine` step the reference leaves TODO (issue #661): a few Lloyd
+    iterations seeded from the existing codebooks over the merged data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opensearch_jvector_tpu.ops import adc as adc_ops
+from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+from opensearch_jvector_tpu.ops.kmeans import _lloyd_iter, train_kmeans_subspaces
+
+
+def default_num_subspaces(dim: int) -> int:
+    """Dimension-adaptive PQ subspace count (bytes/vector strictly
+    increasing with dim; schedule from the reference, see module docstring).
+    """
+    if dim <= 32:
+        m = dim
+    elif dim <= 64:
+        m = 32
+    elif dim <= 200:
+        m = int(dim * 0.5)
+    elif dim <= 400:
+        m = 100
+    elif dim <= 768:
+        m = int(dim * 0.25)
+    elif dim <= 1536:
+        m = 192
+    else:
+        m = int(dim * 0.125)
+    # the subspace count must divide into contiguous equal slices; snap down
+    # to a divisor of dim so reshape-based subspace splits stay static
+    while dim % m != 0:
+        m -= 1
+    return max(m, 1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ProductQuantization:
+    """Trained PQ state: codebooks + the global centering vector."""
+
+    codebooks: jax.Array  # [M, K, dsub] f32
+    center: jax.Array  # [d] f32 (zeros when centering disabled)
+
+    @property
+    def num_subspaces(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def num_clusters(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.codebooks.shape[0] * self.codebooks.shape[2]
+
+    def compressed_bytes(self) -> int:
+        return self.num_subspaces  # 1 byte/code (K <= 256)
+
+    def original_bytes(self) -> int:
+        return self.dim * 4
+
+
+def _preprocess(
+    vectors: jax.Array, simf: SimilarityFunction, center: jax.Array | None
+):
+    """Apply the training-space transform: centering (L2) / normalize (cos)."""
+    if simf is SimilarityFunction.COSINE:
+        v = vectors * jax.lax.rsqrt(
+            jnp.sum(vectors * vectors, -1, keepdims=True) + 1e-30
+        )
+        return v, jnp.zeros((vectors.shape[1],), jnp.float32)
+    if simf is SimilarityFunction.EUCLIDEAN:
+        c = jnp.mean(vectors, axis=0) if center is None else center
+        return vectors - c[None, :], c
+    return vectors, jnp.zeros((vectors.shape[1],), jnp.float32)
+
+
+def train_pq(
+    vectors: jax.Array,  # [n, d]
+    simf: SimilarityFunction,
+    num_subspaces: int | None = None,
+    num_clusters: int | None = None,
+    iters: int = 8,
+    seed: int = 0,
+    max_train: int = 131072,
+) -> ProductQuantization:
+    """Train PQ codebooks (k-means++ per subspace, vmapped)."""
+    n, d = vectors.shape
+    m = num_subspaces or default_num_subspaces(d)
+    if d % m != 0:
+        raise ValueError(f"num_subspaces {m} must divide dim {d}")
+    k = num_clusters or min(256, n)
+    x, center = _preprocess(jnp.asarray(vectors, jnp.float32), simf, None)
+    if n > max_train:
+        sel = np.random.default_rng(seed).choice(n, max_train, replace=False)
+        x = x[jnp.asarray(np.sort(sel))]
+    dsub = d // m
+    x_sub = jnp.transpose(x.reshape(-1, m, dsub), (1, 0, 2))  # [M, n, dsub]
+    codebooks = train_kmeans_subspaces(
+        x_sub, k, iters, jax.random.PRNGKey(seed)
+    )
+    return ProductQuantization(codebooks=codebooks, center=center)
+
+
+@jax.jit
+def encode_pq(pq: ProductQuantization, vectors: jax.Array) -> jax.Array:
+    """Encode [n, d] -> codes [n, M] uint8 (nearest centroid per subspace).
+
+    One batched matmul per subspace (argmin over centroid distances).
+    """
+    n, d = vectors.shape
+    m, k, dsub = pq.codebooks.shape
+    x = vectors - pq.center[None, :]
+    x_sub = jnp.transpose(x.reshape(n, m, dsub), (1, 0, 2))  # [M, n, dsub]
+
+    def enc_one(xs, cb):  # [n, dsub], [K, dsub]
+        dots = jax.lax.dot_general(
+            xs, cb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        c2 = jnp.sum(cb * cb, axis=-1)[None, :]
+        return jnp.argmin(c2 - 2.0 * dots, axis=1)  # x^2 constant in argmin
+
+    codes = jax.vmap(enc_one)(x_sub, pq.codebooks)  # [M, n]
+    return jnp.transpose(codes).astype(jnp.uint8)
+
+
+def encode_for_cosine(pq: ProductQuantization, vectors: jax.Array) -> jax.Array:
+    """Cosine corpora are encoded normalized (ADC then uses plain dots)."""
+    v = vectors * jax.lax.rsqrt(jnp.sum(vectors * vectors, -1, keepdims=True) + 1e-30)
+    return encode_pq(pq, v)
+
+
+def encode(
+    pq: ProductQuantization, vectors: jax.Array, simf: SimilarityFunction
+) -> jax.Array:
+    if simf is SimilarityFunction.COSINE:
+        return encode_for_cosine(pq, vectors)
+    return encode_pq(pq, vectors)
+
+
+def refine_pq(
+    pq: ProductQuantization,
+    vectors: jax.Array,
+    simf: SimilarityFunction,
+    iters: int = 2,
+    max_train: int = 131072,
+    seed: int = 0,
+) -> ProductQuantization:
+    """Codebook refinement: Lloyd iterations seeded from existing codebooks.
+
+    Implements the refinement hook the reference leaves as a no-op pending
+    upstream issue #661 (JVectorWriter.java:1118-1123): on merge, the leading
+    segment's codebooks are adapted to the merged distribution instead of
+    being reused verbatim or retrained from scratch.
+    """
+    n, d = vectors.shape
+    m, k, dsub = pq.codebooks.shape
+    x, center = _preprocess(jnp.asarray(vectors, jnp.float32), simf, None)
+    if n > max_train:
+        sel = np.random.default_rng(seed).choice(n, max_train, replace=False)
+        x = x[jnp.asarray(np.sort(sel))]
+    x_sub = jnp.transpose(x.reshape(-1, m, dsub), (1, 0, 2))
+
+    def refine_one(xs, cb):
+        return jax.lax.fori_loop(0, iters, lambda _, c: _lloyd_iter(xs, c), cb)
+
+    codebooks = jax.vmap(refine_one)(x_sub, pq.codebooks)
+    return ProductQuantization(codebooks=codebooks, center=center)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PQVectors:
+    """PQ-encoded corpus: the device-resident approximate phase storage."""
+
+    pq: ProductQuantization
+    codes: jax.Array  # [n, M] uint8
+
+    def decode(self) -> jax.Array:
+        """Approximate reconstruction [n, d] (centroid lookup + un-center)."""
+        m, k, dsub = self.pq.codebooks.shape
+        gathered = jax.vmap(
+            lambda cb, c: cb[c], in_axes=(0, 1)
+        )(self.pq.codebooks, self.codes.astype(jnp.int32))  # [M, n, dsub]
+        flat = jnp.transpose(gathered, (1, 0, 2)).reshape(self.codes.shape[0], -1)
+        return flat + self.pq.center[None, :]
+
+    def score_scan(
+        self, queries: jax.Array, simf: SimilarityFunction
+    ) -> jax.Array:
+        """Full-scan ADC scores [Q, n] (MXU one-hot-matmul accumulation)."""
+        q = queries - self.pq.center[None, :]
+        if simf is SimilarityFunction.COSINE:
+            q = q * jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-30)
+        m, k, dsub = self.pq.codebooks.shape
+        qsub = q.reshape(q.shape[0], m, dsub)
+        luts = adc_ops.build_luts(qsub, self.pq.codebooks, simf.is_euclidean)
+        vals = adc_ops.lookup_scan(luts, self.codes.astype(jnp.int32))
+        return adc_ops.adc_value_to_score(vals, simf)

@@ -1,0 +1,337 @@
+"""Batched, jitted Vamana beam search (the query-time hot loop).
+
+TPU-native replacement for jVector's `GraphSearcher.search(ssp, k, rerankK,
+threshold, rerankFloor, acceptBits)` two-phase DiskANN search (call site
+JVectorReader.java:166-208): an approximate phase walks the graph scoring
+candidates with a (possibly PQ/ADC) score function, then survivors are
+reranked with exact scores.
+
+Design for XLA (no data-dependent shapes):
+  * A whole batch of queries runs in one compiled program (`Q` static).
+  * Per query, a fixed-size candidate pool `L` (ef_search), `E` parallel
+    expansions per iteration (beam widening — raises arithmetic intensity of
+    the neighbor-gather + score step), a fixed-capacity visited buffer, and a
+    result pool `R = k * overquery_factor` (accepted-only, mirroring the
+    reference's separate result queue).
+  * `lax.while_loop` with an `active` mask per query; a query goes inactive
+    when its best unexpanded candidate scores below its worst result
+    (jVector's termination rule) or the iteration budget is hit.
+
+Counters mirror `SearchResult` (visited/expanded/expanded-base-layer/
+reranked; JVectorReader.java:184-208).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from opensearch_jvector_tpu.ops import adc as adc_ops
+from opensearch_jvector_tpu.ops.distances import (
+    SimilarityFunction,
+    batched_candidate_scores,
+)
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# Score providers (approximate phase). Static-dispatch via module-level
+# callables: (ctx, qstate, ids [Q, C]) -> scores [Q, C].
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def make_exact_provider(simf_id: int):
+    """Exact fp32 scoring provider: ctx={'vectors': [N, d]}; qstate=[Q, d].
+
+    lru_cache gives each (provider, simf) pair a stable identity so it can be
+    a static jit argument without retracing.
+    """
+    simf = SimilarityFunction(simf_id)
+
+    def provider(ctx: dict[str, Any], qstate: jax.Array, ids: jax.Array):
+        vecs = ctx["vectors"][jnp.clip(ids, 0)]  # [Q, C, d]
+        return batched_candidate_scores(qstate, vecs, simf)
+
+    return provider
+
+
+@functools.lru_cache(maxsize=None)
+def make_pq_provider(simf_id: int):
+    """ADC scoring provider: ctx={'codes': [N, M]}; qstate = LUTs [Q, M, K]."""
+    simf = SimilarityFunction(simf_id)
+
+    def provider(ctx: dict[str, Any], qstate: jax.Array, ids: jax.Array):
+        codes = ctx["codes"][jnp.clip(ids, 0)].astype(jnp.int32)  # [Q, C, M]
+        vals = adc_ops.lookup_candidates(qstate, codes)
+        return adc_ops.adc_value_to_score(vals, simf)
+
+    return provider
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchParams:
+    """Static search configuration (part of the jit cache key)."""
+
+    k: int
+    ef_search: int = 100  # candidate pool size L
+    overquery_factor: int = 5  # rerank pool R = k * overquery_factor
+    expansions_per_iter: int = 4  # E: beam widening factor
+    max_iters: int = 0  # 0 -> derived from ef_search
+    threshold: float = 0.0  # similarity cutoff on final results
+    rerank_floor: float = 0.0  # approx-score floor to qualify for rerank
+
+    def resolved_iters(self) -> int:
+        return self.max_iters or max(8, -(-self.ef_search // 1))
+
+
+@dataclasses.dataclass
+class SearchResult:
+    """Batched results + per-batch counters."""
+
+    ids: jax.Array  # [Q, k] int32 (-1 pad)
+    scores: jax.Array  # [Q, k] f32 (-inf pad)
+    visited_count: jax.Array  # [Q] nodes scored
+    expanded_count: jax.Array  # [Q] nodes expanded
+    reranked_count: jax.Array  # [Q]
+
+
+def _in_list(items: jax.Array, pool: jax.Array) -> jax.Array:
+    """Membership mask of items [C] against pool [P] (ids; -1 never matches)."""
+    eq = items[:, None] == pool[None, :]
+    return jnp.any(eq & (items[:, None] >= 0), axis=1)
+
+
+def _first_occurrence(items: jax.Array) -> jax.Array:
+    """True at the first occurrence of each id within items [C]."""
+    c = items.shape[0]
+    eq = (items[:, None] == items[None, :]) & (items[:, None] >= 0)
+    lower = jnp.tril(jnp.ones((c, c), bool), k=-1)
+    return ~jnp.any(eq & lower, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("score_fn", "L", "E", "R", "max_iters", "vma_axis"),
+)
+def beam_search(
+    adjacency: jax.Array,  # [N, M] int32
+    live: jax.Array,  # [N] bool
+    entry: jax.Array,  # int32 scalar
+    qstate: jax.Array,  # per-query scoring state ([Q,d] vectors or [Q,M,K] LUTs)
+    ctx: dict[str, Any],  # storage-side scoring context
+    accept: jax.Array,  # [N] bool — result filter (all-true when unfiltered)
+    score_fn,
+    L: int,
+    E: int,
+    R: int,
+    max_iters: int,
+    vma_axis: str | None = None,  # set when called inside shard_map: marks
+    # constant-initialized loop carries as varying over that mesh axis
+):
+    """Batched best-first graph search.
+
+    Returns (res_ids [Q,R], res_scores [Q,R], visited [Q], expanded [Q]).
+    """
+    q = qstate.shape[0]
+    m = adjacency.shape[1]
+    v_cap = max_iters * E
+
+    entry_ids = jnp.broadcast_to(entry[None], (q, 1)).astype(jnp.int32)
+    entry_scores = score_fn(ctx, qstate, entry_ids)  # [Q, 1]
+
+    cand_ids = jnp.full((q, L), -1, jnp.int32).at[:, 0].set(entry_ids[:, 0])
+    cand_scores = jnp.full((q, L), NEG_INF).at[:, 0].set(entry_scores[:, 0])
+    cand_expanded = jnp.zeros((q, L), bool)
+
+    res_ids = jnp.full((q, R), -1, jnp.int32)
+    res_scores = jnp.full((q, R), NEG_INF)
+    # Seed results with the entry point when it is accepted & live.
+    entry_ok = accept[entry] & live[entry]
+    res_ids = res_ids.at[:, 0].set(jnp.where(entry_ok, entry_ids[:, 0], -1))
+    res_scores = res_scores.at[:, 0].set(
+        jnp.where(entry_ok, entry_scores[:, 0], NEG_INF)
+    )
+
+    visited_buf = jnp.full((q, v_cap), -1, jnp.int32)
+    visited_n = jnp.ones((q,), jnp.int32)  # entry was scored
+    expanded_n = jnp.zeros((q,), jnp.int32)
+    active = jnp.ones((q,), bool)
+
+    def body(state):
+        (it, cand_ids, cand_scores, cand_expanded, res_ids, res_scores,
+         visited_buf, visited_n, expanded_n, active) = state
+
+        # ---- pick top-E unexpanded candidates per query -------------------
+        pickable = (~cand_expanded) & (cand_ids >= 0)
+        pick_scores = jnp.where(pickable, cand_scores, NEG_INF)
+        top_s, slots = jax.lax.top_k(pick_scores, E)  # [Q, E]
+        picked_ids = jnp.take_along_axis(cand_ids, slots, axis=1)
+        # jVector termination: best unexpanded <= worst result (full pool).
+        worst_res = jnp.min(res_scores, axis=1)
+        q_active = active & (top_s[:, 0] > jnp.maximum(worst_res, NEG_INF))
+        q_active = q_active & (top_s[:, 0] > NEG_INF)
+        picked_valid = (top_s > NEG_INF) & q_active[:, None]
+
+        # mark expanded
+        mark = jax.vmap(lambda e, s, v: e.at[s].max(v))(
+            cand_expanded, slots, picked_valid
+        )
+        cand_expanded = mark
+
+        # record visited (expanded) ids
+        upd = jnp.where(picked_valid, picked_ids, -1)
+        visited_buf = jax.lax.dynamic_update_slice(
+            visited_buf, upd, (0, it * E)
+        )
+        expanded_n = expanded_n + jnp.sum(picked_valid, axis=1)
+
+        # ---- gather neighbors --------------------------------------------
+        nb = adjacency[jnp.clip(picked_ids, 0)]  # [Q, E, M]
+        nb = jnp.where(picked_valid[:, :, None], nb, -1)
+        nb = nb.reshape(q, E * m)
+
+        nb_valid = (nb >= 0) & live[jnp.clip(nb, 0)]
+        nb_valid &= ~jax.vmap(_in_list)(nb, cand_ids)
+        nb_valid &= ~jax.vmap(_in_list)(nb, visited_buf)
+        nb_valid &= jax.vmap(_first_occurrence)(nb)
+        nb = jnp.where(nb_valid, nb, -1)
+
+        # ---- score new candidates ----------------------------------------
+        nb_scores = score_fn(ctx, qstate, nb)  # [Q, E*M]
+        nb_scores = jnp.where(nb_valid, nb_scores, NEG_INF)
+        visited_n = visited_n + jnp.sum(nb_valid, axis=1)
+
+        # ---- merge into candidate pool (top-L) ---------------------------
+        all_ids = jnp.concatenate([cand_ids, nb], axis=1)
+        all_scores = jnp.concatenate([cand_scores, nb_scores], axis=1)
+        all_exp = jnp.concatenate(
+            [cand_expanded, jnp.zeros_like(nb, dtype=bool)], axis=1
+        )
+        cand_scores, idx = jax.lax.top_k(all_scores, L)
+        cand_ids = jnp.take_along_axis(all_ids, idx, axis=1)
+        cand_expanded = jnp.take_along_axis(all_exp, idx, axis=1)
+
+        # ---- merge accepted new candidates into result pool --------------
+        nb_accepted = nb_valid & accept[jnp.clip(nb, 0)]
+        nb_accepted &= ~jax.vmap(_in_list)(nb, res_ids)
+        r_scores = jnp.where(nb_accepted, nb_scores, NEG_INF)
+        all_r_ids = jnp.concatenate([res_ids, jnp.where(nb_accepted, nb, -1)], axis=1)
+        all_r_scores = jnp.concatenate([res_scores, r_scores], axis=1)
+        res_scores, ridx = jax.lax.top_k(all_r_scores, R)
+        res_ids = jnp.take_along_axis(all_r_ids, ridx, axis=1)
+
+        return (it + 1, cand_ids, cand_scores, cand_expanded, res_ids,
+                res_scores, visited_buf, visited_n, expanded_n, q_active)
+
+    def cond(state):
+        it = state[0]
+        active = state[-1]
+        return (it < max_iters) & jnp.any(active)
+
+    state = (jnp.int32(0), cand_ids, cand_scores, cand_expanded, res_ids,
+             res_scores, visited_buf, visited_n, expanded_n, active)
+    if vma_axis is not None:
+        def ensure_varying(x):
+            try:
+                return jax.lax.pcast(x, vma_axis, to="varying")
+            except ValueError:  # already varying over this axis
+                return x
+
+        it0, *rest = state
+        state = (it0, *(ensure_varying(x) for x in rest))
+    (_, _, _, _, res_ids, res_scores, _, visited_n, expanded_n, _) = (
+        jax.lax.while_loop(cond, body, state)
+    )
+    return res_ids, res_scores, visited_n, expanded_n
+
+
+def search(
+    adjacency: jax.Array,
+    live: jax.Array,
+    entry: jax.Array,
+    queries: jax.Array,  # [Q, d] f32
+    params: SearchParams,
+    simf: SimilarityFunction,
+    *,
+    vectors: jax.Array | None = None,  # [N, d] exact storage (rerank source)
+    pq_codes: jax.Array | None = None,  # [N, M] uint8/int32 PQ codes
+    pq_codebooks: jax.Array | None = None,  # [M, K, dsub]
+    pq_center: jax.Array | None = None,  # [d] global mean (EUCLIDEAN centering)
+    accept: jax.Array | None = None,  # [N] bool result filter
+    rerank_vectors: jax.Array | None = None,  # override rerank source
+) -> SearchResult:
+    """Two-phase search over one graph segment.
+
+    Approximate phase scores with ADC when PQ codes are provided, else exact.
+    Rerank phase rescores the top `k*overquery_factor` survivors with exact
+    fp32 scores (skipped when the approximate phase was already exact),
+    applying `rerank_floor` then `threshold` (JVectorReader.java:166-208).
+    """
+    qn = queries.shape[0]
+    n = adjacency.shape[0]
+    if accept is None:
+        accept = jnp.ones((n,), bool)
+    r = max(params.k * params.overquery_factor, params.k)
+    ef = max(params.ef_search, r)
+    iters = params.max_iters or max(8, (ef + params.expansions_per_iter - 1)
+                                    // params.expansions_per_iter)
+
+    use_pq = pq_codes is not None
+    if use_pq:
+        assert pq_codebooks is not None
+        nsub = pq_codebooks.shape[0]
+        dsub = pq_codebooks.shape[2]
+        centered = queries if pq_center is None else queries - pq_center[None, :]
+        if simf is SimilarityFunction.COSINE:
+            centered = centered * jax.lax.rsqrt(
+                jnp.sum(centered * centered, -1, keepdims=True) + 1e-30
+            )
+        qsub = centered.reshape(qn, nsub, dsub)
+        luts = adc_ops.build_luts(qsub, pq_codebooks, simf.is_euclidean)
+        qstate, ctx, fn = luts, {"codes": pq_codes}, make_pq_provider(simf.value)
+    else:
+        assert vectors is not None
+        qstate, ctx, fn = queries, {"vectors": vectors}, make_exact_provider(simf.value)
+
+    res_ids, res_scores, visited, expanded = beam_search(
+        adjacency, live, entry, qstate, ctx, accept, fn,
+        L=ef, E=params.expansions_per_iter, R=r, max_iters=iters,
+    )
+
+    # ---- rerank phase ----------------------------------------------------
+    if use_pq:
+        src = rerank_vectors if rerank_vectors is not None else vectors
+        assert src is not None, "rerank requires an exact vector source"
+        qualify = res_ids >= 0
+        if params.rerank_floor > 0.0:  # 0.0 == disabled (reference default)
+            qualify &= res_scores >= params.rerank_floor
+        cand = src[jnp.clip(res_ids, 0)]  # [Q, R, d]
+        exact = batched_candidate_scores(queries, cand, simf)
+        exact = jnp.where(qualify, exact, NEG_INF)
+        reranked = jnp.sum(qualify, axis=1).astype(jnp.int32)
+        final_scores, idx = jax.lax.top_k(exact, params.k)
+        final_ids = jnp.take_along_axis(res_ids, idx, axis=1)
+    else:
+        reranked = jnp.zeros((qn,), jnp.int32)
+        final_scores, idx = jax.lax.top_k(res_scores, params.k)
+        final_ids = jnp.take_along_axis(res_ids, idx, axis=1)
+
+    keep = final_scores > NEG_INF
+    if params.threshold > 0.0:  # 0.0 == disabled (reference default)
+        keep &= final_scores >= params.threshold
+    final_ids = jnp.where(keep, final_ids, -1)
+    final_scores = jnp.where(keep, final_scores, NEG_INF)
+
+    return SearchResult(
+        ids=final_ids,
+        scores=final_scores,
+        visited_count=visited,
+        expanded_count=expanded,
+        reranked_count=reranked,
+    )

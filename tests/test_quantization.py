@@ -1,0 +1,144 @@
+"""PQ / NVQ / ADC kernel tests (numpy reference checks + recall gates).
+
+Models the reference's quantizer math tests and quantized-search codec tests
+(KNNJVectorTests quantized flush/rerank cases, JVectorNVQTests).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opensearch_jvector_tpu.models import pq as pq_mod
+from opensearch_jvector_tpu.models import nvq as nvq_mod
+from opensearch_jvector_tpu.ops import adc as adc_ops
+from opensearch_jvector_tpu.ops import nvq as nvq_ops
+from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+from opensearch_jvector_tpu.utils.ground_truth import ground_truth_topk, recall_at_k
+
+
+def test_default_num_subspaces_schedule():
+    # reference schedule (JVectorIndexQuantization.java:428-446), snapped to
+    # divisors of dim
+    assert pq_mod.default_num_subspaces(16) == 16
+    assert pq_mod.default_num_subspaces(32) == 32
+    assert pq_mod.default_num_subspaces(64) == 32
+    assert pq_mod.default_num_subspaces(128) == 64
+    # dim 256 -> schedule says 100, snapped down to a divisor of 256 -> 64
+    assert pq_mod.default_num_subspaces(256) == 64
+    assert pq_mod.default_num_subspaces(768) == 192
+    assert pq_mod.default_num_subspaces(1536) == 192
+
+
+def test_pq_train_encode_decode_error():
+    rng = np.random.default_rng(0)
+    n, d = 2048, 32
+    v = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    pq = pq_mod.train_pq(v, SimilarityFunction.EUCLIDEAN, num_subspaces=8,
+                         num_clusters=64, iters=4)
+    codes = pq_mod.encode(pq, v, SimilarityFunction.EUCLIDEAN)
+    assert codes.shape == (n, 8)
+    assert codes.dtype == jnp.uint8
+    pqv = pq_mod.PQVectors(pq=pq, codes=codes)
+    rec = pqv.decode()
+    # quantization must beat the trivial all-mean reconstruction by a lot
+    base = jnp.mean((v - jnp.mean(v, 0)) ** 2)
+    err = jnp.mean((rec - v) ** 2)
+    assert float(err) < 0.5 * float(base)
+
+
+def test_adc_lut_matches_explicit_distances():
+    rng = np.random.default_rng(1)
+    n, d, m, k, q = 256, 16, 4, 32, 8
+    v = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    qs = jnp.asarray(rng.standard_normal((q, d)).astype(np.float32))
+    pq = pq_mod.train_pq(v, SimilarityFunction.EUCLIDEAN, num_subspaces=m,
+                         num_clusters=k, iters=4)
+    codes = pq_mod.encode(pq, v, SimilarityFunction.EUCLIDEAN)
+    pqv = pq_mod.PQVectors(pq=pq, codes=codes)
+    # ADC scan score must equal the exact distance to the DECODED vectors
+    scan = pqv.score_scan(qs, SimilarityFunction.EUCLIDEAN)
+    dec = pqv.decode()
+    d2 = (
+        jnp.sum((qs[:, None, :] - dec[None, :, :]) ** 2, -1)
+    )
+    expected = 1.0 / (1.0 + d2)
+    np.testing.assert_allclose(np.asarray(scan), np.asarray(expected),
+                               rtol=2e-2, atol=2e-3)
+    # candidate-gather path agrees with the scan path
+    ids = jnp.asarray(rng.integers(0, n, size=(q, 10)).astype(np.int32))
+    qsub = (qs - pq.center[None, :]).reshape(q, m, d // m)
+    luts = adc_ops.build_luts(qsub, pq.codebooks, True)
+    cand_vals = adc_ops.lookup_candidates(luts, codes[ids].astype(jnp.int32))
+    cand_scores = adc_ops.adc_value_to_score(cand_vals, SimilarityFunction.EUCLIDEAN)
+    picked = jnp.take_along_axis(scan, ids, axis=1)
+    # gather path and one-hot-matmul path accumulate in different orders
+    np.testing.assert_allclose(np.asarray(cand_scores), np.asarray(picked),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_pq_full_scan_recall():
+    """ADC full scan + exact rerank reaches high recall (fused-ADC parity)."""
+    rng = np.random.default_rng(2)
+    n, d, qn, k = 4096, 64, 16, 10
+    v = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    qs = jnp.asarray(rng.standard_normal((qn, d)).astype(np.float32))
+    simf = SimilarityFunction.EUCLIDEAN
+    pq = pq_mod.train_pq(v, simf, num_subspaces=16, iters=6)
+    pqv = pq_mod.PQVectors(pq=pq, codes=pq_mod.encode(pq, v, simf))
+    scan = pqv.score_scan(qs, simf)
+    _, cand = jax.lax.top_k(scan, 5 * k)  # overquery
+    # exact rerank
+    cv = v[cand]
+    d2 = jnp.sum((qs[:, None, :] - cv) ** 2, -1)
+    _, sub = jax.lax.top_k(-d2, k)
+    res = np.asarray(jnp.take_along_axis(cand, sub, axis=1))
+    truth = ground_truth_topk(qs, v, k, simf)
+    rec = recall_at_k(res, truth, k)
+    assert rec >= 0.9, rec
+
+
+def test_refine_improves_or_matches():
+    rng = np.random.default_rng(3)
+    n, d = 2048, 32
+    v1 = rng.standard_normal((n, d)).astype(np.float32)
+    v2 = rng.standard_normal((n, d)).astype(np.float32) + 1.0  # shifted dist
+    simf = SimilarityFunction.EUCLIDEAN
+    pq = pq_mod.train_pq(jnp.asarray(v1), simf, num_subspaces=8, iters=6)
+    merged = jnp.asarray(np.concatenate([v1, v2]))
+    # reuse-as-is error vs refined error on the merged distribution
+    pqv_reuse = pq_mod.PQVectors(pq=pq, codes=pq_mod.encode(pq, merged, simf))
+    err_reuse = float(jnp.mean((pqv_reuse.decode() - merged) ** 2))
+    pq_ref = pq_mod.refine_pq(pq, merged, simf, iters=3)
+    pqv_ref = pq_mod.PQVectors(pq=pq_ref, codes=pq_mod.encode(pq_ref, merged, simf))
+    err_ref = float(jnp.mean((pqv_ref.decode() - merged) ** 2))
+    assert err_ref <= err_reuse * 1.01
+
+
+def test_nvq_bit_exact_roundtrip_properties():
+    # logisticNQT is monotone and bounded in (0, 1); logitNQT inverts it
+    x = jnp.linspace(-4.0, 4.0, 257)
+    y = nvq_ops.logistic_nqt(x, 1.7, 0.3)
+    assert float(jnp.min(y)) > 0.0 and float(jnp.max(y)) < 1.0
+    assert bool(jnp.all(jnp.diff(y) >= 0))
+    x_back = nvq_ops.logit_nqt(y, 1.0 / 1.7, 0.3)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x),
+                               rtol=0.1, atol=0.15)  # fast approx, not exact
+
+
+def test_nvq_encode_decode_quality():
+    rng = np.random.default_rng(4)
+    n, d = 512, 32
+    v = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    nv = nvq_mod.train_nvq(v, num_subvectors=2)
+    assert nv.bytes_.shape == (n, d)
+    assert nv.params.shape == (n, 2, 4)
+    mse = float(nvq_mod.reconstruction_mse(nv, v))
+    # ~8-bit nonlinear quantization of unit-variance data: tiny error
+    assert mse < 1e-3, mse
+    # gathered decode matches full decode
+    ids = jnp.asarray([3, 77, 200])
+    np.testing.assert_allclose(
+        np.asarray(nv.decode_rows(ids)), np.asarray(nv.decode()[ids]),
+        rtol=1e-6,
+    )
