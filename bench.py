@@ -46,14 +46,15 @@ def main():
 
     t0 = time.time()
     builder = GraphIndexBuilder(
-        dim=DIM, max_degree=32, beam_width=100, batch_size=1024
+        dim=DIM, max_degree=48, beam_width=100, batch_size=1024
     )
     graph = builder.build(vectors, simf)
     build_s = time.time() - t0
     print(f"# build: {N} vectors in {build_s:.1f}s "
           f"({N / build_s:.0f} vec/s)", file=sys.stderr)
 
-    params = SearchParams(k=K, ef_search=100, overquery_factor=5)
+    params = SearchParams(k=K, ef_search=int(os.environ.get("BENCH_EF", 200)),
+                          overquery_factor=5)
 
     def run():
         res = searcher.search(

@@ -1,0 +1,66 @@
+"""Bidirectional graph-ordinal <-> document-id mapping.
+
+TPU-native counterpart of `GraphNodeIdToDocMap` (GraphNodeIdToDocMap.java:
+17-23, 39-60, 119-141, 169-177): vectors live in a dense ordinal space while
+documents live in a sparse, delete-prone doc-id space; the map must survive
+sorting (update with a sort map at flush) and merges (reconstruction from
+per-segment doc maps), with -1 meaning deleted / no vector.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class DocMap:
+    """ord_to_doc[i] = doc id for graph ordinal i (-1 = hole/deleted)."""
+
+    ord_to_doc: np.ndarray  # int64 [num_ordinals]
+
+    def __post_init__(self):
+        self.ord_to_doc = np.asarray(self.ord_to_doc, np.int64)
+
+    @property
+    def num_ordinals(self) -> int:
+        return int(self.ord_to_doc.shape[0])
+
+    def doc_to_ord(self, max_doc: int | None = None) -> np.ndarray:
+        """Inverse map doc->ordinal (-1 where a doc has no vector)."""
+        if max_doc is None:
+            max_doc = int(self.ord_to_doc.max(initial=-1)) + 1
+        inv = np.full((max_doc,), -1, np.int64)
+        mask = self.ord_to_doc >= 0
+        inv[self.ord_to_doc[mask]] = np.nonzero(mask)[0]
+        return inv
+
+    def lookup_docs(self, ords: np.ndarray) -> np.ndarray:
+        """Vectorized ordinal->doc (-1 passes through)."""
+        out = np.where(ords >= 0, self.ord_to_doc[np.clip(ords, 0, None)], -1)
+        return out
+
+    def apply_sort(self, old_to_new_doc: np.ndarray) -> "DocMap":
+        """Re-map doc ids after an index sort (update(Sorter.DocMap) parity)."""
+        mask = self.ord_to_doc >= 0
+        new = self.ord_to_doc.copy()
+        new[mask] = old_to_new_doc[self.ord_to_doc[mask]]
+        return DocMap(new)
+
+    def mark_deleted_docs(self, deleted_docs: np.ndarray) -> np.ndarray:
+        """Ordinals whose doc is deleted (to tombstone in the graph)."""
+        dset = np.zeros(int(self.ord_to_doc.max(initial=-1)) + 1, bool)
+        dset[deleted_docs] = True
+        mask = (self.ord_to_doc >= 0) & dset[np.clip(self.ord_to_doc, 0, None)]
+        return np.nonzero(mask)[0]
+
+    @staticmethod
+    def concat(maps: list["DocMap"], doc_bases: list[int]) -> "DocMap":
+        """Merge per-segment maps with doc-id rebasing (merge reconstruction)."""
+        parts = []
+        for m, base in zip(maps, doc_bases):
+            p = m.ord_to_doc.copy()
+            p[p >= 0] += base
+            parts.append(p)
+        return DocMap(np.concatenate(parts) if parts else np.empty(0, np.int64))

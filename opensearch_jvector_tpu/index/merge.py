@@ -1,0 +1,257 @@
+"""Segment merging: incremental leading-segment merge + codebook reuse.
+
+TPU-native counterpart of the reference's merge path
+(JVectorWriter.mergeOneField -> RandomAccessMergedFloatVectorValues.merge,
+JVectorWriter.java:192-213, 1010-1025):
+
+  * leading-reader election = segment with the most live vectors
+    (JVectorWriter.java:785-818)
+  * incremental "leading segment merge" (tryLeadingSegmentMerge,
+    :1166-1341): reload the leading graph from its checkpoint, append the
+    other segments' vectors as delta inserts, fold deletes in at cleanup —
+    skipped when disabled, on ordinal overflow, or when live density < 0.4
+    (:1202-1222)
+  * PQ codebook reuse on merge: reuse leading codebooks and re-encode all
+    vectors (:1110-1125) — PLUS the refinement step the reference documents
+    as TODO (issue #661, :1118-1123): a few Lloyd iterations adapt the
+    codebooks to the merged distribution before re-encode
+  * NVQ merge always recomputes (mergeNVQ, :1030-1066)
+
+Design simplification vs the reference: the reference juggles four ordinal
+spaces during merge (:728-735, ~700 LoC of bookkeeping); here every segment
+has a single stable ordinal space with tombstones, and the merged segment's
+ordinal space is [leading ordinals | appended ordinals], compacted only by
+the density guard forcing a full rebuild.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from opensearch_jvector_tpu.api.config import (
+    QUANT_NONE,
+    QUANT_NVQ,
+    DiskAnnConfig,
+)
+from opensearch_jvector_tpu.api.stats import STATS, Counter, StatsRegistry
+from opensearch_jvector_tpu.index.docmap import DocMap
+from opensearch_jvector_tpu.index.segment import Segment, read_segment, write_segment
+from opensearch_jvector_tpu.models import nvq as nvq_mod
+from opensearch_jvector_tpu.models import pq as pq_mod
+from opensearch_jvector_tpu.models.builder import GraphIndexBuilder
+from opensearch_jvector_tpu.models.graph import VamanaGraph
+
+MIN_LEADING_DENSITY = 0.4  # reference guard (JVectorWriter.java:1202-1222)
+MAX_ORDINALS = 2**31 - 1
+
+
+def _materialize_vectors(seg: Segment) -> jnp.ndarray:
+    """fp32 rows for a segment (decodes NVQ if needed), [capacity, d]."""
+    if seg.vectors is not None:
+        return seg.vectors
+    assert seg.nvq is not None
+    return seg.nvq.decode()
+
+
+def _elect_leading(segments: list[Segment]) -> int:
+    """Index of the segment with the most live vectors."""
+    return int(np.argmax([s.live_count() for s in segments]))
+
+
+def merge_segments(
+    root: str | Path,
+    segments: list[Segment],
+    out_name: str,
+    stats: StatsRegistry = STATS,
+    builder_batch_size: int = 1024,
+) -> Path:
+    """Merge segments into one; incremental when the guards allow."""
+    t0 = time.monotonic()
+    assert segments, "nothing to merge"
+    cfg = segments[0].config
+    lead_idx = _elect_leading(segments)
+    lead = segments[lead_idx]
+    others = [s for i, s in enumerate(segments) if i != lead_idx]
+
+    total_live = sum(s.live_count() for s in segments)
+    lead_density = (
+        lead.live_count() / max(lead.capacity(), 1) if lead.capacity() else 0.0
+    )
+    use_incremental = (
+        not cfg.leading_segment_merge_disabled
+        and cfg.quantization_type != QUANT_NVQ  # NVQ always rebuilds (parity)
+        and lead.capacity() + sum(s.live_count() for s in others) < MAX_ORDINALS
+        and lead_density >= MIN_LEADING_DENSITY
+        and lead.live_count() > 0
+    )
+
+    if use_incremental:
+        seg = _incremental_merge(cfg, lead, others, out_name, builder_batch_size)
+    else:
+        seg = _full_rebuild_merge(cfg, segments, out_name, builder_batch_size)
+
+    path = write_segment(root, seg)
+    stats.increment(Counter.KNN_GRAPH_MERGE_TIME,
+                    int((time.monotonic() - t0) * 1000))
+    stats.increment(Counter.KNN_MERGE_COUNT)
+    return path
+
+
+def _merged_pq(cfg: DiskAnnConfig, lead: Segment, all_vectors, n_live):
+    """PQ policy on merge: reuse leading codebooks + refine + re-encode;
+    train fresh when the leading segment has none and n >= min batch."""
+    if cfg.quantization_type == QUANT_NONE:
+        return None
+    if lead.pqv is not None:
+        refined = pq_mod.refine_pq(lead.pqv.pq, all_vectors, cfg.similarity)
+        codes = pq_mod.encode(refined, all_vectors, cfg.similarity)
+        return pq_mod.PQVectors(pq=refined, codes=codes)
+    if n_live >= cfg.min_batch_size_for_quantization:
+        pq = pq_mod.train_pq(
+            all_vectors, cfg.similarity, num_subspaces=cfg.num_pq_subspaces
+        )
+        codes = pq_mod.encode(pq, all_vectors, cfg.similarity)
+        return pq_mod.PQVectors(pq=pq, codes=codes)
+    return None
+
+
+def _incremental_merge(
+    cfg: DiskAnnConfig,
+    lead: Segment,
+    others: list[Segment],
+    out_name: str,
+    batch_size: int,
+) -> Segment:
+    """Append the other segments' live vectors into the leading graph."""
+    lead_cap = lead.capacity()
+    lead_vecs = _materialize_vectors(lead)
+
+    new_vec_blocks, new_doc_blocks = [], []
+    for s in others:
+        live = np.asarray(s.graph.live)
+        docs = s.docmap.ord_to_doc
+        keep = live & (docs >= 0)
+        ids = np.nonzero(keep)[0]
+        if ids.size == 0:
+            continue
+        v = _materialize_vectors(s)
+        new_vec_blocks.append(np.asarray(v)[ids])
+        new_doc_blocks.append(docs[ids])
+    n_new = sum(b.shape[0] for b in new_vec_blocks)
+
+    capacity = lead_cap + n_new
+    all_vectors = jnp.concatenate(
+        [jnp.asarray(lead_vecs)]
+        + [jnp.asarray(b) for b in new_vec_blocks]
+    ) if n_new else jnp.asarray(lead_vecs)
+
+    graph = lead.graph.with_capacity(capacity)
+    builder = GraphIndexBuilder(
+        dim=cfg.dim,
+        max_degree=cfg.m,
+        beam_width=cfg.ef_construction,
+        alpha=cfg.alpha,
+        neighbor_overflow=cfg.neighbor_overflow,
+        batch_size=batch_size,
+    )
+
+    pqv = _merged_pq(
+        cfg, lead, all_vectors,
+        int(np.asarray(graph.live).sum()) + n_new,
+    )
+    build_pq = None
+    if pqv is not None:
+        build_pq = {
+            "codes": pqv.codes,
+            "codebooks": pqv.pq.codebooks,
+            "center": pqv.pq.center,
+        }
+
+    if n_new:
+        new_ids = np.arange(lead_cap, capacity)
+        graph = builder.add_nodes(
+            graph, all_vectors, new_ids, cfg.similarity, pq=build_pq
+        )
+    # deletes in the leading segment (doc -1) are already tombstoned in
+    # `live`; fold them into the adjacency now
+    graph = builder.cleanup(graph, all_vectors, cfg.similarity)
+
+    docmap = DocMap(
+        np.concatenate(
+            [lead.docmap.ord_to_doc]
+            + new_doc_blocks
+        ) if n_new else lead.docmap.ord_to_doc
+    )
+    return Segment(
+        name=out_name, config=cfg, graph=graph, docmap=docmap,
+        vectors=all_vectors, nvq=None, pqv=pqv,
+    )
+
+
+def _full_rebuild_merge(
+    cfg: DiskAnnConfig,
+    segments: list[Segment],
+    out_name: str,
+    batch_size: int,
+) -> Segment:
+    """Rebuild from scratch over all live vectors (compacts ordinals)."""
+    vec_blocks, doc_blocks = [], []
+    lead_idx = _elect_leading(segments)
+    for s in segments:
+        live = np.asarray(s.graph.live)
+        docs = s.docmap.ord_to_doc
+        keep = live & (docs >= 0)
+        ids = np.nonzero(keep)[0]
+        if ids.size == 0:
+            continue
+        v = np.asarray(_materialize_vectors(s))
+        vec_blocks.append(v[ids])
+        doc_blocks.append(docs[ids])
+
+    if not vec_blocks:
+        return Segment(
+            name=out_name, config=cfg,
+            graph=VamanaGraph.empty(0, max(cfg.m, 1)),
+            docmap=DocMap(np.empty(0, np.int64)),
+            vectors=jnp.zeros((0, cfg.dim), jnp.float32),
+        )
+
+    all_vectors = jnp.asarray(np.concatenate(vec_blocks))
+    docmap = DocMap(np.concatenate(doc_blocks))
+    n = all_vectors.shape[0]
+
+    pqv = _merged_pq(cfg, segments[lead_idx], all_vectors, n)
+    build_pq = None
+    if pqv is not None:
+        build_pq = {
+            "codes": pqv.codes,
+            "codebooks": pqv.pq.codebooks,
+            "center": pqv.pq.center,
+        }
+
+    builder = GraphIndexBuilder(
+        dim=cfg.dim,
+        max_degree=cfg.m,
+        beam_width=cfg.ef_construction,
+        alpha=cfg.alpha,
+        neighbor_overflow=cfg.neighbor_overflow,
+        batch_size=batch_size,
+    )
+    graph = builder.build(all_vectors, cfg.similarity, pq=build_pq)
+
+    nvq = None
+    vectors = all_vectors
+    if cfg.quantization_type == QUANT_NVQ and (
+        n >= cfg.min_batch_size_for_quantization
+    ):
+        # NVQ merge recomputes quantization from scratch (mergeNVQ parity)
+        nvq = nvq_mod.train_nvq(all_vectors, cfg.nvq_num_subvectors)
+        vectors = None
+    return Segment(
+        name=out_name, config=cfg, graph=graph, docmap=docmap,
+        vectors=vectors, nvq=nvq, pqv=pqv,
+    )

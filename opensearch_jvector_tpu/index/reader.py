@@ -1,0 +1,146 @@
+"""Segment reader: load + two-phase search + doc-id mapping + counters.
+
+TPU-native counterpart of `JVectorReader` (JVectorReader.java:130-211):
+builds the score-function provider per quantization type (PQ approx +
+rerank / NVQ rerank / exact — buildScoreFunctionProvider, :353-366), adapts
+accepted-doc filters through the ordinal map (:156-164), searches with
+(k, k*overquery_factor, threshold, rerankFloor, bits), maps node->docId on
+collect, and records the query counters (:184-208).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opensearch_jvector_tpu.api.config import SearchConfig
+from opensearch_jvector_tpu.api.stats import STATS, Counter, StatsRegistry
+from opensearch_jvector_tpu.index import segment as segment_mod
+from opensearch_jvector_tpu.index.segment import Segment
+from opensearch_jvector_tpu.models import searcher as searcher_mod
+from opensearch_jvector_tpu.models.searcher import SearchParams
+
+
+@dataclasses.dataclass
+class QueryResult:
+    doc_ids: np.ndarray  # [Q, k] int64, -1 pad
+    scores: np.ndarray  # [Q, k] f32, -inf pad
+    visited: int
+    expanded: int
+    reranked: int
+
+
+class SegmentReader:
+    def __init__(self, seg: Segment, stats: StatsRegistry = STATS):
+        self.seg = seg
+        self.stats = stats
+
+    @classmethod
+    def open(cls, path: str | Path, verify: bool = True,
+             stats: StatsRegistry = STATS) -> "SegmentReader":
+        return cls(segment_mod.read_segment(path, verify=verify), stats)
+
+    def check_integrity(self, path: str | Path) -> bool:
+        return segment_mod.check_integrity(path)
+
+    def _accept_mask(self, accept_docs) -> jax.Array | None:
+        """Accepted docs -> graph-ordinal bitmap (Bits adapter parity)."""
+        if accept_docs is None:
+            return None
+        accept_docs = np.asarray(accept_docs)
+        o2d = self.seg.docmap.ord_to_doc
+        if accept_docs.dtype == bool:
+            ok = (o2d >= 0) & (o2d < accept_docs.shape[0])
+            mask = np.zeros(o2d.shape[0], bool)
+            mask[ok] = accept_docs[o2d[ok]]
+        else:  # a set/array of accepted doc ids
+            ok = np.isin(o2d, accept_docs) & (o2d >= 0)
+            mask = ok
+        cap = self.seg.graph.capacity
+        if mask.shape[0] < cap:
+            mask = np.pad(mask, (0, cap - mask.shape[0]))
+        return jnp.asarray(mask[:cap])
+
+    def search(
+        self,
+        queries,  # [Q, d]
+        sc: SearchConfig,
+        accept_docs=None,  # bool array over doc ids, or array of doc ids
+    ) -> QueryResult:
+        seg = self.seg
+        queries = jnp.asarray(queries, jnp.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+
+        params = SearchParams(
+            k=sc.k,
+            ef_search=sc.resolved_ef(),
+            overquery_factor=sc.overquery_factor,
+            threshold=sc.threshold,
+            rerank_floor=sc.rerank_floor,
+        )
+        accept = self._accept_mask(accept_docs)
+
+        kwargs: dict = {}
+        if seg.pqv is not None:
+            kwargs["pq_codes"] = seg.pqv.codes
+            kwargs["pq_codebooks"] = seg.pqv.pq.codebooks
+            kwargs["pq_center"] = seg.pqv.pq.center
+        vectors, rerank_fn = seg.rerank_source()
+        if vectors is not None:
+            kwargs["vectors"] = vectors
+        if rerank_fn is not None:
+            kwargs["rerank_fn"] = rerank_fn
+            if "vectors" not in kwargs:
+                # approximate phase falls back to PQ; exact phase uses NVQ
+                assert seg.pqv is not None, (
+                    "NVQ segments always carry an aux PQ (nvq+pq)"
+                )
+
+        t0 = time.monotonic()
+        res = searcher_mod.search(
+            seg.graph.adjacency,
+            seg.graph.live,
+            seg.graph.entry,
+            queries,
+            params,
+            seg.config.similarity,
+            accept=accept,
+            **kwargs,
+        )
+        jax.block_until_ready(res.ids)
+        self.stats.increment(
+            Counter.KNN_GRAPH_SEARCH_TIME, int((time.monotonic() - t0) * 1000)
+        )
+
+        qn = queries.shape[0]
+        self.stats.increment(Counter.KNN_QUERY_COUNT, qn)
+        if accept_docs is not None:
+            self.stats.increment(Counter.KNN_QUERY_WITH_FILTER_COUNT, qn)
+        visited = int(np.asarray(res.visited_count).sum())
+        expanded = int(np.asarray(res.expanded_count).sum())
+        reranked = int(np.asarray(res.reranked_count).sum())
+        self.stats.increment(Counter.KNN_QUERY_VISITED_NODES, visited)
+        self.stats.increment(Counter.KNN_QUERY_EXPANDED_NODES, expanded)
+        self.stats.increment(
+            Counter.KNN_QUERY_EXPANDED_BASE_LAYER_NODES, expanded
+        )  # single-layer graph: base layer == total (hierarchy off default)
+        self.stats.increment(Counter.KNN_QUERY_RERANKED_COUNT, reranked)
+
+        ords = np.asarray(res.ids)
+        doc_ids = self.seg.docmap.lookup_docs(ords)
+        scores = np.asarray(res.scores)
+        # a live ordinal whose doc was deleted maps to -1; mask its score
+        scores = np.where(doc_ids >= 0, scores, -np.inf)
+        return QueryResult(
+            doc_ids=doc_ids,
+            scores=scores,
+            visited=visited,
+            expanded=expanded,
+            reranked=reranked,
+        )

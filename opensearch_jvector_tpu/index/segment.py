@@ -1,0 +1,191 @@
+"""Segment model + on-disk layout.
+
+A segment is the immutable unit of the index (the Lucene-segment analog).
+On disk it is a directory of checksummed containers:
+
+  meta.jvtpu     config + counts + quantization type byte
+                 (VectorIndexFieldMetadata parity: field config, simFunc
+                 ordinal, dim, quantizationType byte, ordinal->doc map
+                 presence — JVectorWriter.java:512-563)
+  graph.jvtpu    adjacency/degrees/live/entry. This doubles as the
+                 *mutable-graph checkpoint*: unlike the reference — which
+                 persists a separate neighbors-score-cache file so a merge
+                 can reload+mutate the graph without recomputing neighbor
+                 scores (JVectorWriter.java:339-363, 1174-1188) — neighbor
+                 scores here are recomputed on the MXU in microseconds, so
+                 persisting adjacency alone suffices for incremental merge.
+  vectors.jvtpu  fp32 rows, or NVQ (bytes/params/global_mean) when the
+                 config uses nvq+pq (inline-feature parity: InlineVectors
+                 vs NVQ features of the on-disk graph)
+  pq.jvtpu       PQ codebooks + center + codes (PQ blob parity)
+  docmap.jvtpu   ordinal->doc map
+
+Quantization type bytes mirror the reference exactly:
+NONE=0 / PQ=1 / NVQ_INLINE=2 (JVectorIndexQuantization.java:51-53).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from opensearch_jvector_tpu.api.config import (
+    QUANT_NONE,
+    QUANT_NVQ,
+    QUANT_PQ,
+    DiskAnnConfig,
+)
+from opensearch_jvector_tpu.index import store
+from opensearch_jvector_tpu.index.docmap import DocMap
+from opensearch_jvector_tpu.models.graph import VamanaGraph
+from opensearch_jvector_tpu.models.nvq import NVQVectors
+from opensearch_jvector_tpu.models.pq import ProductQuantization, PQVectors
+
+QUANT_TYPE_BYTE = {QUANT_NONE: 0, QUANT_PQ: 1, QUANT_NVQ: 2}
+BYTE_TO_QUANT = {v: k for k, v in QUANT_TYPE_BYTE.items()}
+
+
+@dataclasses.dataclass
+class Segment:
+    """In-memory (device-resident) segment."""
+
+    name: str
+    config: DiskAnnConfig
+    graph: VamanaGraph
+    docmap: DocMap
+    vectors: jnp.ndarray | None = None  # fp32 [capacity, d]
+    nvq: NVQVectors | None = None
+    pqv: PQVectors | None = None
+
+    @property
+    def quantization_type(self) -> str:
+        if self.nvq is not None:
+            return QUANT_NVQ
+        if self.pqv is not None:
+            return QUANT_PQ
+        return QUANT_NONE
+
+    def live_count(self) -> int:
+        return int(np.asarray(self.graph.live).sum())
+
+    def capacity(self) -> int:
+        return self.graph.capacity
+
+    def rerank_source(self):
+        """(vectors | rerank_fn) pair for the searcher's rerank phase."""
+        if self.vectors is not None:
+            return self.vectors, None
+        assert self.nvq is not None
+        return None, self.nvq.decode_rows
+
+
+def write_segment(root: str | Path, seg: Segment) -> Path:
+    root = Path(root)
+    d = root / seg.name
+    d.mkdir(parents=True, exist_ok=True)
+
+    meta = {
+        "config": seg.config.to_meta(),
+        "quantization_type_byte": QUANT_TYPE_BYTE[seg.quantization_type],
+        "capacity": seg.capacity(),
+        "live_count": seg.live_count(),
+    }
+    store.write_container(d / "meta.jvtpu", meta, {})
+
+    store.write_container(
+        d / "graph.jvtpu",
+        {"entry": int(seg.graph.entry)},
+        {
+            "adjacency": np.asarray(seg.graph.adjacency),
+            "degrees": np.asarray(seg.graph.degrees),
+            "live": np.asarray(seg.graph.live),
+        },
+    )
+    if seg.vectors is not None:
+        store.write_container(
+            d / "vectors.jvtpu",
+            {"kind": "fp32"},
+            {"vectors": np.asarray(seg.vectors, np.float32)},
+        )
+    if seg.nvq is not None:
+        store.write_container(
+            d / "vectors.jvtpu",
+            {"kind": "nvq"},
+            {
+                "bytes": np.asarray(seg.nvq.bytes_),
+                "params": np.asarray(seg.nvq.params),
+                "global_mean": np.asarray(seg.nvq.global_mean),
+            },
+        )
+    if seg.pqv is not None:
+        store.write_container(
+            d / "pq.jvtpu",
+            {},
+            {
+                "codebooks": np.asarray(seg.pqv.pq.codebooks),
+                "center": np.asarray(seg.pqv.pq.center),
+                "codes": np.asarray(seg.pqv.codes),
+            },
+        )
+    store.write_container(
+        d / "docmap.jvtpu", {}, {"ord_to_doc": seg.docmap.ord_to_doc}
+    )
+    return d
+
+
+def read_segment(path: str | Path, verify: bool = True) -> Segment:
+    """Load a segment directory onto the device (checksums verified)."""
+    d = Path(path)
+    meta, _ = store.read_container(d / "meta.jvtpu", verify=verify)
+    config = DiskAnnConfig.from_meta(meta["config"])
+    gmeta, garr = store.read_container(d / "graph.jvtpu", verify=verify)
+    graph = VamanaGraph(
+        adjacency=jnp.asarray(garr["adjacency"]),
+        degrees=jnp.asarray(garr["degrees"]),
+        live=jnp.asarray(garr["live"]),
+        entry=jnp.int32(gmeta["entry"]),
+    )
+    dmeta, darr = store.read_container(d / "docmap.jvtpu", verify=verify)
+    docmap = DocMap(darr["ord_to_doc"])
+
+    vectors = None
+    nvq = None
+    vpath = d / "vectors.jvtpu"
+    if vpath.exists():
+        vmeta, varr = store.read_container(vpath, verify=verify)
+        if vmeta["kind"] == "fp32":
+            vectors = jnp.asarray(varr["vectors"])
+        else:
+            nvq = NVQVectors(
+                bytes_=jnp.asarray(varr["bytes"]),
+                params=jnp.asarray(varr["params"]),
+                global_mean=jnp.asarray(varr["global_mean"]),
+            )
+
+    pqv = None
+    ppath = d / "pq.jvtpu"
+    if ppath.exists():
+        _, parr = store.read_container(ppath, verify=verify)
+        pqv = PQVectors(
+            pq=ProductQuantization(
+                codebooks=jnp.asarray(parr["codebooks"]),
+                center=jnp.asarray(parr["center"]),
+            ),
+            codes=jnp.asarray(parr["codes"]),
+        )
+    return Segment(
+        name=d.name, config=config, graph=graph, docmap=docmap,
+        vectors=vectors, nvq=nvq, pqv=pqv,
+    )
+
+
+def check_integrity(path: str | Path) -> bool:
+    """Re-verify every container checksum (checkIntegrity parity)."""
+    d = Path(path)
+    for f in sorted(d.glob("*.jvtpu")):
+        store.read_container(f, verify=True)
+    return True

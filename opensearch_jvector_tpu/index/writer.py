@@ -1,0 +1,152 @@
+"""Index writer: buffer -> quantize policy -> graph build -> segment flush.
+
+TPU-native counterpart of `JVectorWriter` flush (JVectorWriter.java:216-261):
+  * buffers (docId, float vector) pairs per field — byte vectors rejected
+    (reference rejects byte[] at JVectorWriter.java:178-184)
+  * quantize-then-build policy (quantizeForFlush, :263-283): below
+    `min_batch_size_for_quantization` (default 1024) build fp32; otherwise
+    train PQ (and NVQ when configured) FIRST and build the graph with the
+    PQ build-score provider (quantized index construction)
+  * writes the segment with versioned, checksummed containers
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from opensearch_jvector_tpu.api.config import (
+    QUANT_NONE,
+    QUANT_NVQ,
+    QUANT_PQ,
+    DiskAnnConfig,
+)
+from opensearch_jvector_tpu.api.stats import STATS, Counter, StatsRegistry
+from opensearch_jvector_tpu.index.docmap import DocMap
+from opensearch_jvector_tpu.index.segment import Segment, write_segment
+from opensearch_jvector_tpu.models import nvq as nvq_mod
+from opensearch_jvector_tpu.models import pq as pq_mod
+from opensearch_jvector_tpu.models.builder import GraphIndexBuilder
+
+
+class IndexWriter:
+    def __init__(
+        self,
+        root: str | Path,
+        config: DiskAnnConfig,
+        stats: StatsRegistry = STATS,
+        build_batch_size: int = 1024,
+    ):
+        self.root = Path(root)
+        self.config = config
+        self.stats = stats
+        self.build_batch_size = build_batch_size
+        self._doc_ids: list[int] = []
+        self._vectors: list[np.ndarray] = []
+        self._flush_counter = 0
+
+    def add_document(self, doc_id: int, vector) -> None:
+        """Buffer one document's vector (float32 only, dim-checked)."""
+        v = np.asarray(vector)
+        if v.dtype.kind not in "f":
+            raise TypeError(
+                "only float vectors are supported by the disk_ann engine "
+                f"(got dtype {v.dtype})"
+            )
+        if v.shape != (self.config.dim,):
+            raise ValueError(
+                f"vector shape {v.shape} != (dim={self.config.dim},)"
+            )
+        self._doc_ids.append(int(doc_id))
+        self._vectors.append(v.astype(np.float32))
+
+    def num_buffered(self) -> int:
+        return len(self._doc_ids)
+
+    def _quantize_for_flush(self, vectors: jnp.ndarray):
+        """Train quantizers when n >= min batch; returns (pqv, nvq, build_pq).
+
+        build_pq is the dict handed to the builder as the PQ build-score
+        provider (BuildScoreProvider.pqBuildScoreProvider parity).
+        """
+        cfg = self.config
+        n = vectors.shape[0]
+        if cfg.quantization_type == QUANT_NONE:
+            return None, None, None
+        if n < cfg.min_batch_size_for_quantization:
+            return None, None, None
+        t0 = time.monotonic()
+        pq = pq_mod.train_pq(
+            vectors, cfg.similarity, num_subspaces=cfg.num_pq_subspaces
+        )
+        codes = pq_mod.encode(pq, vectors, cfg.similarity)
+        pqv = pq_mod.PQVectors(pq=pq, codes=codes)
+        nvq = None
+        if cfg.quantization_type == QUANT_NVQ:
+            nvq = nvq_mod.train_nvq(vectors, cfg.nvq_num_subvectors)
+        self.stats.increment(
+            Counter.KNN_QUANTIZATION_TRAINING_TIME,
+            int((time.monotonic() - t0) * 1000),
+        )
+        build_pq = {
+            "codes": pqv.codes,
+            "codebooks": pqv.pq.codebooks,
+            "center": pqv.pq.center,
+        }
+        return pqv, nvq, build_pq
+
+    def flush(self, name: str | None = None, sort_map=None) -> Path | None:
+        """Build + persist a segment from the buffered docs; clears buffer.
+
+        `sort_map` (old_doc -> new_doc) applies index sorting to the doc map
+        at flush, as the reference does (JVectorWriter.java:233-236).
+        """
+        if not self._doc_ids:
+            return None
+        name = name or f"seg_{self._flush_counter:06d}_{len(self._doc_ids)}"
+        self._flush_counter += 1
+
+        vectors = jnp.asarray(np.stack(self._vectors))
+        doc_ids = np.asarray(self._doc_ids, np.int64)
+
+        cfg = self.config
+        pqv, nvq, build_pq = self._quantize_for_flush(vectors)
+
+        t0 = time.monotonic()
+        builder = GraphIndexBuilder(
+            dim=cfg.dim,
+            max_degree=cfg.m,
+            beam_width=cfg.ef_construction,
+            alpha=cfg.alpha,
+            neighbor_overflow=cfg.neighbor_overflow,
+            hierarchy_enabled=cfg.hierarchy_enabled,
+            batch_size=self.build_batch_size,
+        )
+        graph = builder.build(vectors, cfg.similarity, pq=build_pq)
+        self.stats.increment(
+            Counter.KNN_GRAPH_BUILD_TIME, int((time.monotonic() - t0) * 1000)
+        )
+
+        docmap = DocMap(doc_ids)
+        if sort_map is not None:
+            docmap = docmap.apply_sort(np.asarray(sort_map))
+
+        seg = Segment(
+            name=name,
+            config=cfg,
+            graph=graph,
+            docmap=docmap,
+            # NVQ replaces inline fp32 storage (the reference's NVQ feature
+            # replaces InlineVectors); PQ keeps fp32 inline for rerank.
+            vectors=None if nvq is not None else vectors,
+            nvq=nvq,
+            pqv=pqv,
+        )
+        path = write_segment(self.root, seg)
+        self.stats.increment(Counter.KNN_FLUSH_COUNT)
+        self._doc_ids.clear()
+        self._vectors.clear()
+        return path

@@ -132,6 +132,7 @@ class GraphIndexBuilder:
         hierarchy_enabled: bool = False,
         batch_size: int = 1024,
         seed: int = 42,
+        refine_passes: int = 0,
     ):
         if hierarchy_enabled:
             # Reference default is off (KNNConstants.java:112); single-layer
@@ -147,6 +148,7 @@ class GraphIndexBuilder:
         )
         self.batch_size = int(batch_size)
         self.seed = seed
+        self.refine_passes = int(refine_passes)
         self.counters = BuildCounters()
 
     # -- scoring helpers ---------------------------------------------------
@@ -258,19 +260,24 @@ class GraphIndexBuilder:
                 blk = extras[s : s + chunk]
                 ex[: blk.shape[0], : blk.shape[1]] = blk[:, :e_width]
             cand = np.concatenate([cand, ex], axis=1)
-            pvecs = vectors[ids_p]
-            cvecs = np.asarray(vectors)[np.clip(cand, 0, None)]
-            scores = _candidate_scores_host(pvecs, cvecs, cand, simf)
+            # upload only the int32 index blocks; gather vectors ON DEVICE
+            # (uploading gathered [B, C, d] float blocks over the host link
+            # dominated build time)
+            ids_dev = jnp.asarray(ids_p, jnp.int32)
+            cand_dev = jnp.asarray(cand, jnp.int32)
+            pvecs = vectors[ids_dev]
+            cvecs = vectors[jnp.clip(cand_dev, 0)]
+            scores = _candidate_scores(pvecs, cvecs, cand_dev, simf)
             sel = np.asarray(
                 robust_prune_batch(
-                    jnp.asarray(pvecs),
-                    jnp.asarray(cand),
-                    jnp.asarray(cvecs),
+                    pvecs,
+                    cand_dev,
+                    cvecs,
                     scores,
                     self.alpha,
                     self.max_degree,
                     simf.value,
-                    point_ids=jnp.asarray(ids_p, jnp.int32),
+                    point_ids=ids_dev,
                 )
             )
             if pad:
@@ -318,9 +325,13 @@ class GraphIndexBuilder:
         self._bootstrap(adj, deg, boot, vectors, simf)
         live[boot] = True
 
+        # Ramp the round size with graph size: inserting a huge batch into a
+        # tiny graph yields poor search candidates (the batch outnumbers the
+        # graph), so cap each round at the current graph size (doubling).
         pos = b0
         while pos < n:
-            batch = order[pos : pos + self.batch_size]
+            cur = min(self.batch_size, max(pos, 64))
+            batch = order[pos : pos + cur]
             self._insert_round(
                 adj, deg, live, entry, batch, vectors, simf, pq
             )
@@ -335,7 +346,79 @@ class GraphIndexBuilder:
             live=jnp.asarray(live),
             entry=jnp.int32(entry),
         )
+        if self.refine_passes > 0:
+            graph = self.refine_graph(
+                graph, vectors, simf, pq, passes=self.refine_passes
+            )
         return self.cleanup(graph, vectors, simf)
+
+    def refine_graph(
+        self,
+        graph: VamanaGraph,
+        vectors: jax.Array,
+        simf: SimilarityFunction,
+        pq: dict | None = None,
+        passes: int = 1,
+    ) -> VamanaGraph:
+        """Second-pass refinement (DiskANN's standard two-pass build):
+        re-search every node over the finished graph and re-prune its list
+        from (current neighbors ∪ fresh beam candidates), then re-apply
+        back edges. Substantially improves navigability of the one-pass
+        batched graph.
+        """
+        adj = np.asarray(graph.adjacency).copy()
+        deg = np.asarray(graph.degrees).copy()
+        live = np.asarray(graph.live).copy()
+        entry = int(graph.entry)
+        vectors = jnp.asarray(vectors, jnp.float32)
+        ids_all = np.nonzero(live)[0]
+        rng = np.random.default_rng(self.seed + 1)
+        for _ in range(passes):
+            order = rng.permutation(ids_all)
+            for s in range(0, order.size, self.batch_size):
+                batch = order[s : s + self.batch_size]
+                real_b = batch.size
+                if real_b < self.batch_size:
+                    batch = np.concatenate(
+                        [batch,
+                         np.full(self.batch_size - real_b, batch[0], batch.dtype)]
+                    )
+                queries = vectors[batch]
+                graph_dev = {
+                    "adjacency": jnp.asarray(adj),
+                    "live": jnp.asarray(live),
+                    "entry": jnp.int32(entry),
+                }
+                cand_ids, cand_scores = self._search_candidates(
+                    graph_dev, vectors, queries, simf, pq
+                )
+                own = jnp.asarray(adj[batch], jnp.int32)
+                own_vecs = vectors[jnp.clip(own, 0)]
+                own_scores = _candidate_scores(queries, own_vecs, own, simf)
+                cand_ids = jnp.concatenate([cand_ids, own], axis=1)
+                cand_scores = jnp.concatenate([cand_scores, own_scores], axis=1)
+                cand_vecs = vectors[jnp.clip(cand_ids, 0)]
+                sel = np.asarray(
+                    robust_prune_batch(
+                        queries, cand_ids, cand_vecs, cand_scores,
+                        self.alpha, self.max_degree, simf.value,
+                        point_ids=jnp.asarray(batch, jnp.int32),
+                    )
+                )[:real_b]
+                new_ids = batch[:real_b]
+                adj[new_ids] = -1
+                self._apply_forward_edges(adj, deg, new_ids, sel)
+                overflowed, extras = self._apply_back_edges(
+                    adj, deg, new_ids, sel, self.overflow_degree
+                )
+                self._prune_nodes(adj, deg, overflowed, vectors, simf,
+                                  extras=extras)
+        return VamanaGraph(
+            adjacency=jnp.asarray(adj),
+            degrees=jnp.asarray(deg),
+            live=jnp.asarray(live),
+            entry=jnp.int32(entry),
+        )
 
     def _bootstrap(self, adj, deg, ids, vectors, simf):
         if len(ids) < 2:  # a single node has no candidates to prune
@@ -396,8 +479,7 @@ class GraphIndexBuilder:
         overflowed, extras = self._apply_back_edges(
             adj, deg, new_ids, sel, self.overflow_degree
         )
-        vec_np = np.asarray(vectors)
-        self._prune_nodes(adj, deg, overflowed, vec_np, simf, extras=extras)
+        self._prune_nodes(adj, deg, overflowed, vectors, simf, extras=extras)
 
     def add_nodes(
         self,
@@ -451,7 +533,7 @@ class GraphIndexBuilder:
         adj = np.asarray(graph.adjacency).copy()
         deg = np.asarray(graph.degrees).copy()
         live = np.asarray(graph.live)
-        vec_np = np.asarray(vectors)
+        vectors = jnp.asarray(vectors, jnp.float32)
 
         valid = adj >= 0
         dead_nb = valid & ~live[np.clip(adj, 0, None)]
@@ -479,18 +561,21 @@ class GraphIndexBuilder:
                 )
                 # drop self references
                 cand = np.where(cand == ids[:, None], -1, cand)
-                pvecs = vec_np[ids]
-                cvecs = vec_np[np.clip(cand, 0, None)]
-                scores = _candidate_scores_host(pvecs, cvecs, cand, simf)
+                ids_dev = jnp.asarray(ids, jnp.int32)
+                cand_dev = jnp.asarray(cand, jnp.int32)
+                pvecs = vectors[ids_dev]
+                cvecs = vectors[jnp.clip(cand_dev, 0)]
+                scores = _candidate_scores(pvecs, cvecs, cand_dev, simf)
                 sel = np.asarray(
                     robust_prune_batch(
-                        jnp.asarray(pvecs),
-                        jnp.asarray(cand),
-                        jnp.asarray(cvecs),
+                        pvecs,
+                        cand_dev,
+                        cvecs,
                         scores,
                         self.alpha,
                         self.max_degree,
                         simf.value,
+                        point_ids=ids_dev,
                     )
                 )
                 adj[ids] = -1
@@ -498,14 +583,15 @@ class GraphIndexBuilder:
                 deg[ids] = (sel >= 0).sum(axis=1)
 
         over = np.nonzero(deg > self.max_degree)[0]
-        self._prune_nodes(adj, deg, over, vec_np, simf)
+        self._prune_nodes(adj, deg, over, vectors, simf)
 
         # entry repair: if the entry died, pick the live node closest to mean
         entry = int(graph.entry)
         if not live[entry] and live.any():
-            live_ids = np.nonzero(live)[0]
-            mean = jnp.mean(jnp.asarray(vec_np[live_ids]), axis=0, keepdims=True)
-            s = pairwise_scores(mean, jnp.asarray(vec_np[live_ids]), simf)[0]
+            live_ids = jnp.asarray(np.nonzero(live)[0])
+            lv = vectors[live_ids]
+            mean = jnp.mean(lv, axis=0, keepdims=True)
+            s = pairwise_scores(mean, lv, simf)[0]
             entry = int(live_ids[int(jnp.argmax(s))])
 
         return VamanaGraph(
@@ -516,8 +602,12 @@ class GraphIndexBuilder:
         )
 
 
-def _candidate_scores_host(pvecs, cvecs, cand_ids, simf):
-    """Scores of candidate vecs vs their points, -inf at -1 pads. [B, C]."""
+def _candidate_scores(pvecs, cvecs, cand_ids, simf):
+    """Scores of candidate vecs vs their points, -inf at -1 pads. [B, C].
+
+    All arguments are device arrays; only index blocks ever cross the host
+    link (gathered float blocks stay on device).
+    """
     from opensearch_jvector_tpu.ops.distances import batched_candidate_scores
 
     s = batched_candidate_scores(

@@ -172,10 +172,11 @@ def beam_search(
         pick_scores = jnp.where(pickable, cand_scores, NEG_INF)
         top_s, slots = jax.lax.top_k(pick_scores, E)  # [Q, E]
         picked_ids = jnp.take_along_axis(cand_ids, slots, axis=1)
-        # jVector termination: best unexpanded <= worst result (full pool).
-        worst_res = jnp.min(res_scores, axis=1)
-        q_active = active & (top_s[:, 0] > jnp.maximum(worst_res, NEG_INF))
-        q_active = q_active & (top_s[:, 0] > NEG_INF)
+        # Classic beam termination: run until the ef-sized candidate pool has
+        # no unexpanded entries (or the iteration budget is hit). The
+        # stop-at-worst-result rule fires far too early on high-dim data —
+        # the frontier must cross score "valleys" below the k-th best seen.
+        q_active = active & (top_s[:, 0] > NEG_INF)
         picked_valid = (top_s > NEG_INF) & q_active[:, None]
 
         # mark expanded
@@ -265,6 +266,7 @@ def search(
     pq_center: jax.Array | None = None,  # [d] global mean (EUCLIDEAN centering)
     accept: jax.Array | None = None,  # [N] bool result filter
     rerank_vectors: jax.Array | None = None,  # override rerank source
+    rerank_fn=None,  # ids [Q, R] -> [Q, R, d]; e.g. NVQ lazy row decode
 ) -> SearchResult:
     """Two-phase search over one graph segment.
 
@@ -306,12 +308,15 @@ def search(
 
     # ---- rerank phase ----------------------------------------------------
     if use_pq:
-        src = rerank_vectors if rerank_vectors is not None else vectors
-        assert src is not None, "rerank requires an exact vector source"
         qualify = res_ids >= 0
         if params.rerank_floor > 0.0:  # 0.0 == disabled (reference default)
             qualify &= res_scores >= params.rerank_floor
-        cand = src[jnp.clip(res_ids, 0)]  # [Q, R, d]
+        if rerank_fn is not None:
+            cand = rerank_fn(jnp.clip(res_ids, 0))  # [Q, R, d]
+        else:
+            src = rerank_vectors if rerank_vectors is not None else vectors
+            assert src is not None, "rerank requires an exact vector source"
+            cand = src[jnp.clip(res_ids, 0)]  # [Q, R, d]
         exact = batched_candidate_scores(queries, cand, simf)
         exact = jnp.where(qualify, exact, NEG_INF)
         reranked = jnp.sum(qualify, axis=1).astype(jnp.int32)

@@ -1,0 +1,253 @@
+"""Index layer tests: store/docmap/writer/reader/merge/VectorIndex.
+
+Models the reference's codec-level tests (KNNJVectorTests: drive a real
+writer against a temp directory, assert search + file invariants;
+JVectorMergeWithDeletedDocsTests: merge x deletes)."""
+
+import dataclasses
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from opensearch_jvector_tpu.api.config import (
+    QUANT_NONE,
+    QUANT_NVQ,
+    QUANT_PQ,
+    DiskAnnConfig,
+    SearchConfig,
+    ValidationError,
+)
+from opensearch_jvector_tpu.index import store
+from opensearch_jvector_tpu.index.docmap import DocMap
+from opensearch_jvector_tpu.index.index import VectorIndex
+from opensearch_jvector_tpu.index.segment import read_segment, check_integrity
+from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+from opensearch_jvector_tpu.utils.ground_truth import ground_truth_topk, recall_at_k
+
+DIM = 16
+
+
+def _cfg(**kw):
+    base = dict(
+        dim=DIM,
+        similarity=SimilarityFunction.EUCLIDEAN,
+        m=8,
+        ef_construction=32,
+        quantization_type=QUANT_NONE,
+    )
+    base.update(kw)
+    return DiskAnnConfig(**base)
+
+
+def _vectors(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, DIM)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# store / docmap
+# ---------------------------------------------------------------------------
+
+
+def test_store_roundtrip_and_corruption(tmp_path):
+    p = tmp_path / "x.jvtpu"
+    arrays = {"a": np.arange(12, dtype=np.int32).reshape(3, 4),
+              "b": np.ones((5,), np.float32)}
+    store.write_container(p, {"hello": 1}, arrays)
+    meta, arrs = store.read_container(p)
+    assert meta["hello"] == 1
+    np.testing.assert_array_equal(arrs["a"], arrays["a"])
+    # flip a byte in the blob region -> checksum must catch it
+    raw = bytearray(p.read_bytes())
+    raw[len(raw) // 2] ^= 0xFF
+    p.write_bytes(bytes(raw))
+    with pytest.raises(store.CorruptSegmentError):
+        store.read_container(p)
+
+
+def test_store_rejects_bad_magic(tmp_path):
+    p = tmp_path / "bad.jvtpu"
+    p.write_bytes(b"NOTMAGIC" + b"\x00" * 64)
+    with pytest.raises(store.CorruptSegmentError):
+        store.read_container(p)
+
+
+def test_docmap_sort_and_merge():
+    dm = DocMap(np.asarray([5, -1, 2, 0]))
+    inv = dm.doc_to_ord()
+    assert inv[5] == 0 and inv[2] == 2 and inv[0] == 3 and inv[1] == -1
+    # index sort: docs renumbered
+    sort = np.asarray([3, 4, 1, 5, 0, 2])  # old->new
+    dm2 = dm.apply_sort(sort)
+    np.testing.assert_array_equal(dm2.ord_to_doc, [2, -1, 1, 3])
+    # merge concat with doc rebasing
+    m = DocMap.concat([dm, DocMap(np.asarray([1, 0]))], [0, 10])
+    np.testing.assert_array_equal(m.ord_to_doc, [5, -1, 2, 0, 11, 10])
+    # deleted docs -> ordinals
+    np.testing.assert_array_equal(dm.mark_deleted_docs(np.asarray([2])), [2])
+
+
+def test_config_validation():
+    with pytest.raises(ValidationError):
+        _cfg(m=0)
+    with pytest.raises(ValidationError):
+        _cfg(alpha=0.5)
+    with pytest.raises(ValidationError):
+        _cfg(quantization_type="bogus")
+    with pytest.raises(ValidationError):
+        SearchConfig(k=0)
+    with pytest.raises(ValidationError):
+        SearchConfig(k=20000)
+
+
+# ---------------------------------------------------------------------------
+# writer -> reader end to end
+# ---------------------------------------------------------------------------
+
+
+def test_flush_and_search_fp32(tmp_path):
+    idx = VectorIndex(tmp_path, _cfg())
+    v = _vectors(600)
+    for i in range(600):
+        idx.add(doc_id=1000 + i, vector=v[i])
+    name = idx.flush()
+    assert name is not None
+    assert check_integrity(tmp_path / name)
+
+    q = _vectors(8, seed=9)
+    res = idx.search(q, SearchConfig(k=5, ef_search=48))
+    assert res.doc_ids.shape == (8, 5)
+    assert (res.doc_ids >= 1000).all()
+    # recall@5 against the exact scan
+    truth = ground_truth_topk(q, v, 5, SimilarityFunction.EUCLIDEAN)
+    rec = recall_at_k(res.doc_ids - 1000, truth, 5)
+    assert rec >= 0.8, rec
+
+
+def test_byte_vectors_rejected(tmp_path):
+    idx = VectorIndex(tmp_path, _cfg())
+    with pytest.raises(TypeError):
+        idx.add(1, np.ones(DIM, np.int8))
+
+
+def test_quantized_flush_pq(tmp_path):
+    cfg = _cfg(quantization_type=QUANT_PQ,
+               min_batch_size_for_quantization=256, num_pq_subspaces=4)
+    idx = VectorIndex(tmp_path, cfg)
+    v = _vectors(600, seed=1)
+    for i in range(600):
+        idx.add(i, v[i])
+    name = idx.flush()
+    seg = read_segment(tmp_path / name)
+    assert seg.pqv is not None  # n >= min batch -> quantized
+    assert seg.pqv.codes.shape == (600, 4)
+    assert seg.vectors is not None  # PQ keeps fp32 inline for rerank
+    res = idx.search(_vectors(4, seed=3), SearchConfig(k=5, ef_search=48))
+    assert res.reranked > 0  # two-phase search actually reranked
+    assert (res.doc_ids >= 0).all()
+
+
+def test_quantized_flush_below_min_batch_stays_fp32(tmp_path):
+    cfg = _cfg(quantization_type=QUANT_PQ,
+               min_batch_size_for_quantization=10_000)
+    idx = VectorIndex(tmp_path, cfg)
+    v = _vectors(300, seed=2)
+    for i in range(300):
+        idx.add(i, v[i])
+    seg = read_segment(tmp_path / idx.flush())
+    assert seg.pqv is None  # below min batch -> fp32 build (reference policy)
+
+
+def test_nvq_flush(tmp_path):
+    cfg = _cfg(quantization_type=QUANT_NVQ,
+               min_batch_size_for_quantization=256, num_pq_subspaces=4,
+               nvq_num_subvectors=2)
+    idx = VectorIndex(tmp_path, cfg)
+    v = _vectors(600, seed=4)
+    for i in range(600):
+        idx.add(i, v[i])
+    seg = read_segment(tmp_path / idx.flush())
+    assert seg.nvq is not None
+    assert seg.pqv is not None  # nvq+pq: aux PQ always present
+    assert seg.vectors is None  # NVQ replaces inline fp32
+    res = idx.search(_vectors(4, seed=5), SearchConfig(k=5, ef_search=48))
+    assert (res.doc_ids >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# multi-segment + deletes + merge
+# ---------------------------------------------------------------------------
+
+
+def test_multi_segment_search_and_merge(tmp_path):
+    idx = VectorIndex(tmp_path, _cfg())
+    v = _vectors(900, seed=6)
+    for i in range(450):
+        idx.add(i, v[i])
+    idx.flush()
+    for i in range(450, 900):
+        idx.add(i, v[i])
+    idx.flush()
+    assert len(idx.segment_names) == 2
+
+    q = _vectors(8, seed=7)
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+    res = idx.search(q, SearchConfig(k=10, ef_search=64))
+    rec = recall_at_k(res.doc_ids, truth, 10)
+    assert rec >= 0.85, rec
+
+    # merge all -> one segment, same recall
+    idx.force_merge()
+    assert len(idx.segment_names) == 1
+    res2 = idx.search(q, SearchConfig(k=10, ef_search=64))
+    rec2 = recall_at_k(res2.doc_ids, truth, 10)
+    assert rec2 >= 0.85, rec2
+
+
+def test_deletes_tombstone_then_merge(tmp_path):
+    idx = VectorIndex(tmp_path, _cfg())
+    v = _vectors(500, seed=8)
+    for i in range(500):
+        idx.add(i, v[i])
+    idx.flush()
+    deleted = list(range(0, 500, 5))
+    idx.delete(deleted)
+    res = idx.search(_vectors(6, seed=9), SearchConfig(k=10, ef_search=64))
+    assert not np.isin(res.doc_ids, deleted).any()
+    idx.force_merge()
+    res2 = idx.search(_vectors(6, seed=9), SearchConfig(k=10, ef_search=64))
+    assert not np.isin(res2.doc_ids, deleted).any()
+    seg = read_segment(tmp_path / idx.segment_names[0])
+    assert not np.isin(seg.docmap.ord_to_doc, deleted).any()
+
+
+def test_reopen_from_commit(tmp_path):
+    idx = VectorIndex(tmp_path, _cfg())
+    v = _vectors(300, seed=10)
+    for i in range(300):
+        idx.add(i, v[i])
+    idx.flush()
+    # reopen without config: state restored from commits.json
+    idx2 = VectorIndex(tmp_path)
+    assert idx2.segment_names == idx.segment_names
+    assert idx2.config.m == idx.config.m
+    res = idx2.search(_vectors(2, seed=11), SearchConfig(k=3, ef_search=32))
+    assert (res.doc_ids >= 0).all()
+
+
+def test_filtered_search_accept_docs(tmp_path):
+    idx = VectorIndex(tmp_path, _cfg())
+    v = _vectors(500, seed=12)
+    for i in range(500):
+        idx.add(i, v[i])
+    idx.flush()
+    accept = np.zeros(500, bool)
+    accept[:100] = True
+    res = idx.search(
+        _vectors(4, seed=13), SearchConfig(k=5, ef_search=64),
+        accept_docs=accept,
+    )
+    ids = res.doc_ids[res.doc_ids >= 0]
+    assert ids.size > 0
+    assert (ids < 100).all()
