@@ -1,0 +1,185 @@
+"""KNN query execution: ANN / exact-fallback / radial / rescore dispatch.
+
+Mirrors `KNNQueryBuilder.doToQuery` + Lucene's filtered-search policy
+(KNNQueryBuilder.java:376-611; exact fallback when the filter is more
+selective than the ANN budget — the reference inherits Lucene's
+AbstractKnnVectorQuery fallback and adds the
+`index.knn.advanced.filtered_exact_search_threshold` setting).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from opensearch_jvector_tpu.api.config import SearchConfig
+from opensearch_jvector_tpu.api.settings import GLOBAL_SETTINGS, SettingsRegistry
+from opensearch_jvector_tpu.api.stats import STATS, Counter, StatsRegistry
+from opensearch_jvector_tpu.index.index import VectorIndex
+from opensearch_jvector_tpu.index.reader import QueryResult
+from opensearch_jvector_tpu.index.segment import read_segment
+from opensearch_jvector_tpu.ops.distances import pairwise_scores
+from opensearch_jvector_tpu.query import exact as exact_mod
+from opensearch_jvector_tpu.query.builder import KnnQuery
+
+import jax.numpy as jnp
+
+
+def _filter_count(filter_docs) -> int | None:
+    if filter_docs is None:
+        return None
+    f = np.asarray(filter_docs)
+    return int(f.sum()) if f.dtype == bool else int(f.size)
+
+
+def execute_knn_query(
+    index: VectorIndex,
+    query: KnnQuery,
+    settings: SettingsRegistry = GLOBAL_SETTINGS,
+    stats: StatsRegistry = STATS,
+) -> QueryResult:
+    """Run a validated knn query against a VectorIndex."""
+    if query.is_radial:
+        return _radial(index, query)
+
+    k = query.k
+    oq = query.overquery_factor
+    fcount = _filter_count(query.filter_docs)
+
+    # exact fallback: filter more selective than the ANN budget
+    threshold = settings.get("index.knn.advanced.filtered_exact_search_threshold")
+    if threshold == -1:
+        threshold = k * oq
+    if fcount is not None and fcount <= threshold:
+        return _exact_over_segments(index, query, k)
+
+    fetch_k = k
+    if query.rescore is not None:
+        fetch_k = min(int(np.ceil(k * query.rescore.oversample_factor)),
+                      10_000)
+    sc = SearchConfig(
+        k=fetch_k,
+        ef_search=query.ef_search,
+        overquery_factor=oq,
+        threshold=query.threshold,
+        rerank_floor=query.rerank_floor,
+        use_pruning=query.use_pruning,
+    )
+    res = index.search(query.vector, sc, accept_docs=query.filter_docs)
+
+    if query.rescore is not None:
+        res = _rescore(index, query, res, k)
+    return res
+
+
+def _exact_over_segments(index: VectorIndex, query: KnnQuery,
+                         k: int) -> QueryResult:
+    """Brute-force scan of every segment (restrictive-filter path)."""
+    q = np.atleast_2d(query.vector)
+    all_ids = np.full((1, 0), -1, np.int64)
+    all_scores = np.zeros((1, 0), np.float32)
+    for name in index.segment_names:
+        seg = index._reader(name).seg
+        accept = None
+        if query.filter_docs is not None:
+            accept = _accept_ords(seg, query.filter_docs)
+        ids, scores = exact_mod.exact_search_segment(
+            seg, q, k, accept_ords=accept
+        )
+        all_ids = np.concatenate([all_ids, ids], axis=1)
+        all_scores = np.concatenate([all_scores, scores], axis=1)
+    if index._deleted_docs and all_ids.size:
+        dead = np.isin(all_ids, np.fromiter(index._deleted_docs, np.int64))
+        all_scores = np.where(dead, -np.inf, all_scores)
+        all_ids = np.where(dead, -1, all_ids)
+    order = np.argsort(-all_scores, axis=1, kind="stable")[:, :k]
+    ids = np.take_along_axis(all_ids, order, axis=1)
+    scores = np.take_along_axis(all_scores, order, axis=1)
+    if ids.shape[1] < k:
+        pad = k - ids.shape[1]
+        ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)
+    return QueryResult(doc_ids=ids, scores=scores,
+                       visited=0, expanded=0, reranked=0)
+
+
+def _accept_ords(seg, filter_docs) -> np.ndarray:
+    f = np.asarray(filter_docs)
+    o2d = seg.docmap.ord_to_doc
+    if f.dtype == bool:
+        ok = (o2d >= 0) & (o2d < f.shape[0])
+        mask = np.zeros(o2d.shape[0], bool)
+        mask[ok] = f[o2d[ok]]
+        return mask
+    return np.isin(o2d, f) & (o2d >= 0)
+
+
+def _rescore(index: VectorIndex, query: KnnQuery, res: QueryResult,
+             k: int) -> QueryResult:
+    """Exact re-scoring of the oversampled candidates (RescoreContext)."""
+    q = jnp.asarray(np.atleast_2d(query.vector), jnp.float32)
+    cand_ids = res.doc_ids  # [1, fetch_k]
+    # gather candidate vectors by doc id across segments
+    vecs = np.zeros((cand_ids.shape[1], query.vector.shape[0]), np.float32)
+    found = np.zeros((cand_ids.shape[1],), bool)
+    for name in index.segment_names:
+        seg = index._reader(name).seg
+        inv = {int(d): o for o, d in enumerate(seg.docmap.ord_to_doc) if d >= 0}
+        v = None
+        for j, d in enumerate(cand_ids[0]):
+            if d >= 0 and int(d) in inv and not found[j]:
+                if v is None:
+                    v = np.asarray(exact_mod._segment_fp32(seg))
+                vecs[j] = v[inv[int(d)]]
+                found[j] = True
+    simf = index.config.similarity
+    s = np.asarray(pairwise_scores(q, jnp.asarray(vecs), simf))[0]
+    s = np.where(found & (cand_ids[0] >= 0), s, -np.inf)
+    order = np.argsort(-s, kind="stable")[:k]
+    ids = cand_ids[0][order][None, :]
+    scores = s[order][None, :]
+    ids = np.where(scores > -np.inf, ids, -1)
+    return dataclasses.replace(res, doc_ids=ids, scores=scores)
+
+
+def _radial(index: VectorIndex, query: KnnQuery) -> QueryResult:
+    """Radial search: all docs within a distance / above a score."""
+    simf = index.config.similarity
+    if query.min_score is not None:
+        floor = float(query.min_score)
+    else:
+        # translate max_distance -> engine score floor per space
+        d = float(query.max_distance)
+        from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
+        if simf is SimilarityFunction.EUCLIDEAN:
+            floor = 1.0 / (1.0 + d)
+        else:
+            floor = (2.0 - d) / 2.0  # cosine-family distance translation
+    q = np.atleast_2d(query.vector)
+    all_ids = np.full((1, 0), -1, np.int64)
+    all_scores = np.zeros((1, 0), np.float32)
+    for name in index.segment_names:
+        seg = index._reader(name).seg
+        accept = None
+        if query.filter_docs is not None:
+            accept = _accept_ords(seg, query.filter_docs)
+        ids, scores = exact_mod.radial_search_segment(
+            seg, q, floor, accept_ords=accept
+        )
+        all_ids = np.concatenate([all_ids, ids], axis=1)
+        all_scores = np.concatenate([all_scores, scores], axis=1)
+    if index._deleted_docs and all_ids.size:
+        dead = np.isin(all_ids, np.fromiter(index._deleted_docs, np.int64))
+        all_scores = np.where(dead, -np.inf, all_scores)
+        all_ids = np.where(dead, -1, all_ids)
+    order = np.argsort(-all_scores, axis=1, kind="stable")
+    ids = np.take_along_axis(all_ids, order, axis=1)
+    scores = np.take_along_axis(all_scores, order, axis=1)
+    keep = scores > -np.inf
+    width = int(keep.sum(axis=1).max(initial=0))
+    return QueryResult(
+        doc_ids=ids[:, :width], scores=scores[:, :width],
+        visited=0, expanded=0, reranked=0,
+    )

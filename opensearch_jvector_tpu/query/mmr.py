@@ -1,0 +1,124 @@
+"""MMR (maximal marginal relevance) reranking.
+
+Mirrors the reference's MMR search-pipeline pair
+(search/processor/mmr/): `MMROverSampleProcessor` bumps the fetch size to
+`candidates` (default 3x size, MMRSearchExtBuilder.java:127-143), then
+`MMRRerankProcessor` greedily selects
+    argmax (1 - diversity) * relevance - diversity * maxSimToSelected
+(MMRRerankProcessor.java:201-237). The vector similarity used for the
+diversity term is the index's similarity function over the hit vectors.
+
+Here both halves are one call: `mmr_search` oversamples, then a vectorized
+greedy loop reranks on device-gathered vectors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from opensearch_jvector_tpu.api.config import SearchConfig, ValidationError
+from opensearch_jvector_tpu.index.index import VectorIndex
+from opensearch_jvector_tpu.index.reader import QueryResult
+from opensearch_jvector_tpu.ops.distances import pairwise_scores
+
+DEFAULT_DIVERSITY = 0.5  # MMRSearchExtBuilder default
+DEFAULT_CANDIDATE_MULTIPLIER = 3  # candidates default 3x size
+
+
+@dataclasses.dataclass
+class MMRParams:
+    diversity: float = DEFAULT_DIVERSITY
+    candidates: int | None = None  # None -> 3 * size
+
+    def __post_init__(self):
+        if not 0.0 <= self.diversity <= 1.0:
+            raise ValidationError(
+                f"mmr.diversity must be in [0, 1]: {self.diversity}"
+            )
+
+
+def mmr_rerank(
+    candidate_vectors: np.ndarray,  # [C, d] vectors of the hits
+    relevance: np.ndarray,  # [C] relevance scores (higher better)
+    size: int,
+    diversity: float,
+    simf,
+) -> np.ndarray:
+    """Greedy MMR selection -> indices into the candidate list, [size]."""
+    c = relevance.shape[0]
+    size = min(size, c)
+    sims = np.asarray(
+        pairwise_scores(
+            jnp.asarray(candidate_vectors, jnp.float32),
+            jnp.asarray(candidate_vectors, jnp.float32),
+            simf,
+        )
+    )
+    lam = diversity
+    selected: list[int] = []
+    max_sim = np.full((c,), -np.inf)
+    avail = relevance > -np.inf
+    for _ in range(size):
+        penal = np.where(np.isfinite(max_sim), max_sim, 0.0)
+        mmr = (1.0 - lam) * relevance - lam * penal
+        mmr = np.where(avail, mmr, -np.inf)
+        i = int(np.argmax(mmr))
+        if not avail[i] or mmr[i] == -np.inf:
+            break
+        selected.append(i)
+        avail[i] = False
+        max_sim = np.maximum(max_sim, sims[i])
+    return np.asarray(selected, np.int64)
+
+
+def mmr_search(
+    index: VectorIndex,
+    query_vector: np.ndarray,
+    size: int,
+    params: MMRParams | None = None,
+    sc: SearchConfig | None = None,
+) -> QueryResult:
+    """Oversampled search + MMR rerank (the full pipeline in one call)."""
+    params = params or MMRParams()
+    candidates = params.candidates or DEFAULT_CANDIDATE_MULTIPLIER * size
+    sc = sc or SearchConfig(k=candidates)
+    if sc.k < candidates:
+        sc = dataclasses.replace(sc, k=candidates)
+    res = index.search(query_vector, sc)
+
+    ids = res.doc_ids[0]
+    valid = ids >= 0
+    if not valid.any():
+        return res
+
+    # pull candidate vectors from the segments (derived-source analog:
+    # vectors are fetched from the index storage, not duplicated in _source)
+    from opensearch_jvector_tpu.query.exact import _segment_fp32
+
+    d = index.config.dim
+    vecs = np.zeros((ids.shape[0], d), np.float32)
+    found = np.zeros(ids.shape[0], bool)
+    for name in index.segment_names:
+        seg = index._reader(name).seg
+        inv = {int(dd): o for o, dd in enumerate(seg.docmap.ord_to_doc)
+               if dd >= 0}
+        v = None
+        for j, doc in enumerate(ids):
+            if valid[j] and not found[j] and int(doc) in inv:
+                if v is None:
+                    v = np.asarray(_segment_fp32(seg))
+                vecs[j] = v[inv[int(doc)]]
+                found[j] = True
+
+    rel = np.where(valid & found, res.scores[0], -np.inf)
+    order = mmr_rerank(vecs, rel, size, params.diversity,
+                       index.config.similarity)
+    out_ids = np.full((1, size), -1, np.int64)
+    out_scores = np.full((1, size), -np.inf, np.float32)
+    out_ids[0, : order.size] = ids[order]
+    out_scores[0, : order.size] = res.scores[0][order]
+    return dataclasses.replace(res, doc_ids=out_ids, scores=out_scores)
