@@ -91,16 +91,15 @@ class SegmentReader:
             kwargs["pq_codes"] = seg.pqv.codes
             kwargs["pq_codebooks"] = seg.pqv.pq.codebooks
             kwargs["pq_center"] = seg.pqv.pq.center
-        vectors, rerank_fn = seg.rerank_source()
+        vectors, nvq = seg.rerank_source()
         if vectors is not None:
             kwargs["vectors"] = vectors
-        if rerank_fn is not None:
-            kwargs["rerank_fn"] = rerank_fn
-            if "vectors" not in kwargs:
-                # approximate phase falls back to PQ; exact phase uses NVQ
-                assert seg.pqv is not None, (
-                    "NVQ segments always carry an aux PQ (nvq+pq)"
-                )
+        if nvq is not None:
+            kwargs["nvq"] = nvq
+            # approximate phase rides the aux PQ; exact phase decodes NVQ
+            assert seg.pqv is not None, (
+                "NVQ segments always carry an aux PQ (nvq+pq)"
+            )
 
         t0 = time.monotonic()
         res = searcher_mod.search(

@@ -76,11 +76,11 @@ class Segment:
         return self.graph.capacity
 
     def rerank_source(self):
-        """(vectors | rerank_fn) pair for the searcher's rerank phase."""
+        """(vectors, nvq) pair for the searcher's rerank phase."""
         if self.vectors is not None:
             return self.vectors, None
         assert self.nvq is not None
-        return None, self.nvq.decode_rows
+        return None, self.nvq
 
 
 def write_segment(root: str | Path, seg: Segment) -> Path:

@@ -33,6 +33,7 @@ from opensearch_jvector_tpu.models import searcher as searcher_mod
 from opensearch_jvector_tpu.models.graph import VamanaGraph
 from opensearch_jvector_tpu.ops.distances import (
     SimilarityFunction,
+    batched_candidate_scores,
     pairwise_scores,
 )
 
@@ -105,6 +106,53 @@ def robust_prune_batch(
     return selected
 
 
+@functools.lru_cache(maxsize=None)
+def _make_list_prune_fn(simf_id: int, m_out: int, alpha: float):
+    """Jitted gather+score+prune of explicit candidate lists (used by the
+    overflow prune and the delete-splice; avoids eager per-op dispatch)."""
+    simf = SimilarityFunction(simf_id)
+
+    @jax.jit
+    def run(ids, cand, vectors):
+        pvecs = vectors[ids]
+        cvecs = vectors[jnp.clip(cand, 0)]
+        scores = batched_candidate_scores(pvecs, cvecs, simf)
+        scores = jnp.where(cand >= 0, scores, NEG_INF)
+        return robust_prune_batch(
+            pvecs, cand, cvecs, scores, alpha, m_out, simf_id, point_ids=ids
+        )
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_round_prune_fn(simf_id: int, m_out: int, top_r: int, alpha: float):
+    """One jitted program for the non-search device work of an insert round:
+    intra-round candidate generation + vector gather + robust prune.
+    (Eager op-by-op dispatch over the host<->TPU tunnel dominated build
+    time before this fusion.)"""
+    simf = SimilarityFunction(simf_id)
+
+    @jax.jit
+    def run(batch_ids, cand_ids, cand_scores, vectors):
+        queries = vectors[batch_ids]
+        b = queries.shape[0]
+        if top_r > 0:
+            rr = pairwise_scores(queries, queries, simf)
+            rr = jnp.where(jnp.eye(b, dtype=bool), NEG_INF, rr)
+            rr_scores, rr_idx = jax.lax.top_k(rr, top_r)
+            rr_ids = batch_ids[rr_idx]
+            cand_ids = jnp.concatenate([cand_ids, rr_ids], axis=1)
+            cand_scores = jnp.concatenate([cand_scores, rr_scores], axis=1)
+        cand_vecs = vectors[jnp.clip(cand_ids, 0)]
+        return robust_prune_batch(
+            queries, cand_ids, cand_vecs, cand_scores,
+            alpha, m_out, simf_id, point_ids=batch_ids,
+        )
+
+    return run
+
+
 @dataclasses.dataclass
 class BuildCounters:
     rounds: int = 0
@@ -154,7 +202,7 @@ class GraphIndexBuilder:
     # -- scoring helpers ---------------------------------------------------
 
     def _search_candidates(
-        self, graph_np, vectors, queries, simf, pq=None
+        self, graph_np, vectors, queries, simf, pq=None, has_tombstones=False
     ):
         """Beam-search candidate pools for a batch of insert points.
 
@@ -181,6 +229,7 @@ class GraphIndexBuilder:
             queries,
             params,
             simf,
+            has_tombstones=has_tombstones,
             **kwargs,
         )
         return res.ids, res.scores
@@ -260,25 +309,13 @@ class GraphIndexBuilder:
                 blk = extras[s : s + chunk]
                 ex[: blk.shape[0], : blk.shape[1]] = blk[:, :e_width]
             cand = np.concatenate([cand, ex], axis=1)
-            # upload only the int32 index blocks; gather vectors ON DEVICE
-            # (uploading gathered [B, C, d] float blocks over the host link
-            # dominated build time)
-            ids_dev = jnp.asarray(ids_p, jnp.int32)
-            cand_dev = jnp.asarray(cand, jnp.int32)
-            pvecs = vectors[ids_dev]
-            cvecs = vectors[jnp.clip(cand_dev, 0)]
-            scores = _candidate_scores(pvecs, cvecs, cand_dev, simf)
+            # upload only the int32 index blocks; gather + score + prune run
+            # as one jitted program (uploading gathered float blocks over
+            # the host link dominated build time)
+            fn = _make_list_prune_fn(simf.value, self.max_degree, self.alpha)
             sel = np.asarray(
-                robust_prune_batch(
-                    pvecs,
-                    cand_dev,
-                    cvecs,
-                    scores,
-                    self.alpha,
-                    self.max_degree,
-                    simf.value,
-                    point_ids=ids_dev,
-                )
+                fn(jnp.asarray(ids_p, jnp.int32), jnp.asarray(cand, jnp.int32),
+                   vectors)
             )
             if pad:
                 sel = sel[: ids.size]
@@ -392,18 +429,17 @@ class GraphIndexBuilder:
                 cand_ids, cand_scores = self._search_candidates(
                     graph_dev, vectors, queries, simf, pq
                 )
-                own = jnp.asarray(adj[batch], jnp.int32)
-                own_vecs = vectors[jnp.clip(own, 0)]
-                own_scores = _candidate_scores(queries, own_vecs, own, simf)
-                cand_ids = jnp.concatenate([cand_ids, own], axis=1)
-                cand_scores = jnp.concatenate([cand_scores, own_scores], axis=1)
-                cand_vecs = vectors[jnp.clip(cand_ids, 0)]
+                # candidates = fresh beam results ∪ current neighbor list;
+                # scores are recomputed inside the jitted prune program
+                cand = np.concatenate(
+                    [np.asarray(cand_ids), adj[batch]], axis=1
+                )
+                fn = _make_list_prune_fn(
+                    simf.value, self.max_degree, self.alpha
+                )
                 sel = np.asarray(
-                    robust_prune_batch(
-                        queries, cand_ids, cand_vecs, cand_scores,
-                        self.alpha, self.max_degree, simf.value,
-                        point_ids=jnp.asarray(batch, jnp.int32),
-                    )
+                    fn(jnp.asarray(batch, jnp.int32),
+                       jnp.asarray(cand, jnp.int32), vectors)
                 )[:real_b]
                 new_ids = batch[:real_b]
                 adj[new_ids] = -1
@@ -447,33 +483,24 @@ class GraphIndexBuilder:
                 [batch, np.full(self.batch_size - real_b, batch[0], batch.dtype)]
             )
         b = len(batch)
-        queries = vectors[batch]
+        batch_dev = jnp.asarray(batch, jnp.int32)
+        queries = vectors[batch_dev]
         graph_np = {
             "adjacency": jnp.asarray(adj),
             "live": jnp.asarray(live),
             "entry": jnp.int32(entry),
         }
         cand_ids, cand_scores = self._search_candidates(
-            graph_np, vectors, queries, simf, pq
+            graph_np, vectors, queries, simf, pq,
+            has_tombstones=bool(getattr(self, "_has_tombstones", False)),
         )
-        # intra-round candidates: nearest same-round peers (single matmul)
-        if b > 1:
-            rr = pairwise_scores(queries, queries, simf)
-            rr = jnp.where(jnp.eye(b, dtype=bool), NEG_INF, rr)
-            top_r = min(b - 1, self.max_degree)
-            rr_scores, rr_idx = jax.lax.top_k(rr, top_r)
-            rr_ids = jnp.asarray(batch, jnp.int32)[rr_idx]
-            cand_ids = jnp.concatenate([cand_ids, rr_ids], axis=1)
-            cand_scores = jnp.concatenate([cand_scores, rr_scores], axis=1)
-
-        cand_vecs = vectors[jnp.clip(cand_ids, 0)]
-        sel = np.asarray(
-            robust_prune_batch(
-                queries, cand_ids, cand_vecs, cand_scores,
-                self.alpha, self.max_degree, simf.value,
-                point_ids=jnp.asarray(batch, jnp.int32),
-            )
-        )[:real_b]
+        # intra-round candidates + gather + prune: one jitted program
+        top_r = min(b - 1, self.max_degree) if b > 1 else 0
+        prune_fn = _make_round_prune_fn(
+            simf.value, self.max_degree, top_r, self.alpha
+        )
+        sel = np.asarray(prune_fn(batch_dev, cand_ids, cand_scores,
+                                  vectors))[:real_b]
         new_ids = np.asarray(batch)[:real_b]
         self._apply_forward_edges(adj, deg, new_ids, sel)
         overflowed, extras = self._apply_back_edges(
@@ -499,6 +526,12 @@ class GraphIndexBuilder:
         live = np.asarray(graph.live).copy()
         entry = int(graph.entry)
         vectors = jnp.asarray(vectors, jnp.float32)
+        # deleted nodes referenced by the loaded adjacency must be masked out
+        # of candidate pools during delta inserts
+        referenced = adj[adj >= 0]
+        self._has_tombstones = bool(
+            referenced.size and not live[referenced].all()
+        )
 
         for s in range(0, len(new_ids), self.batch_size):
             batch = new_ids[s : s + self.batch_size]
@@ -561,22 +594,12 @@ class GraphIndexBuilder:
                 )
                 # drop self references
                 cand = np.where(cand == ids[:, None], -1, cand)
-                ids_dev = jnp.asarray(ids, jnp.int32)
-                cand_dev = jnp.asarray(cand, jnp.int32)
-                pvecs = vectors[ids_dev]
-                cvecs = vectors[jnp.clip(cand_dev, 0)]
-                scores = _candidate_scores(pvecs, cvecs, cand_dev, simf)
+                fn = _make_list_prune_fn(
+                    simf.value, self.max_degree, self.alpha
+                )
                 sel = np.asarray(
-                    robust_prune_batch(
-                        pvecs,
-                        cand_dev,
-                        cvecs,
-                        scores,
-                        self.alpha,
-                        self.max_degree,
-                        simf.value,
-                        point_ids=ids_dev,
-                    )
+                    fn(jnp.asarray(ids, jnp.int32),
+                       jnp.asarray(cand, jnp.int32), vectors)
                 )
                 adj[ids] = -1
                 adj[ids, : sel.shape[1]] = sel
@@ -600,17 +623,3 @@ class GraphIndexBuilder:
             live=jnp.asarray(live),
             entry=jnp.int32(entry),
         )
-
-
-def _candidate_scores(pvecs, cvecs, cand_ids, simf):
-    """Scores of candidate vecs vs their points, -inf at -1 pads. [B, C].
-
-    All arguments are device arrays; only index blocks ever cross the host
-    link (gathered float blocks stay on device).
-    """
-    from opensearch_jvector_tpu.ops.distances import batched_candidate_scores
-
-    s = batched_candidate_scores(
-        jnp.asarray(pvecs, jnp.float32), jnp.asarray(cvecs, jnp.float32), simf
-    )
-    return jnp.where(jnp.asarray(cand_ids) >= 0, s, NEG_INF)

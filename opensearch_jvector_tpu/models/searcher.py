@@ -117,7 +117,8 @@ def _first_occurrence(items: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("score_fn", "L", "E", "R", "max_iters", "vma_axis"),
+    static_argnames=("score_fn", "L", "E", "R", "max_iters", "vma_axis",
+                     "masked_results"),
 )
 def beam_search(
     adjacency: jax.Array,  # [N, M] int32
@@ -133,10 +134,24 @@ def beam_search(
     max_iters: int,
     vma_axis: str | None = None,  # set when called inside shard_map: marks
     # constant-initialized loop carries as varying over that mesh axis
+    masked_results: bool = True,  # False -> skip the accept/live result mask
+    # (filter-free search on a clean graph needs no gather at all)
 ):
     """Batched best-first graph search.
 
     Returns (res_ids [Q,R], res_scores [Q,R], visited [Q], expanded [Q]).
+
+    Design notes (all driven by TPU profiles):
+      * The candidate pool is a running top-L of every scored node — scores
+        are static, duplicates are blocked on entry — so the results are
+        just the pool's accepted top-R. No separate result queue, history
+        buffer, or final dedupe sort.
+      * `live` is NOT checked during traversal: adjacency rows only ever
+        reference inserted nodes, and tombstoned (deleted-but-not-cleaned)
+        nodes stay traversable, exactly like the reference
+        (markNodeDeleted -> cleanup). Bool-table gathers per iteration were
+        the single largest cost in the profile; deleted nodes are instead
+        masked out of the RESULTS via `accept & live` on the final pool.
     """
     q = qstate.shape[0]
     m = adjacency.shape[1]
@@ -149,22 +164,13 @@ def beam_search(
     cand_scores = jnp.full((q, L), NEG_INF).at[:, 0].set(entry_scores[:, 0])
     cand_expanded = jnp.zeros((q, L), bool)
 
-    res_ids = jnp.full((q, R), -1, jnp.int32)
-    res_scores = jnp.full((q, R), NEG_INF)
-    # Seed results with the entry point when it is accepted & live.
-    entry_ok = accept[entry] & live[entry]
-    res_ids = res_ids.at[:, 0].set(jnp.where(entry_ok, entry_ids[:, 0], -1))
-    res_scores = res_scores.at[:, 0].set(
-        jnp.where(entry_ok, entry_scores[:, 0], NEG_INF)
-    )
-
     visited_buf = jnp.full((q, v_cap), -1, jnp.int32)
     visited_n = jnp.ones((q,), jnp.int32)  # entry was scored
     expanded_n = jnp.zeros((q,), jnp.int32)
     active = jnp.ones((q,), bool)
 
     def body(state):
-        (it, cand_ids, cand_scores, cand_expanded, res_ids, res_scores,
+        (it, cand_ids, cand_scores, cand_expanded,
          visited_buf, visited_n, expanded_n, active) = state
 
         # ---- pick top-E unexpanded candidates per query -------------------
@@ -180,10 +186,9 @@ def beam_search(
         picked_valid = (top_s > NEG_INF) & q_active[:, None]
 
         # mark expanded
-        mark = jax.vmap(lambda e, s, v: e.at[s].max(v))(
+        cand_expanded = jax.vmap(lambda e, s, v: e.at[s].max(v))(
             cand_expanded, slots, picked_valid
         )
-        cand_expanded = mark
 
         # record visited (expanded) ids
         upd = jnp.where(picked_valid, picked_ids, -1)
@@ -197,7 +202,7 @@ def beam_search(
         nb = jnp.where(picked_valid[:, :, None], nb, -1)
         nb = nb.reshape(q, E * m)
 
-        nb_valid = (nb >= 0) & live[jnp.clip(nb, 0)]
+        nb_valid = nb >= 0
         nb_valid &= ~jax.vmap(_in_list)(nb, cand_ids)
         nb_valid &= ~jax.vmap(_in_list)(nb, visited_buf)
         nb_valid &= jax.vmap(_first_occurrence)(nb)
@@ -218,25 +223,16 @@ def beam_search(
         cand_ids = jnp.take_along_axis(all_ids, idx, axis=1)
         cand_expanded = jnp.take_along_axis(all_exp, idx, axis=1)
 
-        # ---- merge accepted new candidates into result pool --------------
-        nb_accepted = nb_valid & accept[jnp.clip(nb, 0)]
-        nb_accepted &= ~jax.vmap(_in_list)(nb, res_ids)
-        r_scores = jnp.where(nb_accepted, nb_scores, NEG_INF)
-        all_r_ids = jnp.concatenate([res_ids, jnp.where(nb_accepted, nb, -1)], axis=1)
-        all_r_scores = jnp.concatenate([res_scores, r_scores], axis=1)
-        res_scores, ridx = jax.lax.top_k(all_r_scores, R)
-        res_ids = jnp.take_along_axis(all_r_ids, ridx, axis=1)
-
-        return (it + 1, cand_ids, cand_scores, cand_expanded, res_ids,
-                res_scores, visited_buf, visited_n, expanded_n, q_active)
+        return (it + 1, cand_ids, cand_scores, cand_expanded,
+                visited_buf, visited_n, expanded_n, q_active)
 
     def cond(state):
         it = state[0]
         active = state[-1]
         return (it < max_iters) & jnp.any(active)
 
-    state = (jnp.int32(0), cand_ids, cand_scores, cand_expanded, res_ids,
-             res_scores, visited_buf, visited_n, expanded_n, active)
+    state = (jnp.int32(0), cand_ids, cand_scores, cand_expanded,
+             visited_buf, visited_n, expanded_n, active)
     if vma_axis is not None:
         def ensure_varying(x):
             try:
@@ -246,10 +242,100 @@ def beam_search(
 
         it0, *rest = state
         state = (it0, *(ensure_varying(x) for x in rest))
-    (_, _, _, _, res_ids, res_scores, _, visited_n, expanded_n, _) = (
+    (_, cand_ids, cand_scores, _, _, visited_n, expanded_n, _) = (
         jax.lax.while_loop(cond, body, state)
     )
+
+    # ---- results: accepted & live top-R of the pool ------------------------
+    if masked_results:
+        ok = accept[jnp.clip(cand_ids, 0)] & live[jnp.clip(cand_ids, 0)]
+        ok &= cand_ids >= 0
+        pool_scores = jnp.where(ok, cand_scores, NEG_INF)
+    else:
+        pool_scores = cand_scores
+    res_scores, idx = jax.lax.top_k(pool_scores, R)
+    res_ids = jnp.take_along_axis(cand_ids, idx, axis=1)
+    res_ids = jnp.where(res_scores > NEG_INF, res_ids, -1)
     return res_ids, res_scores, visited_n, expanded_n
+
+
+@functools.lru_cache(maxsize=None)
+def _make_search_fn(
+    simf_id: int,
+    use_pq: bool,
+    rerank_src: str,  # "none" | "vectors" | "rerank_vectors" | "nvq"
+    k: int,
+    ef: int,
+    e: int,
+    r: int,
+    iters: int,
+    threshold: float,
+    rerank_floor: float,
+    masked_results: bool,
+):
+    """Build (and cache) ONE jitted program for the whole two-phase search.
+
+    Everything — LUT build, beam loop, rerank, threshold — runs in a single
+    XLA executable: per-query dispatch overhead is one call, which matters
+    enormously when the device sits behind a host tunnel.
+    """
+    simf = SimilarityFunction(simf_id)
+    provider = make_pq_provider(simf_id) if use_pq else make_exact_provider(simf_id)
+
+    @jax.jit
+    def run(adjacency, live, entry, queries, accept,
+            vectors, pq_codes, pq_codebooks, pq_center, rerank_vectors, nvq):
+        qn = queries.shape[0]
+        if use_pq:
+            nsub, _, dsub = pq_codebooks.shape
+            centered = (
+                queries if pq_center is None else queries - pq_center[None, :]
+            )
+            if simf is SimilarityFunction.COSINE:
+                centered = centered * jax.lax.rsqrt(
+                    jnp.sum(centered * centered, -1, keepdims=True) + 1e-30
+                )
+            qsub = centered.reshape(qn, nsub, dsub)
+            luts = adc_ops.build_luts(qsub, pq_codebooks, simf.is_euclidean)
+            qstate, ctx = luts, {"codes": pq_codes}
+        else:
+            qstate, ctx = queries, {"vectors": vectors}
+
+        res_ids, res_scores, visited, expanded = beam_search(
+            adjacency, live, entry, qstate, ctx, accept, provider,
+            L=ef, E=e, R=r, max_iters=iters, masked_results=masked_results,
+        )
+
+        # ---- rerank phase -------------------------------------------------
+        if use_pq and rerank_src != "none":
+            qualify = res_ids >= 0
+            if rerank_floor > 0.0:  # 0.0 == disabled (reference default)
+                qualify &= res_scores >= rerank_floor
+            safe = jnp.clip(res_ids, 0)
+            if rerank_src == "nvq":
+                cand = nvq.decode_rows(safe)  # lazy NVQ row decode
+            elif rerank_src == "rerank_vectors":
+                cand = rerank_vectors[safe]
+            else:
+                cand = vectors[safe]
+            exact = batched_candidate_scores(queries, cand, simf)
+            exact = jnp.where(qualify, exact, NEG_INF)
+            reranked = jnp.sum(qualify, axis=1).astype(jnp.int32)
+            final_scores, idx = jax.lax.top_k(exact, k)
+            final_ids = jnp.take_along_axis(res_ids, idx, axis=1)
+        else:
+            reranked = jnp.zeros((qn,), jnp.int32)
+            final_scores, idx = jax.lax.top_k(res_scores, k)
+            final_ids = jnp.take_along_axis(res_ids, idx, axis=1)
+
+        keep = final_scores > NEG_INF
+        if threshold > 0.0:  # 0.0 == disabled (reference default)
+            keep &= final_scores >= threshold
+        final_ids = jnp.where(keep, final_ids, -1)
+        final_scores = jnp.where(keep, final_scores, NEG_INF)
+        return final_ids, final_scores, visited, expanded, reranked
+
+    return run
 
 
 def search(
@@ -266,73 +352,48 @@ def search(
     pq_center: jax.Array | None = None,  # [d] global mean (EUCLIDEAN centering)
     accept: jax.Array | None = None,  # [N] bool result filter
     rerank_vectors: jax.Array | None = None,  # override rerank source
-    rerank_fn=None,  # ids [Q, R] -> [Q, R, d]; e.g. NVQ lazy row decode
+    nvq=None,  # NVQVectors: lazy-decoded rerank source (nvq+pq segments)
+    has_tombstones: bool = True,  # False -> skip result masking when
+    # unfiltered (clean graph: every pool entry is live)
 ) -> SearchResult:
-    """Two-phase search over one graph segment.
+    """Two-phase search over one graph segment (ONE compiled program).
 
     Approximate phase scores with ADC when PQ codes are provided, else exact.
     Rerank phase rescores the top `k*overquery_factor` survivors with exact
-    fp32 scores (skipped when the approximate phase was already exact),
-    applying `rerank_floor` then `threshold` (JVectorReader.java:166-208).
+    fp32 (or NVQ-decoded) scores, applying `rerank_floor` then `threshold`
+    (JVectorReader.java:166-208).
     """
-    qn = queries.shape[0]
-    n = adjacency.shape[0]
+    masked_results = (accept is not None) or has_tombstones
     if accept is None:
-        accept = jnp.ones((n,), bool)
+        accept = live  # mask reduces to live & live; skipped when unmasked
     r = max(params.k * params.overquery_factor, params.k)
     ef = max(params.ef_search, r)
     iters = params.max_iters or max(8, (ef + params.expansions_per_iter - 1)
                                     // params.expansions_per_iter)
-
     use_pq = pq_codes is not None
     if use_pq:
         assert pq_codebooks is not None
-        nsub = pq_codebooks.shape[0]
-        dsub = pq_codebooks.shape[2]
-        centered = queries if pq_center is None else queries - pq_center[None, :]
-        if simf is SimilarityFunction.COSINE:
-            centered = centered * jax.lax.rsqrt(
-                jnp.sum(centered * centered, -1, keepdims=True) + 1e-30
-            )
-        qsub = centered.reshape(qn, nsub, dsub)
-        luts = adc_ops.build_luts(qsub, pq_codebooks, simf.is_euclidean)
-        qstate, ctx, fn = luts, {"codes": pq_codes}, make_pq_provider(simf.value)
+        if nvq is not None:
+            rerank_src = "nvq"
+        elif rerank_vectors is not None:
+            rerank_src = "rerank_vectors"
+        elif vectors is not None:
+            rerank_src = "vectors"
+        else:
+            rerank_src = "none"
     else:
         assert vectors is not None
-        qstate, ctx, fn = queries, {"vectors": vectors}, make_exact_provider(simf.value)
+        rerank_src = "none"
 
-    res_ids, res_scores, visited, expanded = beam_search(
-        adjacency, live, entry, qstate, ctx, accept, fn,
-        L=ef, E=params.expansions_per_iter, R=r, max_iters=iters,
+    fn = _make_search_fn(
+        simf.value, use_pq, rerank_src, params.k, ef,
+        params.expansions_per_iter, r, iters,
+        float(params.threshold), float(params.rerank_floor), masked_results,
     )
-
-    # ---- rerank phase ----------------------------------------------------
-    if use_pq:
-        qualify = res_ids >= 0
-        if params.rerank_floor > 0.0:  # 0.0 == disabled (reference default)
-            qualify &= res_scores >= params.rerank_floor
-        if rerank_fn is not None:
-            cand = rerank_fn(jnp.clip(res_ids, 0))  # [Q, R, d]
-        else:
-            src = rerank_vectors if rerank_vectors is not None else vectors
-            assert src is not None, "rerank requires an exact vector source"
-            cand = src[jnp.clip(res_ids, 0)]  # [Q, R, d]
-        exact = batched_candidate_scores(queries, cand, simf)
-        exact = jnp.where(qualify, exact, NEG_INF)
-        reranked = jnp.sum(qualify, axis=1).astype(jnp.int32)
-        final_scores, idx = jax.lax.top_k(exact, params.k)
-        final_ids = jnp.take_along_axis(res_ids, idx, axis=1)
-    else:
-        reranked = jnp.zeros((qn,), jnp.int32)
-        final_scores, idx = jax.lax.top_k(res_scores, params.k)
-        final_ids = jnp.take_along_axis(res_ids, idx, axis=1)
-
-    keep = final_scores > NEG_INF
-    if params.threshold > 0.0:  # 0.0 == disabled (reference default)
-        keep &= final_scores >= params.threshold
-    final_ids = jnp.where(keep, final_ids, -1)
-    final_scores = jnp.where(keep, final_scores, NEG_INF)
-
+    final_ids, final_scores, visited, expanded, reranked = fn(
+        adjacency, live, entry, queries, accept,
+        vectors, pq_codes, pq_codebooks, pq_center, rerank_vectors, nvq,
+    )
     return SearchResult(
         ids=final_ids,
         scores=final_scores,
