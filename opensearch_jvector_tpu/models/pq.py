@@ -218,5 +218,12 @@ class PQVectors:
         m, k, dsub = self.pq.codebooks.shape
         qsub = q.reshape(q.shape[0], m, dsub)
         luts = adc_ops.build_luts(qsub, self.pq.codebooks, simf.is_euclidean)
-        vals = adc_ops.lookup_scan(luts, self.codes.astype(jnp.int32))
+        if jax.default_backend() == "tpu":
+            from opensearch_jvector_tpu.ops.pallas.adc_kernel import (
+                fused_adc_scan,
+            )
+
+            vals = fused_adc_scan(luts, self.codes)
+        else:
+            vals = adc_ops.lookup_scan(luts, self.codes.astype(jnp.int32))
         return adc_ops.adc_value_to_score(vals, simf)
