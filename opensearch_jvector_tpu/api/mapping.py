@@ -1,0 +1,107 @@
+"""Field-mapping layer: `knn_vector` mapping -> resolved index config.
+
+Mirrors the reference's mapper stack (index/mapper/KNNVectorFieldMapper:
+type "knn_vector" with dimension / space_type / mode / method tree;
+method resolution fills engine + parameter defaults at mapping-parse time,
+KNNVectorFieldMapper.java:349-357,474). The method parameter names and
+defaults follow JVectorDiskANNMethod.java:37-113 and KNNConstants.java.
+"""
+
+from __future__ import annotations
+
+from opensearch_jvector_tpu.api.config import (
+    DiskAnnConfig,
+    ValidationError,
+)
+from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
+# SpaceType -> engine similarity. L1/LINF exist in the method's declared
+# spaces but the engine rejects them at build time, exactly like the
+# reference (JVectorDiskANNMethod.java:26-33 lists them; the writer's
+# similarity mapping throws, JVectorWriter.java:667-675). They remain
+# available through exact/script scoring.
+SPACE_TO_SIMILARITY = {
+    "l2": SimilarityFunction.EUCLIDEAN,
+    "cosinesimil": SimilarityFunction.COSINE,
+    "innerproduct": SimilarityFunction.DOT_PRODUCT,
+    "undefined": SimilarityFunction.EUCLIDEAN,
+}
+ENGINE_SPACES = set(SPACE_TO_SIMILARITY)
+SCRIPT_ONLY_SPACES = {"l1", "linf", "hamming"}
+DEFAULT_SPACE = "l2"
+
+MODES = ("in_memory", "on_disk")  # Mode.java:22-34
+
+
+def parse_knn_vector_mapping(body: dict) -> tuple[DiskAnnConfig, dict]:
+    """Parse a `knn_vector` field mapping -> (config, extras).
+
+    extras: {"mode": ..., "space_type": ...} for layers above.
+    """
+    if body.get("type") != "knn_vector":
+        raise ValidationError(f"field type must be knn_vector: {body.get('type')}")
+    if "dimension" not in body:
+        raise ValidationError("knn_vector mapping requires dimension")
+    dim = int(body["dimension"])
+
+    space = str(body.get("space_type", DEFAULT_SPACE)).lower()
+    if space in SCRIPT_ONLY_SPACES:
+        raise ValidationError(
+            f"space_type {space} is exact-scoring only; the disk_ann engine "
+            f"supports {sorted(ENGINE_SPACES - {'undefined'})}"
+        )
+    if space not in ENGINE_SPACES:
+        raise ValidationError(f"unknown space_type {space}")
+
+    mode = str(body.get("mode", "in_memory"))
+    if mode not in MODES:
+        raise ValidationError(f"mode must be one of {MODES}: {mode}")
+
+    method = body.get("method") or {}
+    name = method.get("name", "disk_ann")
+    if name not in ("disk_ann", "hnsw"):
+        raise ValidationError(f"unknown method {name}")
+    engine = method.get("engine", "jvector")
+    if engine not in ("jvector", "jvector_tpu"):
+        raise ValidationError(f"unknown engine {engine}")
+    p = dict(method.get("parameters") or {})
+
+    known = {
+        "m", "ef_construction",
+        "advanced.alpha", "advanced.neighbor_overflow",
+        "advanced.hierarchy_enabled",
+        "advanced.min_batch_size_for_quantization",
+        "advanced.num_pq_subspaces", "advanced.quantization_type",
+        "advanced.nvq.num_subvectors",
+        "advanced.leading_segment_merge_disabled",
+    }
+    unknown = set(p) - known
+    if unknown:
+        raise ValidationError(f"unknown method parameters: {sorted(unknown)}")
+
+    kwargs = dict(dim=dim, similarity=SPACE_TO_SIMILARITY[space])
+    if "m" in p:
+        kwargs["m"] = int(p["m"])
+    if "ef_construction" in p:
+        kwargs["ef_construction"] = int(p["ef_construction"])
+    if "advanced.alpha" in p:
+        kwargs["alpha"] = float(p["advanced.alpha"])
+    if "advanced.neighbor_overflow" in p:
+        kwargs["neighbor_overflow"] = float(p["advanced.neighbor_overflow"])
+    if "advanced.hierarchy_enabled" in p:
+        kwargs["hierarchy_enabled"] = bool(p["advanced.hierarchy_enabled"])
+    if "advanced.min_batch_size_for_quantization" in p:
+        kwargs["min_batch_size_for_quantization"] = int(
+            p["advanced.min_batch_size_for_quantization"]
+        )
+    if "advanced.num_pq_subspaces" in p:
+        kwargs["num_pq_subspaces"] = int(p["advanced.num_pq_subspaces"])
+    if "advanced.quantization_type" in p:
+        kwargs["quantization_type"] = str(p["advanced.quantization_type"])
+    if "advanced.nvq.num_subvectors" in p:
+        kwargs["nvq_num_subvectors"] = int(p["advanced.nvq.num_subvectors"])
+    if "advanced.leading_segment_merge_disabled" in p:
+        kwargs["leading_segment_merge_disabled"] = bool(
+            p["advanced.leading_segment_merge_disabled"]
+        )
+    return DiskAnnConfig(**kwargs), {"mode": mode, "space_type": space}

@@ -1,0 +1,116 @@
+"""HTTP service tests: create/ingest/flush/search/stats/merge over REST.
+
+Models the reference's REST integration tests (JVectorEngineIT,
+RecallTestsIT run over REST test clusters)."""
+
+import json
+import http.client
+
+import numpy as np
+import pytest
+
+from opensearch_jvector_tpu.service.http import KnnService
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    svc = KnnService(tmp_path_factory.mktemp("svc"))
+    svc.start()
+    yield svc
+    svc.stop()
+
+
+def _req(svc, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", svc.port, timeout=300)
+    conn.request(method, path, json.dumps(body) if body is not None else None,
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    data = json.loads(r.read())
+    conn.close()
+    return r.status, data
+
+
+def test_full_rest_lifecycle(service):
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((400, DIM)).astype(np.float32)
+
+    status, out = _req(service, "PUT", "/myidx", {
+        "mappings": {"properties": {"vec": {
+            "type": "knn_vector", "dimension": DIM, "space_type": "l2",
+            "method": {"name": "disk_ann", "engine": "jvector",
+                       "parameters": {"m": 8, "ef_construction": 32}},
+        }}},
+    })
+    assert status == 200 and out["acknowledged"]
+
+    # duplicate create rejected
+    status, out = _req(service, "PUT", "/myidx", {
+        "mappings": {"properties": {"vec": {"type": "knn_vector",
+                                            "dimension": DIM}}}})
+    assert status == 400
+
+    # bulk ingest + flush
+    docs = [{"_id": i, "vec": v[i].tolist()} for i in range(400)]
+    status, out = _req(service, "POST", "/myidx/_bulk", {"docs": docs})
+    assert status == 200 and out["indexed"] == 400
+    status, out = _req(service, "POST", "/myidx/_flush")
+    assert status == 200 and out["segment"]
+
+    # search
+    status, out = _req(service, "POST", "/myidx/_search", {
+        "size": 5,
+        "query": {"knn": {"vec": {"vector": v[7].tolist(), "k": 5}}},
+    })
+    assert status == 200
+    hits = out["hits"]["hits"]
+    assert hits[0]["_id"] == 7
+    assert out["profile"]["visited"] > 0
+
+    # delete + search: doc gone
+    status, _ = _req(service, "DELETE", "/myidx/_doc/7")
+    assert status == 200
+    status, out = _req(service, "POST", "/myidx/_search", {
+        "size": 5,
+        "query": {"knn": {"vec": {"vector": v[7].tolist(), "k": 5}}},
+    })
+    assert all(h["_id"] != 7 for h in out["hits"]["hits"])
+
+    # force merge, count
+    status, out = _req(service, "POST", "/myidx/_forcemerge")
+    assert status == 200
+    status, out = _req(service, "GET", "/myidx/_count")
+    assert status == 200 and out["count"] == 399
+
+    # MMR search ext
+    status, out = _req(service, "POST", "/myidx/_search", {
+        "size": 5,
+        "query": {"knn": {"vec": {"vector": v[3].tolist(), "k": 15}}},
+        "ext": {"mmr": {"diversity": 0.6}},
+    })
+    assert status == 200 and len(out["hits"]["hits"]) == 5
+
+    # stats (new + legacy route)
+    for prefix in ("/_plugins", "/_opendistro"):
+        status, out = _req(service, "GET", prefix + "/_knn/stats")
+        assert status == 200
+        assert out["nodes"]["local"]["knn_query_count"] > 0
+    status, out = _req(service, "GET", "/_plugins/_knn/stats/knn_query_count")
+    assert status == 200 and list(out["nodes"]["local"]) == ["knn_query_count"]
+    status, out = _req(service, "GET", "/_plugins/_knn/stats/bogus_stat")
+    assert status == 400
+
+
+def test_rest_error_paths(service):
+    status, _ = _req(service, "POST", "/nope/_search", {
+        "query": {"knn": {"vec": {"vector": [0.0] * DIM, "k": 3}}}})
+    assert status == 404
+    status, _ = _req(service, "PUT", "/badidx", {
+        "mappings": {"properties": {"vec": {"type": "knn_vector"}}}})
+    assert status == 400  # missing dimension
+    status, _ = _req(service, "PUT", "/badidx2", {
+        "mappings": {"properties": {"vec": {
+            "type": "knn_vector", "dimension": DIM, "space_type": "hamming",
+        }}}})
+    assert status == 400  # script-only space on the engine
