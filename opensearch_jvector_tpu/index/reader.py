@@ -76,6 +76,18 @@ class SegmentReader:
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
+        # Bucket the batch size to a power of two (min 8): each distinct
+        # shape is a separate XLA compile, and callers send arbitrary counts.
+        real_q = queries.shape[0]
+        bucket = 8
+        while bucket < real_q:
+            bucket *= 2
+        if bucket != real_q:
+            queries = jnp.concatenate(
+                [queries,
+                 jnp.broadcast_to(queries[:1],
+                                  (bucket - real_q, queries.shape[1]))]
+            )
 
         params = SearchParams(
             k=sc.k,
@@ -116,8 +128,17 @@ class SegmentReader:
         self.stats.increment(
             Counter.KNN_GRAPH_SEARCH_TIME, int((time.monotonic() - t0) * 1000)
         )
+        if real_q != queries.shape[0]:  # drop bucket padding
+            res = dataclasses.replace(
+                res,
+                ids=res.ids[:real_q],
+                scores=res.scores[:real_q],
+                visited_count=res.visited_count[:real_q],
+                expanded_count=res.expanded_count[:real_q],
+                reranked_count=res.reranked_count[:real_q],
+            )
 
-        qn = queries.shape[0]
+        qn = real_q
         self.stats.increment(Counter.KNN_QUERY_COUNT, qn)
         if accept_docs is not None:
             self.stats.increment(Counter.KNN_QUERY_WITH_FILTER_COUNT, qn)

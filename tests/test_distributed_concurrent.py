@@ -1,0 +1,148 @@
+"""Sharded index, concurrent queries, BWC format gates, pools, derived source.
+
+Models: reference multi-shard ITs (JVectorEngineIT multi-shard filter test),
+JVectorConcurrentQueryTests (concurrency), backward_codecs format gating,
+derived-source read-back."""
+
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from opensearch_jvector_tpu.api.config import DiskAnnConfig, SearchConfig
+from opensearch_jvector_tpu.index import store
+from opensearch_jvector_tpu.index.index import VectorIndex
+from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+from opensearch_jvector_tpu.parallel.distributed import ShardedVectorIndex
+from opensearch_jvector_tpu.parallel.pools import ComputePools
+from opensearch_jvector_tpu.utils.ground_truth import ground_truth_topk, recall_at_k
+
+DIM = 16
+
+
+def _cfg(**kw):
+    base = dict(dim=DIM, similarity=SimilarityFunction.EUCLIDEAN, m=8,
+                ef_construction=32, quantization_type="none")
+    base.update(kw)
+    return DiskAnnConfig(**base)
+
+
+def _vectors(n, seed=0):
+    return np.random.default_rng(seed).standard_normal((n, DIM)).astype(
+        np.float32)
+
+
+def test_sharded_index_search_and_stats(tmp_path):
+    v = _vectors(800)
+    idx = ShardedVectorIndex(tmp_path, _cfg(), n_shards=4)
+    for i in range(800):
+        idx.add(i, v[i])
+    idx.flush()
+    assert idx.doc_count() == 800
+
+    q = _vectors(8, seed=1)
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+    res = idx.search(q, SearchConfig(k=10, ef_search=64))
+    rec = recall_at_k(res.doc_ids, truth, 10)
+    assert rec >= 0.85, rec
+
+    stats = idx.stats()
+    assert stats["knn_query_count"] == 4 * 8  # every shard saw the batch
+
+    # deletes route to the right shard
+    idx.delete([0, 1, 2, 3])
+    res = idx.search(q, SearchConfig(k=10, ef_search=64))
+    assert not np.isin(res.doc_ids, [0, 1, 2, 3]).any()
+    assert idx.doc_count() == 796
+
+
+def test_sharded_index_reopen(tmp_path):
+    v = _vectors(200, seed=2)
+    idx = ShardedVectorIndex(tmp_path, _cfg(), n_shards=2)
+    for i in range(200):
+        idx.add(i, v[i])
+    idx.flush()
+    idx2 = ShardedVectorIndex(tmp_path)  # restored from shards.json
+    assert idx2.n_shards == 2
+    assert idx2.doc_count() == 200
+
+
+def test_concurrent_queries_one_index(tmp_path):
+    """Parity with JVectorConcurrentQueryTests: many threads, one reader."""
+    v = _vectors(600, seed=3)
+    idx = VectorIndex(tmp_path, _cfg())
+    for i in range(600):
+        idx.add(i, v[i])
+    idx.flush()
+    q = _vectors(4, seed=4)
+    expected = idx.search(q, SearchConfig(k=5, ef_search=48)).doc_ids
+
+    errors: list[Exception] = []
+    results: list[np.ndarray] = [None] * 8
+
+    def worker(slot):
+        try:
+            r = idx.search(q, SearchConfig(k=5, ef_search=48))
+            results[slot] = r.doc_ids
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    for r in results:
+        np.testing.assert_array_equal(r, expected)  # deterministic
+
+
+def test_format_version_gate(tmp_path):
+    """BWC gate: files from a NEWER format version are refused cleanly."""
+    p = tmp_path / "x.jvtpu"
+    store.write_container(p, {"a": 1}, {"z": np.zeros(4, np.float32)})
+    raw = bytearray(p.read_bytes())
+    # bump the on-disk format version field past FORMAT_VERSION
+    newver = struct.pack("<I", 999)
+    off = len(store.MAGIC)
+    raw[off:off + 4] = newver
+    p.write_bytes(bytes(raw))
+    with pytest.raises(store.CorruptSegmentError, match="format version"):
+        store.read_container(p, verify=False)
+
+
+def test_writer_sort_map(tmp_path):
+    """Index sorting at flush updates the ordinal->doc map (apply_sort)."""
+    idx = VectorIndex(tmp_path, _cfg())
+    v = _vectors(50, seed=5)
+    for i in range(50):
+        idx.add(i, v[i])
+    sort_map = np.arange(50)[::-1].copy()  # old doc i -> new doc 49-i
+    path = idx.writer.flush(sort_map=sort_map)
+    from opensearch_jvector_tpu.index.segment import read_segment
+
+    seg = read_segment(path)
+    np.testing.assert_array_equal(seg.docmap.ord_to_doc, 49 - np.arange(50))
+
+
+def test_derived_source_get_vector(tmp_path):
+    idx = VectorIndex(tmp_path, _cfg())
+    v = _vectors(100, seed=6)
+    for i in range(100):
+        idx.add(i, v[i])
+    idx.flush()
+    got = idx.get_vector(42)
+    np.testing.assert_allclose(got, v[42], rtol=1e-6)
+    idx.delete(42)
+    assert idx.get_vector(42) is None
+    assert idx.get_vector(10_000) is None
+
+
+def test_compute_pools():
+    pools = ComputePools.instance()
+    f1 = pools.submit_flush(lambda: 40 + 2)
+    f2 = pools.submit_merge(lambda: "merged")
+    assert f1.result(timeout=10) == 42
+    assert f2.result(timeout=10) == "merged"
+    assert pools is ComputePools.instance()  # singleton
