@@ -54,8 +54,21 @@ class DiskAnnConfig:
     quantization_type: str = DEFAULT_QUANTIZATION
     nvq_num_subvectors: int = DEFAULT_NVQ_SUBVECTORS
     leading_segment_merge_disabled: bool = DEFAULT_LEADING_MERGE_DISABLED
+    # Mode parity (Mode.java:22-34): in_memory keeps fp32 rows in HBM;
+    # on_disk keeps only graph + PQ codes in HBM and pages fp32 rows from
+    # the native host-tier store for the rerank phase.
+    mode: str = "in_memory"
 
     def __post_init__(self):
+        if self.mode not in ("in_memory", "on_disk"):
+            raise ValidationError(
+                f"mode must be in_memory|on_disk: {self.mode}"
+            )
+        if self.mode == "on_disk" and self.quantization_type == QUANT_NONE:
+            raise ValidationError(
+                "on_disk mode requires quantization (the approximate phase "
+                "runs over PQ codes; fp32 rows stay on the host tier)"
+            )
         if self.dim <= 0 or self.dim > 16000:
             raise ValidationError(f"dimension must be in (0, 16000]: {self.dim}")
         if not 1 <= self.m <= 512:

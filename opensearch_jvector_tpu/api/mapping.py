@@ -79,7 +79,7 @@ def parse_knn_vector_mapping(body: dict) -> tuple[DiskAnnConfig, dict]:
     if unknown:
         raise ValidationError(f"unknown method parameters: {sorted(unknown)}")
 
-    kwargs = dict(dim=dim, similarity=SPACE_TO_SIMILARITY[space])
+    kwargs = dict(dim=dim, similarity=SPACE_TO_SIMILARITY[space], mode=mode)
     if "m" in p:
         kwargs["m"] = int(p["m"])
     if "ef_construction" in p:

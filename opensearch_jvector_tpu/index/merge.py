@@ -50,9 +50,12 @@ MAX_ORDINALS = 2**31 - 1
 
 
 def _materialize_vectors(seg: Segment) -> jnp.ndarray:
-    """fp32 rows for a segment (decodes NVQ if needed), [capacity, d]."""
+    """fp32 rows for a segment (decodes NVQ / pages the host tier)."""
     if seg.vectors is not None:
         return seg.vectors
+    if seg.row_store is not None:  # on_disk mode
+        rows = seg.row_store.gather(np.arange(seg.row_store.num_rows))
+        return jnp.asarray(rows)
     assert seg.nvq is not None
     return seg.nvq.decode()
 

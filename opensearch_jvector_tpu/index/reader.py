@@ -98,6 +98,11 @@ class SegmentReader:
         )
         accept = self._accept_mask(accept_docs)
 
+        if seg.row_store is not None:  # on_disk mode: host-tier rerank
+            return self._tiered_search(
+                queries, real_q, params, accept, accept_docs is not None
+            )
+
         kwargs: dict = {}
         if seg.pqv is not None:
             kwargs["pq_codes"] = seg.pqv.codes
@@ -163,4 +168,69 @@ class SegmentReader:
             visited=visited,
             expanded=expanded,
             reranked=reranked,
+        )
+
+    def _tiered_search(self, queries, real_q, params: SearchParams, accept,
+                       filtered: bool) -> QueryResult:
+        """on_disk mode: ADC approximate phase on device, fp32 rows paged
+        from the native host store for the rerank (index/tiered.py design)."""
+        from opensearch_jvector_tpu.ops.distances import (
+            batched_candidate_scores,
+        )
+
+        seg = self.seg
+        assert seg.pqv is not None, "on_disk segments require PQ codes"
+        r = max(params.k * params.overquery_factor, params.k)
+        t0 = time.monotonic()
+        res = searcher_mod.search(
+            seg.graph.adjacency, seg.graph.live, seg.graph.entry, queries,
+            dataclasses.replace(params, k=r),
+            seg.config.similarity,
+            pq_codes=seg.pqv.codes,
+            pq_codebooks=seg.pqv.pq.codebooks,
+            pq_center=seg.pqv.pq.center,
+            accept=accept,
+        )
+        cand_ids = np.asarray(res.ids)[:real_q]
+        approx = np.asarray(res.scores)[:real_q]
+        qn = real_q
+        qualify = cand_ids >= 0
+        if params.rerank_floor > 0.0:
+            qualify &= approx >= params.rerank_floor
+        flat = cand_ids.reshape(-1)
+        seg.row_store.prefetch(flat)
+        rows = seg.row_store.gather(flat).reshape(qn, r, -1)
+        exact = batched_candidate_scores(
+            queries[:qn], jnp.asarray(rows), seg.config.similarity
+        )
+        exact = jnp.where(jnp.asarray(qualify), exact, -jnp.inf)
+        top_s, idx = jax.lax.top_k(exact, params.k)
+        top_i = np.take_along_axis(cand_ids, np.asarray(idx), axis=1)
+        top_s = np.asarray(top_s)
+        if params.threshold > 0.0:
+            keep = top_s >= params.threshold
+            top_i = np.where(keep, top_i, -1)
+            top_s = np.where(keep, top_s, -np.inf)
+        top_i = np.where(top_s > -np.inf, top_i, -1)
+        self.stats.increment(
+            Counter.KNN_GRAPH_SEARCH_TIME, int((time.monotonic() - t0) * 1000)
+        )
+        self.stats.increment(Counter.KNN_QUERY_COUNT, qn)
+        if filtered:
+            self.stats.increment(Counter.KNN_QUERY_WITH_FILTER_COUNT, qn)
+        visited = int(np.asarray(res.visited_count)[:real_q].sum())
+        expanded = int(np.asarray(res.expanded_count)[:real_q].sum())
+        reranked = int(qualify.sum())
+        self.stats.increment(Counter.KNN_QUERY_VISITED_NODES, visited)
+        self.stats.increment(Counter.KNN_QUERY_EXPANDED_NODES, expanded)
+        self.stats.increment(
+            Counter.KNN_QUERY_EXPANDED_BASE_LAYER_NODES, expanded
+        )
+        self.stats.increment(Counter.KNN_QUERY_RERANKED_COUNT, reranked)
+
+        doc_ids = seg.docmap.lookup_docs(top_i)
+        scores = np.where(doc_ids >= 0, top_s, -np.inf)
+        return QueryResult(
+            doc_ids=doc_ids, scores=scores,
+            visited=visited, expanded=expanded, reranked=reranked,
         )

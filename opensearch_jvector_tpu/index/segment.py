@@ -51,7 +51,11 @@ BYTE_TO_QUANT = {v: k for k, v in QUANT_TYPE_BYTE.items()}
 
 @dataclasses.dataclass
 class Segment:
-    """In-memory (device-resident) segment."""
+    """In-memory (device-resident) segment.
+
+    `row_store` (on_disk mode) replaces `vectors`: fp32 rows stay in the
+    native host-tier store and only rerank candidates are paged on chip.
+    """
 
     name: str
     config: DiskAnnConfig
@@ -60,6 +64,7 @@ class Segment:
     vectors: jnp.ndarray | None = None  # fp32 [capacity, d]
     nvq: NVQVectors | None = None
     pqv: PQVectors | None = None
+    row_store: object | None = None  # utils.native_store.PagedVectorStore
 
     @property
     def quantization_type(self) -> str:
@@ -105,7 +110,21 @@ def write_segment(root: str | Path, seg: Segment) -> Path:
             "live": np.asarray(seg.graph.live),
         },
     )
-    if seg.vectors is not None:
+    on_disk = (
+        seg.config.mode == "on_disk" and seg.pqv is not None
+        and seg.nvq is None
+    )
+    if seg.row_store is not None or (on_disk and seg.vectors is not None):
+        # on_disk mode: raw row file read back through the native store
+        # (HBM keeps only graph + PQ codes; rerank pages rows on demand)
+        if seg.vectors is not None:
+            from opensearch_jvector_tpu.utils.native_store import (
+                write_row_file,
+            )
+
+            write_row_file(d / "rows.f32", np.asarray(seg.vectors))
+        store.write_container(d / "vectors.jvtpu", {"kind": "fp32_ondisk"}, {})
+    elif seg.vectors is not None:
         store.write_container(
             d / "vectors.jvtpu",
             {"kind": "fp32"},
@@ -154,11 +173,18 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
 
     vectors = None
     nvq = None
+    row_store = None
     vpath = d / "vectors.jvtpu"
     if vpath.exists():
         vmeta, varr = store.read_container(vpath, verify=verify)
         if vmeta["kind"] == "fp32":
             vectors = jnp.asarray(varr["vectors"])
+        elif vmeta["kind"] == "fp32_ondisk":
+            from opensearch_jvector_tpu.utils.native_store import (
+                PagedVectorStore,
+            )
+
+            row_store = PagedVectorStore(d / "rows.f32", dim=config.dim)
         else:
             nvq = NVQVectors(
                 bytes_=jnp.asarray(varr["bytes"]),
@@ -179,7 +205,7 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
         )
     return Segment(
         name=d.name, config=config, graph=graph, docmap=docmap,
-        vectors=vectors, nvq=nvq, pqv=pqv,
+        vectors=vectors, nvq=nvq, pqv=pqv, row_store=row_store,
     )
 
 

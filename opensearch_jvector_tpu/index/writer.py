@@ -109,6 +109,18 @@ class IndexWriter:
         name = name or f"seg_{self._flush_counter:06d}_{len(self._doc_ids)}"
         self._flush_counter += 1
 
+        # memory circuit breaker: refuse a build that would blow HBM
+        from opensearch_jvector_tpu.utils.circuit_breaker import BREAKER
+
+        BREAKER.check(
+            BREAKER.estimate_segment_bytes(
+                len(self._doc_ids), self.config.dim, self.config.m,
+                self.config.neighbor_overflow,
+                self.config.num_pq_subspaces
+                if self.config.quantization_type != QUANT_NONE else None,
+            )
+        )
+
         vectors = jnp.asarray(np.stack(self._vectors))
         doc_ids = np.asarray(self._doc_ids, np.int64)
 

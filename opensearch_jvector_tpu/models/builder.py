@@ -5,8 +5,13 @@ call sites JVectorWriter.java:1390-1417 fresh build / :1298-1331 incremental
 mutation) with bulk-synchronous *rounds*: each round beam-searches candidate
 sets for a whole batch of pending inserts on-device (one compiled program),
 alpha-robust-prunes the batch in one vmapped kernel, then applies adjacency
-updates with deterministic vectorized conflict resolution (numpy scatter on
-host — the adjacency bookkeeping is O(edges), not FLOP-bound).
+updates with deterministic vectorized conflict resolution.
+
+The adjacency matrix is DEVICE-RESIDENT throughout the build (the earlier
+host-mirrored design re-uploaded ~20MB of adjacency per round over the host
+link and capped build throughput): the host computes only the small edge
+lists (slots, overflow sets) from the downloaded [B, M] selection and
+applies them with device scatters.
 
 Capabilities mirrored from the reference builder:
   * maxConn (M), beamWidth, alpha, neighborOverflow slack, hierarchy flag
@@ -106,31 +111,14 @@ def robust_prune_batch(
     return selected
 
 
-@functools.lru_cache(maxsize=None)
-def _make_list_prune_fn(simf_id: int, m_out: int, alpha: float):
-    """Jitted gather+score+prune of explicit candidate lists (used by the
-    overflow prune and the delete-splice; avoids eager per-op dispatch)."""
-    simf = SimilarityFunction(simf_id)
-
-    @jax.jit
-    def run(ids, cand, vectors):
-        pvecs = vectors[ids]
-        cvecs = vectors[jnp.clip(cand, 0)]
-        scores = batched_candidate_scores(pvecs, cvecs, simf)
-        scores = jnp.where(cand >= 0, scores, NEG_INF)
-        return robust_prune_batch(
-            pvecs, cand, cvecs, scores, alpha, m_out, simf_id, point_ids=ids
-        )
-
-    return run
+# ---------------------------------------------------------------------------
+# cached jitted device programs (one eager dispatch each per round)
+# ---------------------------------------------------------------------------
 
 
 @functools.lru_cache(maxsize=None)
 def _make_round_prune_fn(simf_id: int, m_out: int, top_r: int, alpha: float):
-    """One jitted program for the non-search device work of an insert round:
-    intra-round candidate generation + vector gather + robust prune.
-    (Eager op-by-op dispatch over the host<->TPU tunnel dominated build
-    time before this fusion.)"""
+    """Insert-round device work: intra-round candidates + gather + prune."""
     simf = SimilarityFunction(simf_id)
 
     @jax.jit
@@ -151,6 +139,98 @@ def _make_round_prune_fn(simf_id: int, m_out: int, top_r: int, alpha: float):
         )
 
     return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_overflow_prune_fn(simf_id: int, m_out: int, alpha: float):
+    """Overflow prune: gather rows from the device adjacency, append the
+    dropped-edge extras, score + prune, return (sel, new adjacency rows)."""
+    simf = SimilarityFunction(simf_id)
+
+    @jax.jit
+    def run(ids, adj, extras, vectors):
+        cand = jnp.concatenate([adj[ids], extras], axis=1)
+        pvecs = vectors[ids]
+        cvecs = vectors[jnp.clip(cand, 0)]
+        scores = batched_candidate_scores(pvecs, cvecs, simf)
+        scores = jnp.where(cand >= 0, scores, NEG_INF)
+        sel = robust_prune_batch(
+            pvecs, cand, cvecs, scores, alpha, m_out, simf_id, point_ids=ids
+        )
+        rows = jnp.full((ids.shape[0], adj.shape[1]), -1, jnp.int32)
+        rows = rows.at[:, : sel.shape[1]].set(sel)
+        new_adj = adj.at[ids].set(rows)
+        return sel, new_adj
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_splice_prune_fn(simf_id: int, m_out: int, alpha: float):
+    """Delete-splice: replace dead neighbors with live 2-hop candidates,
+    prune, and write the rows back — all on device."""
+    simf = SimilarityFunction(simf_id)
+
+    @jax.jit
+    def run(ids, adj, live, vectors):
+        rows = adj[ids]  # [B, cap]
+        b, cap = rows.shape
+        hop2 = adj[jnp.clip(rows, 0)].reshape(b, cap * cap)
+        hop2 = jnp.where(
+            jnp.repeat(rows < 0, cap, axis=1), -1, hop2
+        )
+        cand = jnp.concatenate([rows, hop2], axis=1)
+        cand = jnp.where(live[jnp.clip(cand, 0)] & (cand >= 0), cand, -1)
+        cand = jnp.where(cand == ids[:, None], -1, cand)
+        pvecs = vectors[ids]
+        cvecs = vectors[jnp.clip(cand, 0)]
+        scores = batched_candidate_scores(pvecs, cvecs, simf)
+        scores = jnp.where(cand >= 0, scores, NEG_INF)
+        sel = robust_prune_batch(
+            pvecs, cand, cvecs, scores, alpha, m_out, simf_id, point_ids=ids
+        )
+        out_rows = jnp.full((b, cap), -1, jnp.int32)
+        out_rows = out_rows.at[:, : sel.shape[1]].set(sel)
+        new_adj = adj.at[ids].set(out_rows)
+        return sel, new_adj
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_apply_edges_fn():
+    """Forward-row write + reverse-edge scatter in one device program.
+
+    Edge arrays are padded to a fixed width (retraces per round otherwise);
+    padding uses out-of-bounds destinations dropped by the scatter mode.
+    """
+
+    @jax.jit
+    def run(adj, new_ids, rows, dst, slot, src):
+        adj = adj.at[new_ids].set(rows)
+        return adj.at[dst, slot].set(src, mode="drop")
+
+    return run
+
+
+class _DeviceAdj:
+    """Device-resident adjacency + host degree mirror."""
+
+    def __init__(self, adj_dev: jax.Array, deg: np.ndarray):
+        self.dev = adj_dev  # int32 [capacity, cap_deg]
+        self.deg = deg  # host int32 [capacity]
+
+    @property
+    def cap_deg(self) -> int:
+        return self.dev.shape[1]
+
+    def rows(self, ids: np.ndarray) -> np.ndarray:
+        return np.asarray(self.dev[jnp.asarray(ids, jnp.int32)])
+
+    def pad_rows(self, sel: np.ndarray) -> np.ndarray:
+        out = np.full((sel.shape[0], self.cap_deg), -1, np.int32)
+        out[:, : sel.shape[1]] = sel
+        return out
 
 
 @dataclasses.dataclass
@@ -198,11 +278,12 @@ class GraphIndexBuilder:
         self.seed = seed
         self.refine_passes = int(refine_passes)
         self.counters = BuildCounters()
+        self._has_tombstones = False
 
     # -- scoring helpers ---------------------------------------------------
 
     def _search_candidates(
-        self, graph_np, vectors, queries, simf, pq=None, has_tombstones=False
+        self, adj_dev, live_dev, entry, vectors, queries, simf, pq=None
     ):
         """Beam-search candidate pools for a batch of insert points.
 
@@ -212,7 +293,6 @@ class GraphIndexBuilder:
         params = searcher_mod.SearchParams(
             k=r, ef_search=r, overquery_factor=1, expansions_per_iter=4
         )
-        kwargs = {}
         if pq is not None:
             kwargs = dict(
                 pq_codes=pq["codes"],
@@ -223,60 +303,42 @@ class GraphIndexBuilder:
         else:
             kwargs = dict(vectors=vectors)
         res = searcher_mod.search(
-            graph_np["adjacency"],
-            graph_np["live"],
-            graph_np["entry"],
-            queries,
-            params,
-            simf,
-            has_tombstones=has_tombstones,
-            **kwargs,
+            adj_dev, live_dev, jnp.int32(entry), queries, params, simf,
+            has_tombstones=self._has_tombstones, **kwargs,
         )
         return res.ids, res.scores
 
-    # -- adjacency application (host-side, vectorized numpy) ---------------
+    # -- adjacency application ----------------------------------------------
 
-    @staticmethod
-    def _apply_forward_edges(adj, deg, new_ids, selected):
-        """adjacency[new] = selected (selected is [B, M'] with -1 pad)."""
-        m = adj.shape[1]
-        sel = selected[:, :m]
-        adj[new_ids, : sel.shape[1]] = sel
-        deg[new_ids] = (sel >= 0).sum(axis=1)
+    def _compute_back_edges(self, deg, new_ids, selected, cap):
+        """Host-side reverse-edge slot assignment (deterministic).
 
-    def _apply_back_edges(self, adj, deg, new_ids, selected, cap):
-        """Append src->dst reverse edges with vectorized conflict resolution.
-
-        Edges that don't fit in a full list are NOT silently dropped — they
-        are returned as overflow candidates so the subsequent robust-prune of
-        that node chooses among (current neighbors ∪ new sources), mirroring
-        the reference's insert-with-overflow-then-prune behavior. Silent
-        drops disconnect late-round nodes (no in-edges survive).
-
-        Returns (overflow_ids [n_over], extras [n_over, E]) with -1 padding.
-        Deterministic: edges processed in (dst, src-round-order) order.
+        Returns (dst, slot, src) fitting edges plus overflow prune work
+        (overflow_ids, extras). Edges that don't fit are NOT silently
+        dropped — they become overflow-prune candidates so the node chooses
+        among (current neighbors ∪ new sources), mirroring the reference's
+        insert-with-overflow-then-prune. Silent drops disconnect late-round
+        nodes.
         """
         b, ms = selected.shape
         src = np.repeat(new_ids, ms)
         dst = selected.reshape(-1)
         keep = dst >= 0
         src, dst = src[keep], dst[keep]
+        empty = (np.empty(0, np.int64),) * 3
         if dst.size == 0:
-            return np.empty((0,), np.int64), np.empty((0, 0), np.int32)
+            return (*empty, np.empty(0, np.int64), np.empty((0, 0), np.int32))
         order = np.argsort(dst, kind="stable")
         src, dst = src[order], dst[order]
-        # rank of each edge within its dst group
         group_start = np.searchsorted(dst, dst, side="left")
         rank = np.arange(dst.size) - group_start
         slot = deg[dst] + rank
         ok = slot < cap
-        adj[dst[ok], slot[ok]] = src[ok]
         counts = np.bincount(dst, minlength=deg.shape[0])
         newdeg = np.minimum(deg + counts, cap)
         overflow_ids = np.unique(dst[newdeg[dst] >= cap])
         deg[:] = newdeg
 
-        # Collect dropped edges as prune candidates for their dst.
         dropped = ~ok
         max_extra = 2 * self.max_degree  # bound retrace shapes; beyond = rare
         extras = np.full((overflow_ids.size, max_extra), -1, np.int32)
@@ -287,41 +349,98 @@ class GraphIndexBuilder:
             sel_rows = np.searchsorted(overflow_ids, ddst)
             m = drank < max_extra
             extras[sel_rows[m], drank[m]] = dsrc[m]
-        return overflow_ids, extras
+        return dst[ok], slot[ok], src[ok], overflow_ids, extras
 
-    def _prune_nodes(self, adj, deg, node_ids, vectors, simf, extras=None):
-        """Re-prune the neighbor lists of `node_ids` down to max_degree.
-
-        `extras` [len(node_ids), E] optionally appends overflow edge sources
-        to each node's candidate set before pruning.
-        """
+    def _prune_overflow(self, st: _DeviceAdj, node_ids, vectors, simf,
+                        extras=None):
+        """Re-prune `node_ids` to max_degree on device (rows written back)."""
         if node_ids.size == 0:
             return
         chunk = self.batch_size
         e_width = 2 * self.max_degree  # constant candidate width (no retrace)
+        fn = _make_overflow_prune_fn(simf.value, self.max_degree, self.alpha)
         for s in range(0, node_ids.size, chunk):
             ids = node_ids[s : s + chunk]
             pad = chunk - ids.size
-            ids_p = np.pad(ids, (0, pad), constant_values=0)
-            cand = adj[ids_p]  # [chunk, cap]
+            # pad with duplicates of the first id AND its extras: duplicate
+            # scatter rows then compute identical results, so the undefined
+            # write order of duplicate scatter indices cannot matter
+            ids_p = np.pad(ids, (0, pad), constant_values=ids[0])
             ex = np.full((chunk, e_width), -1, np.int32)
             if extras is not None and extras.size:
                 blk = extras[s : s + chunk]
                 ex[: blk.shape[0], : blk.shape[1]] = blk[:, :e_width]
-            cand = np.concatenate([cand, ex], axis=1)
-            # upload only the int32 index blocks; gather + score + prune run
-            # as one jitted program (uploading gathered float blocks over
-            # the host link dominated build time)
-            fn = _make_list_prune_fn(simf.value, self.max_degree, self.alpha)
-            sel = np.asarray(
-                fn(jnp.asarray(ids_p, jnp.int32), jnp.asarray(cand, jnp.int32),
-                   vectors)
+            if pad:
+                ex[ids.size:] = ex[0]
+            sel, st.dev = fn(
+                jnp.asarray(ids_p, jnp.int32), st.dev, jnp.asarray(ex),
+                vectors,
             )
+            sel = np.asarray(sel)
             if pad:
                 sel = sel[: ids.size]
-            adj[ids] = -1
-            adj[ids, : sel.shape[1]] = sel
-            deg[ids] = (sel >= 0).sum(axis=1)
+            st.deg[ids] = (sel >= 0).sum(axis=1)
+
+    # -- insert round --------------------------------------------------------
+
+    def _insert_round(self, st: _DeviceAdj, live_dev, entry, batch, vectors,
+                      simf, pq):
+        # Pad the batch to a constant size so every round hits the same
+        # compiled programs (XLA retraces on shape changes).
+        real_b = len(batch)
+        if real_b < self.batch_size:
+            batch = np.concatenate(
+                [batch, np.full(self.batch_size - real_b, batch[0], batch.dtype)]
+            )
+        b = len(batch)
+        batch_dev = jnp.asarray(batch, jnp.int32)
+        queries = vectors[batch_dev]
+        cand_ids, cand_scores = self._search_candidates(
+            st.dev, live_dev, entry, vectors, queries, simf, pq
+        )
+        top_r = min(b - 1, self.max_degree) if b > 1 else 0
+        prune_fn = _make_round_prune_fn(
+            simf.value, self.max_degree, top_r, self.alpha
+        )
+        sel = np.asarray(
+            prune_fn(batch_dev, cand_ids, cand_scores, vectors)
+        )[:real_b]
+        new_ids = np.asarray(batch)[:real_b]
+
+        st.deg[new_ids] = (sel >= 0).sum(axis=1)
+        dst, slot, src, overflowed, extras = self._compute_back_edges(
+            st.deg, new_ids, sel, self.overflow_degree
+        )
+        st.dev = self._apply_edges(st, new_ids, sel, dst, slot, src)
+        self._prune_overflow(st, overflowed, vectors, simf, extras=extras)
+
+    def _apply_edges(self, st, new_ids, sel, dst, slot, src):
+        """Pad edge lists to a fixed width and apply on device (no retrace)."""
+        width = self.batch_size * self.max_degree
+        n_cap = st.dev.shape[0]
+        dst_p = np.full(width, n_cap, np.int32)  # OOB -> dropped by scatter
+        slot_p = np.zeros(width, np.int32)
+        src_p = np.full(width, -1, np.int32)
+        m = min(dst.size, width)
+        dst_p[:m], slot_p[:m], src_p[:m] = dst[:m], slot[:m], src[:m]
+        # pad the row write to batch_size with duplicates (identical content
+        # -> duplicate scatter indices are harmless)
+        rows = st.pad_rows(sel)
+        if new_ids.size < self.batch_size:
+            padn = self.batch_size - new_ids.size
+            new_ids = np.concatenate(
+                [new_ids, np.full(padn, new_ids[0], new_ids.dtype)]
+            )
+            rows = np.concatenate([rows, np.repeat(rows[:1], padn, axis=0)])
+        apply_fn = _make_apply_edges_fn()
+        return apply_fn(
+            st.dev,
+            jnp.asarray(new_ids, jnp.int32),
+            jnp.asarray(rows),
+            jnp.asarray(dst_p),
+            jnp.asarray(slot_p),
+            jnp.asarray(src_p),
+        )
 
     # -- public API --------------------------------------------------------
 
@@ -336,13 +455,17 @@ class GraphIndexBuilder:
         n = int(vectors.shape[0])
         capacity = capacity or n
         cap_deg = self.overflow_degree
-        adj = np.full((capacity, cap_deg), -1, np.int32)
-        deg = np.zeros((capacity,), np.int32)
-        live = np.zeros((capacity,), bool)
         vectors = jnp.asarray(vectors, jnp.float32)
-
         if n == 0:
             return VamanaGraph.empty(capacity, cap_deg)
+
+        st = _DeviceAdj(
+            jnp.full((capacity, cap_deg), -1, jnp.int32),
+            np.zeros((capacity,), np.int32),
+        )
+        live = np.zeros((capacity,), bool)
+        live_dev = jnp.zeros((capacity,), bool)
+        self._has_tombstones = False
 
         # entry point: medoid approximation = nearest to the mean
         mean = jnp.mean(vectors, axis=0, keepdims=True)
@@ -359,8 +482,9 @@ class GraphIndexBuilder:
         # bootstrap block: all-pairs + prune (no graph to search yet)
         b0 = min(n, max(self.max_degree + 1, 64))
         boot = order[:b0]
-        self._bootstrap(adj, deg, boot, vectors, simf)
+        self._bootstrap(st, boot, vectors, simf)
         live[boot] = True
+        live_dev = live_dev.at[jnp.asarray(boot)].set(True)
 
         # Ramp the round size with graph size: inserting a huge batch into a
         # tiny graph yields poor search candidates (the batch outnumbers the
@@ -369,17 +493,16 @@ class GraphIndexBuilder:
         while pos < n:
             cur = min(self.batch_size, max(pos, 64))
             batch = order[pos : pos + cur]
-            self._insert_round(
-                adj, deg, live, entry, batch, vectors, simf, pq
-            )
+            self._insert_round(st, live_dev, entry, batch, vectors, simf, pq)
             live[batch] = True
+            live_dev = live_dev.at[jnp.asarray(batch)].set(True)
             pos += len(batch)
             self.counters.rounds += 1
 
         self.counters.nodes_inserted += n
         graph = VamanaGraph(
-            adjacency=jnp.asarray(adj),
-            degrees=jnp.asarray(deg),
+            adjacency=st.dev,
+            degrees=jnp.asarray(st.deg),
             live=jnp.asarray(live),
             entry=jnp.int32(entry),
         )
@@ -397,15 +520,12 @@ class GraphIndexBuilder:
         pq: dict | None = None,
         passes: int = 1,
     ) -> VamanaGraph:
-        """Second-pass refinement (DiskANN's standard two-pass build):
-        re-search every node over the finished graph and re-prune its list
-        from (current neighbors ∪ fresh beam candidates), then re-apply
-        back edges. Substantially improves navigability of the one-pass
-        batched graph.
-        """
-        adj = np.asarray(graph.adjacency).copy()
-        deg = np.asarray(graph.degrees).copy()
-        live = np.asarray(graph.live).copy()
+        """Second-pass refinement (DiskANN's two-pass build): re-search every
+        node over the finished graph and re-prune its list from (current
+        neighbors ∪ fresh beam candidates), then re-apply back edges."""
+        st = _DeviceAdj(graph.adjacency, np.asarray(graph.degrees).copy())
+        live = np.asarray(graph.live)
+        live_dev = graph.live
         entry = int(graph.entry)
         vectors = jnp.asarray(vectors, jnp.float32)
         ids_all = np.nonzero(live)[0]
@@ -418,51 +538,52 @@ class GraphIndexBuilder:
                 if real_b < self.batch_size:
                     batch = np.concatenate(
                         [batch,
-                         np.full(self.batch_size - real_b, batch[0], batch.dtype)]
+                         np.full(self.batch_size - real_b, batch[0],
+                                 batch.dtype)]
                     )
-                queries = vectors[batch]
-                graph_dev = {
-                    "adjacency": jnp.asarray(adj),
-                    "live": jnp.asarray(live),
-                    "entry": jnp.int32(entry),
-                }
-                cand_ids, cand_scores = self._search_candidates(
-                    graph_dev, vectors, queries, simf, pq
+                batch_dev = jnp.asarray(batch, jnp.int32)
+                queries = vectors[batch_dev]
+                cand_ids, _ = self._search_candidates(
+                    st.dev, live_dev, entry, vectors, queries, simf, pq
                 )
-                # candidates = fresh beam results ∪ current neighbor list;
-                # scores are recomputed inside the jitted prune program
-                cand = np.concatenate(
-                    [np.asarray(cand_ids), adj[batch]], axis=1
-                )
-                fn = _make_list_prune_fn(
+                # candidates = fresh beam results ∪ current neighbor list
+                fn = _make_overflow_prune_fn(
                     simf.value, self.max_degree, self.alpha
                 )
-                sel = np.asarray(
-                    fn(jnp.asarray(batch, jnp.int32),
-                       jnp.asarray(cand, jnp.int32), vectors)
-                )[:real_b]
+                # reuse the overflow program: extras = beam candidates
+                pad_w = 2 * self.max_degree
+                extras = np.asarray(cand_ids)[:, :pad_w].astype(np.int32)
+                if extras.shape[1] < pad_w:
+                    extras = np.pad(extras, ((0, 0),
+                                             (0, pad_w - extras.shape[1])),
+                                    constant_values=-1)
+                sel, st.dev = fn(batch_dev, st.dev, jnp.asarray(extras),
+                                 vectors)
+                sel = np.asarray(sel)[:real_b]
                 new_ids = batch[:real_b]
-                adj[new_ids] = -1
-                self._apply_forward_edges(adj, deg, new_ids, sel)
-                overflowed, extras = self._apply_back_edges(
-                    adj, deg, new_ids, sel, self.overflow_degree
+                st.deg[new_ids] = (sel >= 0).sum(axis=1)
+                dst, slot, src, overflowed, extras2 = self._compute_back_edges(
+                    st.deg, new_ids, sel, self.overflow_degree
                 )
-                self._prune_nodes(adj, deg, overflowed, vectors, simf,
-                                  extras=extras)
+                st.dev = self._apply_edges(st, new_ids, sel, dst, slot, src)
+                self._prune_overflow(st, overflowed, vectors, simf,
+                                     extras=extras2)
         return VamanaGraph(
-            adjacency=jnp.asarray(adj),
-            degrees=jnp.asarray(deg),
-            live=jnp.asarray(live),
-            entry=jnp.int32(entry),
+            adjacency=st.dev,
+            degrees=jnp.asarray(st.deg),
+            live=graph.live,
+            entry=graph.entry,
         )
 
-    def _bootstrap(self, adj, deg, ids, vectors, simf):
+    def _bootstrap(self, st: _DeviceAdj, ids, vectors, simf):
         if len(ids) < 2:  # a single node has no candidates to prune
             return
-        v = vectors[ids]
+        v = vectors[jnp.asarray(ids)]
         scores = pairwise_scores(v, v, simf)
         scores = jnp.where(jnp.eye(len(ids), dtype=bool), NEG_INF, scores)
-        cand_scores, idx = jax.lax.top_k(scores, min(len(ids) - 1, self.beam_width))
+        cand_scores, idx = jax.lax.top_k(
+            scores, min(len(ids) - 1, self.beam_width)
+        )
         cand_ids = jnp.asarray(ids, jnp.int32)[idx]
         cand_vecs = v[idx]
         sel = np.asarray(
@@ -471,42 +592,8 @@ class GraphIndexBuilder:
                 self.alpha, self.max_degree, simf.value,
             )
         )
-        adj[ids, : sel.shape[1]] = sel
-        deg[ids] = (sel >= 0).sum(axis=1)
-
-    def _insert_round(self, adj, deg, live, entry, batch, vectors, simf, pq):
-        # Pad the batch to a constant size so every round hits the same
-        # compiled program (XLA retraces on shape changes).
-        real_b = len(batch)
-        if real_b < self.batch_size:
-            batch = np.concatenate(
-                [batch, np.full(self.batch_size - real_b, batch[0], batch.dtype)]
-            )
-        b = len(batch)
-        batch_dev = jnp.asarray(batch, jnp.int32)
-        queries = vectors[batch_dev]
-        graph_np = {
-            "adjacency": jnp.asarray(adj),
-            "live": jnp.asarray(live),
-            "entry": jnp.int32(entry),
-        }
-        cand_ids, cand_scores = self._search_candidates(
-            graph_np, vectors, queries, simf, pq,
-            has_tombstones=bool(getattr(self, "_has_tombstones", False)),
-        )
-        # intra-round candidates + gather + prune: one jitted program
-        top_r = min(b - 1, self.max_degree) if b > 1 else 0
-        prune_fn = _make_round_prune_fn(
-            simf.value, self.max_degree, top_r, self.alpha
-        )
-        sel = np.asarray(prune_fn(batch_dev, cand_ids, cand_scores,
-                                  vectors))[:real_b]
-        new_ids = np.asarray(batch)[:real_b]
-        self._apply_forward_edges(adj, deg, new_ids, sel)
-        overflowed, extras = self._apply_back_edges(
-            adj, deg, new_ids, sel, self.overflow_degree
-        )
-        self._prune_nodes(adj, deg, overflowed, vectors, simf, extras=extras)
+        st.dev = st.dev.at[jnp.asarray(ids)].set(jnp.asarray(st.pad_rows(sel)))
+        st.deg[ids] = (sel >= 0).sum(axis=1)
 
     def add_nodes(
         self,
@@ -521,28 +608,30 @@ class GraphIndexBuilder:
         Mirrors the reference's parallel addGraphNode append into a loaded
         graph (JVectorWriter.java:1313-1319).
         """
-        adj = np.asarray(graph.adjacency).copy()
-        deg = np.asarray(graph.degrees).copy()
+        st = _DeviceAdj(graph.adjacency, np.asarray(graph.degrees).copy())
         live = np.asarray(graph.live).copy()
+        live_dev = graph.live
         entry = int(graph.entry)
         vectors = jnp.asarray(vectors, jnp.float32)
         # deleted nodes referenced by the loaded adjacency must be masked out
         # of candidate pools during delta inserts
-        referenced = adj[adj >= 0]
+        adj_host = np.asarray(graph.adjacency)
+        referenced = adj_host[adj_host >= 0]
         self._has_tombstones = bool(
             referenced.size and not live[referenced].all()
         )
 
         for s in range(0, len(new_ids), self.batch_size):
-            batch = new_ids[s : s + self.batch_size]
-            self._insert_round(adj, deg, live, entry, batch, vectors, simf, pq)
+            batch = np.asarray(new_ids[s : s + self.batch_size])
+            self._insert_round(st, live_dev, entry, batch, vectors, simf, pq)
             live[batch] = True
+            live_dev = live_dev.at[jnp.asarray(batch)].set(True)
             self.counters.rounds += 1
         self.counters.nodes_inserted += len(new_ids)
 
         return VamanaGraph(
-            adjacency=jnp.asarray(adj),
-            degrees=jnp.asarray(deg),
+            adjacency=st.dev,
+            degrees=jnp.asarray(st.deg),
             live=jnp.asarray(live),
             entry=jnp.int32(entry),
         )
@@ -563,50 +652,30 @@ class GraphIndexBuilder:
         repair), then every touched/overflowing node is re-pruned to
         max_degree.
         """
-        adj = np.asarray(graph.adjacency).copy()
-        deg = np.asarray(graph.degrees).copy()
+        st = _DeviceAdj(graph.adjacency, np.asarray(graph.degrees).copy())
         live = np.asarray(graph.live)
+        live_dev = jnp.asarray(live)
         vectors = jnp.asarray(vectors, jnp.float32)
 
-        valid = adj >= 0
-        dead_nb = valid & ~live[np.clip(adj, 0, None)]
+        adj_host = np.asarray(st.dev)
+        valid = adj_host >= 0
+        dead_nb = valid & ~live[np.clip(adj_host, 0, None)]
         has_dead = dead_nb.any(axis=1) & live
         dead_nodes = np.nonzero(has_dead)[0]
         if dead_nodes.size:
-            # splice: candidates = current live neighbors + neighbors of dead
-            # neighbors (2-hop), then robust-prune
+            fn = _make_splice_prune_fn(simf.value, self.max_degree, self.alpha)
             for s in range(0, dead_nodes.size, self.batch_size):
                 ids = dead_nodes[s : s + self.batch_size]
                 pad = self.batch_size - ids.size
                 ids = np.pad(ids, (0, pad), constant_values=ids[0])
-                rows = adj[ids]  # [b, cap]
-                hop2 = adj[np.clip(rows, 0, None)].reshape(len(ids), -1)
-                hop2 = np.where(
-                    (rows < 0)[:, :, None].repeat(adj.shape[1], 2).reshape(
-                        len(ids), -1
-                    ),
-                    -1,
-                    hop2,
+                sel, st.dev = fn(
+                    jnp.asarray(ids, jnp.int32), st.dev, live_dev, vectors
                 )
-                cand = np.concatenate([rows, hop2], axis=1)
-                cand = np.where(
-                    (cand >= 0) & live[np.clip(cand, 0, None)], cand, -1
-                )
-                # drop self references
-                cand = np.where(cand == ids[:, None], -1, cand)
-                fn = _make_list_prune_fn(
-                    simf.value, self.max_degree, self.alpha
-                )
-                sel = np.asarray(
-                    fn(jnp.asarray(ids, jnp.int32),
-                       jnp.asarray(cand, jnp.int32), vectors)
-                )
-                adj[ids] = -1
-                adj[ids, : sel.shape[1]] = sel
-                deg[ids] = (sel >= 0).sum(axis=1)
+                sel = np.asarray(sel)
+                st.deg[ids] = (sel >= 0).sum(axis=1)
 
-        over = np.nonzero(deg > self.max_degree)[0]
-        self._prune_nodes(adj, deg, over, vectors, simf)
+        over = np.nonzero(st.deg > self.max_degree)[0]
+        self._prune_overflow(st, over, vectors, simf)
 
         # entry repair: if the entry died, pick the live node closest to mean
         entry = int(graph.entry)
@@ -618,8 +687,8 @@ class GraphIndexBuilder:
             entry = int(live_ids[int(jnp.argmax(s))])
 
         return VamanaGraph(
-            adjacency=jnp.asarray(adj),
-            degrees=jnp.asarray(deg),
+            adjacency=st.dev,
+            degrees=jnp.asarray(st.deg),
             live=jnp.asarray(live),
             entry=jnp.int32(entry),
         )

@@ -49,6 +49,12 @@ def script_score(
 def _segment_fp32(seg: Segment) -> jnp.ndarray:
     if seg.vectors is not None:
         return seg.vectors
+    if seg.row_store is not None:  # on_disk mode: page the full row file
+        import numpy as _np
+
+        return jnp.asarray(
+            seg.row_store.gather(_np.arange(seg.row_store.num_rows))
+        )
     assert seg.nvq is not None
     return seg.nvq.decode()
 

@@ -1,0 +1,69 @@
+"""on_disk mode: fp32 rows on the host tier, HBM keeps graph + PQ codes."""
+
+import numpy as np
+import pytest
+
+from opensearch_jvector_tpu.api.config import (
+    DiskAnnConfig,
+    SearchConfig,
+    ValidationError,
+)
+from opensearch_jvector_tpu.api.mapping import parse_knn_vector_mapping
+from opensearch_jvector_tpu.index.index import VectorIndex
+from opensearch_jvector_tpu.index.segment import read_segment
+from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+from opensearch_jvector_tpu.utils.ground_truth import ground_truth_topk, recall_at_k
+
+DIM = 16
+
+
+def test_on_disk_requires_quantization():
+    with pytest.raises(ValidationError):
+        DiskAnnConfig(dim=DIM, mode="on_disk", quantization_type="none")
+    with pytest.raises(ValidationError):
+        DiskAnnConfig(dim=DIM, mode="bogus")
+
+
+def test_mapping_mode_flows_into_config():
+    cfg, extras = parse_knn_vector_mapping({
+        "type": "knn_vector", "dimension": DIM, "mode": "on_disk",
+        "method": {"parameters": {
+            "advanced.quantization_type": "pq",
+            "advanced.min_batch_size_for_quantization": 128,
+        }},
+    })
+    assert cfg.mode == "on_disk"
+
+
+def test_on_disk_flush_search_merge(tmp_path):
+    cfg = DiskAnnConfig(
+        dim=DIM, similarity=SimilarityFunction.EUCLIDEAN, m=8,
+        ef_construction=32, quantization_type="pq",
+        min_batch_size_for_quantization=128, num_pq_subspaces=4,
+        mode="on_disk",
+    )
+    idx = VectorIndex(tmp_path, cfg)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((600, DIM)).astype(np.float32)
+    for i in range(600):
+        idx.add(i, v[i])
+    name = idx.flush()
+
+    seg = read_segment(tmp_path / name)
+    assert seg.row_store is not None  # rows on the host tier
+    assert seg.vectors is None  # NOT in device memory
+    assert seg.pqv is not None
+    assert (tmp_path / name / "rows.f32").exists()
+
+    q = rng.standard_normal((8, DIM)).astype(np.float32)
+    res = idx.search(q, SearchConfig(k=10, ef_search=64))
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+    rec = recall_at_k(res.doc_ids, truth, 10)
+    assert rec >= 0.8, rec
+    assert res.reranked > 0  # host-tier rerank actually ran
+
+    # merge keeps working (rows materialized through the store)
+    idx.delete([1, 2])
+    idx.force_merge()
+    res2 = idx.search(q, SearchConfig(k=10, ef_search=64))
+    assert not np.isin(res2.doc_ids, [1, 2]).any()
