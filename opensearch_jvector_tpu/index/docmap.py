@@ -16,12 +16,31 @@ import numpy as np
 
 @dataclasses.dataclass
 class DocMap:
-    """ord_to_doc[i] = doc id for graph ordinal i (-1 = hole/deleted)."""
+    """ord_to_doc[i] = doc id for graph ordinal i (-1 = hole/deleted).
+
+    `ord_to_parent` supports nested documents (parity with the reference's
+    nested-field path, index/query/lucenelib + nested iterators): child
+    vectors carry their parent doc id; queries aggregate child hits to
+    parents unless expand_nested_docs is set.
+    """
 
     ord_to_doc: np.ndarray  # int64 [num_ordinals]
+    ord_to_parent: np.ndarray | None = None  # int64 [num_ordinals], -1=root
 
     def __post_init__(self):
         self.ord_to_doc = np.asarray(self.ord_to_doc, np.int64)
+        if self.ord_to_parent is not None:
+            self.ord_to_parent = np.asarray(self.ord_to_parent, np.int64)
+
+    def lookup_parents(self, docs: np.ndarray) -> np.ndarray:
+        """doc ids -> parent ids (-1 where the doc is not nested)."""
+        if self.ord_to_parent is None:
+            return np.full_like(np.asarray(docs, np.int64), -1)
+        inv = {int(d): int(p) for d, p in
+               zip(self.ord_to_doc, self.ord_to_parent) if d >= 0}
+        flat = np.asarray(docs, np.int64).reshape(-1)
+        out = np.asarray([inv.get(int(d), -1) for d in flat], np.int64)
+        return out.reshape(np.asarray(docs).shape)
 
     @property
     def num_ordinals(self) -> int:
@@ -46,7 +65,12 @@ class DocMap:
         mask = self.ord_to_doc >= 0
         new = self.ord_to_doc.copy()
         new[mask] = old_to_new_doc[self.ord_to_doc[mask]]
-        return DocMap(new)
+        parents = None
+        if self.ord_to_parent is not None:
+            parents = self.ord_to_parent.copy()
+            pm = parents >= 0
+            parents[pm] = old_to_new_doc[self.ord_to_parent[pm]]
+        return DocMap(new, parents)
 
     def mark_deleted_docs(self, deleted_docs: np.ndarray) -> np.ndarray:
         """Ordinals whose doc is deleted (to tombstone in the graph)."""

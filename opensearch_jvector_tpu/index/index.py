@@ -72,8 +72,9 @@ class VectorIndex:
 
     # -- ingest --------------------------------------------------------------
 
-    def add(self, doc_id: int, vector) -> None:
-        self.writer.add_document(doc_id, vector)
+    def add(self, doc_id: int, vector, parent_id: int | None = None) -> None:
+        """Add a document vector; `parent_id` marks a nested child vector."""
+        self.writer.add_document(doc_id, vector, parent_id=parent_id)
 
     def delete(self, doc_ids) -> None:
         """Tombstone docs; folded into graphs at the next merge."""
@@ -109,6 +110,24 @@ class VectorIndex:
                 sum(1 for d in docs[ok] if int(d) not in self._deleted_docs)
             )
         return total
+
+    def has_nested(self) -> bool:
+        """True when any segment carries nested (parent-tagged) vectors."""
+        return any(
+            self._reader(n).seg.docmap.ord_to_parent is not None
+            for n in self._segments
+        )
+
+    def parents_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        """child doc ids -> parent ids (-1 for root docs), across segments."""
+        out = np.full_like(np.asarray(doc_ids, np.int64), -1)
+        for name in self._segments:
+            dm = self._reader(name).seg.docmap
+            if dm.ord_to_parent is None:
+                continue
+            p = dm.lookup_parents(doc_ids)
+            out = np.where(out < 0, p, out)
+        return out
 
     def get_vector(self, doc_id: int) -> np.ndarray | None:
         """Fetch a document's vector from index storage (derived source).

@@ -133,7 +133,7 @@ def _incremental_merge(
     lead_cap = lead.capacity()
     lead_vecs = _materialize_vectors(lead)
 
-    new_vec_blocks, new_doc_blocks = [], []
+    new_vec_blocks, new_doc_blocks, new_parent_blocks = [], [], []
     for s in others:
         live = np.asarray(s.graph.live)
         docs = s.docmap.ord_to_doc
@@ -144,6 +144,11 @@ def _incremental_merge(
         v = _materialize_vectors(s)
         new_vec_blocks.append(np.asarray(v)[ids])
         new_doc_blocks.append(docs[ids])
+        new_parent_blocks.append(
+            s.docmap.ord_to_parent[ids]
+            if s.docmap.ord_to_parent is not None
+            else np.full(ids.size, -1, np.int64)
+        )
     n_new = sum(b.shape[0] for b in new_vec_blocks)
 
     capacity = lead_cap + n_new
@@ -159,6 +164,7 @@ def _incremental_merge(
         beam_width=cfg.ef_construction,
         alpha=cfg.alpha,
         neighbor_overflow=cfg.neighbor_overflow,
+        hierarchy_enabled=cfg.hierarchy_enabled,
         batch_size=batch_size,
     )
 
@@ -183,11 +189,21 @@ def _incremental_merge(
     # `live`; fold them into the adjacency now
     graph = builder.cleanup(graph, all_vectors, cfg.similarity)
 
+    lead_parents = (
+        lead.docmap.ord_to_parent
+        if lead.docmap.ord_to_parent is not None
+        else np.full(lead.docmap.num_ordinals, -1, np.int64)
+    )
+    parents = (
+        np.concatenate([lead_parents] + new_parent_blocks)
+        if n_new else lead_parents
+    )
     docmap = DocMap(
         np.concatenate(
             [lead.docmap.ord_to_doc]
             + new_doc_blocks
-        ) if n_new else lead.docmap.ord_to_doc
+        ) if n_new else lead.docmap.ord_to_doc,
+        parents if (parents >= 0).any() else None,
     )
     return Segment(
         name=out_name, config=cfg, graph=graph, docmap=docmap,
@@ -202,7 +218,7 @@ def _full_rebuild_merge(
     batch_size: int,
 ) -> Segment:
     """Rebuild from scratch over all live vectors (compacts ordinals)."""
-    vec_blocks, doc_blocks = [], []
+    vec_blocks, doc_blocks, parent_blocks = [], [], []
     lead_idx = _elect_leading(segments)
     for s in segments:
         live = np.asarray(s.graph.live)
@@ -214,6 +230,11 @@ def _full_rebuild_merge(
         v = np.asarray(_materialize_vectors(s))
         vec_blocks.append(v[ids])
         doc_blocks.append(docs[ids])
+        parent_blocks.append(
+            s.docmap.ord_to_parent[ids]
+            if s.docmap.ord_to_parent is not None
+            else np.full(ids.size, -1, np.int64)
+        )
 
     if not vec_blocks:
         return Segment(
@@ -224,7 +245,9 @@ def _full_rebuild_merge(
         )
 
     all_vectors = jnp.asarray(np.concatenate(vec_blocks))
-    docmap = DocMap(np.concatenate(doc_blocks))
+    parents = np.concatenate(parent_blocks)
+    docmap = DocMap(np.concatenate(doc_blocks),
+                    parents if (parents >= 0).any() else None)
     n = all_vectors.shape[0]
 
     pqv = _merged_pq(cfg, segments[lead_idx], all_vectors, n)
@@ -242,6 +265,7 @@ def _full_rebuild_merge(
         beam_width=cfg.ef_construction,
         alpha=cfg.alpha,
         neighbor_overflow=cfg.neighbor_overflow,
+        hierarchy_enabled=cfg.hierarchy_enabled,
         batch_size=batch_size,
     )
     graph = builder.build(all_vectors, cfg.similarity, pq=build_pq)

@@ -104,6 +104,8 @@ class SegmentReader:
             )
 
         kwargs: dict = {}
+        if seg.graph.upper_adjacency is not None:  # hierarchy layer
+            kwargs["upper_adjacency"] = seg.graph.upper_adjacency
         if seg.pqv is not None:
             kwargs["pq_codes"] = seg.pqv.codes
             kwargs["pq_codebooks"] = seg.pqv.pq.codebooks
@@ -141,6 +143,10 @@ class SegmentReader:
                 visited_count=res.visited_count[:real_q],
                 expanded_count=res.expanded_count[:real_q],
                 reranked_count=res.reranked_count[:real_q],
+                expanded_base_count=(
+                    res.expanded_base_count[:real_q]
+                    if res.expanded_base_count is not None else None
+                ),
             )
 
         qn = real_q
@@ -150,11 +156,15 @@ class SegmentReader:
         visited = int(np.asarray(res.visited_count).sum())
         expanded = int(np.asarray(res.expanded_count).sum())
         reranked = int(np.asarray(res.reranked_count).sum())
+        base_expanded = (
+            int(np.asarray(res.expanded_base_count).sum())
+            if res.expanded_base_count is not None else expanded
+        )
         self.stats.increment(Counter.KNN_QUERY_VISITED_NODES, visited)
         self.stats.increment(Counter.KNN_QUERY_EXPANDED_NODES, expanded)
         self.stats.increment(
-            Counter.KNN_QUERY_EXPANDED_BASE_LAYER_NODES, expanded
-        )  # single-layer graph: base layer == total (hierarchy off default)
+            Counter.KNN_QUERY_EXPANDED_BASE_LAYER_NODES, base_expanded
+        )
         self.stats.increment(Counter.KNN_QUERY_RERANKED_COUNT, reranked)
 
         ords = np.asarray(res.ids)

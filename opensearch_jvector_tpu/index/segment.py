@@ -101,14 +101,15 @@ def write_segment(root: str | Path, seg: Segment) -> Path:
     }
     store.write_container(d / "meta.jvtpu", meta, {})
 
+    graph_arrays = {
+        "adjacency": np.asarray(seg.graph.adjacency),
+        "degrees": np.asarray(seg.graph.degrees),
+        "live": np.asarray(seg.graph.live),
+    }
+    if seg.graph.upper_adjacency is not None:  # hierarchy layer
+        graph_arrays["upper_adjacency"] = np.asarray(seg.graph.upper_adjacency)
     store.write_container(
-        d / "graph.jvtpu",
-        {"entry": int(seg.graph.entry)},
-        {
-            "adjacency": np.asarray(seg.graph.adjacency),
-            "degrees": np.asarray(seg.graph.degrees),
-            "live": np.asarray(seg.graph.live),
-        },
+        d / "graph.jvtpu", {"entry": int(seg.graph.entry)}, graph_arrays
     )
     on_disk = (
         seg.config.mode == "on_disk" and seg.pqv is not None
@@ -150,9 +151,10 @@ def write_segment(root: str | Path, seg: Segment) -> Path:
                 "codes": np.asarray(seg.pqv.codes),
             },
         )
-    store.write_container(
-        d / "docmap.jvtpu", {}, {"ord_to_doc": seg.docmap.ord_to_doc}
-    )
+    docmap_arrays = {"ord_to_doc": seg.docmap.ord_to_doc}
+    if seg.docmap.ord_to_parent is not None:
+        docmap_arrays["ord_to_parent"] = seg.docmap.ord_to_parent
+    store.write_container(d / "docmap.jvtpu", {}, docmap_arrays)
     return d
 
 
@@ -167,9 +169,13 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
         degrees=jnp.asarray(garr["degrees"]),
         live=jnp.asarray(garr["live"]),
         entry=jnp.int32(gmeta["entry"]),
+        upper_adjacency=(
+            jnp.asarray(garr["upper_adjacency"])
+            if "upper_adjacency" in garr else None
+        ),
     )
     dmeta, darr = store.read_container(d / "docmap.jvtpu", verify=verify)
-    docmap = DocMap(darr["ord_to_doc"])
+    docmap = DocMap(darr["ord_to_doc"], darr.get("ord_to_parent"))
 
     vectors = None
     nvq = None

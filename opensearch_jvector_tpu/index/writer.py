@@ -45,11 +45,16 @@ class IndexWriter:
         self.stats = stats
         self.build_batch_size = build_batch_size
         self._doc_ids: list[int] = []
+        self._parent_ids: list[int] = []
         self._vectors: list[np.ndarray] = []
         self._flush_counter = 0
 
-    def add_document(self, doc_id: int, vector) -> None:
-        """Buffer one document's vector (float32 only, dim-checked)."""
+    def add_document(self, doc_id: int, vector, parent_id: int | None = None
+                     ) -> None:
+        """Buffer one document's vector (float32 only, dim-checked).
+
+        `parent_id` marks a nested child vector (nested-field parity).
+        """
         v = np.asarray(vector)
         if v.dtype.kind not in "f":
             raise TypeError(
@@ -61,6 +66,7 @@ class IndexWriter:
                 f"vector shape {v.shape} != (dim={self.config.dim},)"
             )
         self._doc_ids.append(int(doc_id))
+        self._parent_ids.append(-1 if parent_id is None else int(parent_id))
         self._vectors.append(v.astype(np.float32))
 
     def num_buffered(self) -> int:
@@ -123,6 +129,8 @@ class IndexWriter:
 
         vectors = jnp.asarray(np.stack(self._vectors))
         doc_ids = np.asarray(self._doc_ids, np.int64)
+        parent_ids = np.asarray(self._parent_ids, np.int64)
+        has_nested = bool((parent_ids >= 0).any())
 
         cfg = self.config
         pqv, nvq, build_pq = self._quantize_for_flush(vectors)
@@ -142,7 +150,7 @@ class IndexWriter:
             Counter.KNN_GRAPH_BUILD_TIME, int((time.monotonic() - t0) * 1000)
         )
 
-        docmap = DocMap(doc_ids)
+        docmap = DocMap(doc_ids, parent_ids if has_nested else None)
         if sort_map is not None:
             docmap = docmap.apply_sort(np.asarray(sort_map))
 
@@ -160,5 +168,6 @@ class IndexWriter:
         path = write_segment(self.root, seg)
         self.stats.increment(Counter.KNN_FLUSH_COUNT)
         self._doc_ids.clear()
+        self._parent_ids.clear()
         self._vectors.clear()
         return path

@@ -262,10 +262,7 @@ class GraphIndexBuilder:
         seed: int = 42,
         refine_passes: int = 0,
     ):
-        if hierarchy_enabled:
-            # Reference default is off (KNNConstants.java:112); single-layer
-            # Vamana built here. Accepted for config parity.
-            pass
+        self.hierarchy_enabled = bool(hierarchy_enabled)
         self.dim = dim
         self.max_degree = int(max_degree)
         self.beam_width = int(beam_width)
@@ -686,9 +683,46 @@ class GraphIndexBuilder:
             s = pairwise_scores(mean, lv, simf)[0]
             entry = int(live_ids[int(jnp.argmax(s))])
 
+        upper = None
+        if self.hierarchy_enabled:
+            upper = self._build_upper_layer(vectors, live, entry, simf)
+
         return VamanaGraph(
             adjacency=st.dev,
             degrees=jnp.asarray(st.deg),
             live=jnp.asarray(live),
             entry=jnp.int32(entry),
+            upper_adjacency=upper,
         )
+
+    def _build_upper_layer(self, vectors, live, entry, simf):
+        """Coarse hierarchy layer (hierarchy_enabled parity, HNSW-style).
+
+        A Vamana graph over a ~4*sqrt(n) sample (entry included), expressed
+        in the BASE ordinal space as a sparse full-height adjacency so the
+        same score providers drive both layers. Rebuilt at cleanup — it is
+        orders of magnitude smaller than the base layer.
+        """
+        live_ids = np.nonzero(np.asarray(live))[0]
+        n = live_ids.size
+        if n < 8:
+            return None
+        rng = np.random.default_rng(self.seed + 7)
+        s_size = min(n, max(64, int(4 * np.sqrt(n))))
+        members = rng.choice(live_ids, s_size, replace=False)
+        if entry not in members:
+            members[0] = entry
+        members = np.unique(members)
+        m_up = min(16, self.max_degree)
+        sub = GraphIndexBuilder(
+            dim=self.dim, max_degree=m_up, beam_width=64,
+            alpha=self.alpha, batch_size=min(self.batch_size, 1024),
+            seed=self.seed + 11,
+        )
+        sub_graph = sub.build(vectors[jnp.asarray(members)], simf)
+        local = np.asarray(sub_graph.adjacency)[:, :m_up]
+        translated = np.where(local >= 0, members[np.clip(local, 0, None)], -1)
+        capacity = live.shape[0]
+        upper = np.full((capacity, m_up), -1, np.int32)
+        upper[members] = translated
+        return jnp.asarray(upper)

@@ -27,12 +27,19 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class VamanaGraph:
-    """Device-resident Vamana graph state (a pytree)."""
+    """Device-resident Vamana graph state (a pytree).
+
+    `upper_adjacency` is the optional hierarchy layer (hierarchy_enabled,
+    HNSW-style): a sparse coarse graph over a sampled subset of nodes, in
+    the SAME ordinal space (rows of non-members are -1). A query first
+    descends the upper layer to pick a good base-layer entry point.
+    """
 
     adjacency: jax.Array  # int32 [capacity, max_degree], -1 padded
     degrees: jax.Array  # int32 [capacity]
     live: jax.Array  # bool [capacity]
     entry: jax.Array  # int32 scalar
+    upper_adjacency: jax.Array | None = None  # int32 [capacity, m_up] | None
 
     @property
     def capacity(self) -> int:
@@ -66,6 +73,12 @@ class VamanaGraph:
         if new_capacity <= self.capacity:
             return self
         pad = new_capacity - self.capacity
+        upper = None
+        if self.upper_adjacency is not None:
+            upper = jnp.concatenate(
+                [self.upper_adjacency,
+                 jnp.full((pad, self.upper_adjacency.shape[1]), -1, jnp.int32)]
+            )
         return VamanaGraph(
             adjacency=jnp.concatenate(
                 [self.adjacency, jnp.full((pad, self.max_degree), -1, jnp.int32)]
@@ -73,4 +86,5 @@ class VamanaGraph:
             degrees=jnp.concatenate([self.degrees, jnp.zeros((pad,), jnp.int32)]),
             live=jnp.concatenate([self.live, jnp.zeros((pad,), bool)]),
             entry=self.entry,
+            upper_adjacency=upper,
         )

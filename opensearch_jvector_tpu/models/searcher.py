@@ -92,13 +92,15 @@ class SearchParams:
 
 @dataclasses.dataclass
 class SearchResult:
-    """Batched results + per-batch counters."""
+    """Batched results + per-batch counters (SearchResult parity incl. the
+    base-layer expansion split used when the hierarchy layer is on)."""
 
     ids: jax.Array  # [Q, k] int32 (-1 pad)
     scores: jax.Array  # [Q, k] f32 (-inf pad)
     visited_count: jax.Array  # [Q] nodes scored
-    expanded_count: jax.Array  # [Q] nodes expanded
+    expanded_count: jax.Array  # [Q] nodes expanded (all layers)
     reranked_count: jax.Array  # [Q]
+    expanded_base_count: jax.Array | None = None  # [Q] base layer only
 
 
 def _in_list(items: jax.Array, pool: jax.Array) -> jax.Array:
@@ -157,7 +159,11 @@ def beam_search(
     m = adjacency.shape[1]
     v_cap = max_iters * E
 
-    entry_ids = jnp.broadcast_to(entry[None], (q, 1)).astype(jnp.int32)
+    # entry: scalar (shared) or [Q] (per-query, e.g. from the upper layer)
+    entry_arr = jnp.atleast_1d(jnp.asarray(entry, jnp.int32))
+    entry_ids = jnp.broadcast_to(entry_arr[:, None], (q, 1)) if (
+        entry_arr.shape[0] == q
+    ) else jnp.broadcast_to(entry_arr[None, 0], (q, 1))
     entry_scores = score_fn(ctx, qstate, entry_ids)  # [Q, 1]
 
     cand_ids = jnp.full((q, L), -1, jnp.int32).at[:, 0].set(entry_ids[:, 0])
@@ -272,6 +278,7 @@ def _make_search_fn(
     threshold: float,
     rerank_floor: float,
     masked_results: bool,
+    use_upper: bool,
 ):
     """Build (and cache) ONE jitted program for the whole two-phase search.
 
@@ -284,7 +291,8 @@ def _make_search_fn(
 
     @jax.jit
     def run(adjacency, live, entry, queries, accept,
-            vectors, pq_codes, pq_codebooks, pq_center, rerank_vectors, nvq):
+            vectors, pq_codes, pq_codebooks, pq_center, rerank_vectors, nvq,
+            upper_adjacency):
         qn = queries.shape[0]
         if use_pq:
             nsub, _, dsub = pq_codebooks.shape
@@ -301,10 +309,22 @@ def _make_search_fn(
         else:
             qstate, ctx = queries, {"vectors": vectors}
 
+        upper_expanded = jnp.zeros((qn,), jnp.int32)
+        if use_upper:
+            # hierarchy layer: short beam on the coarse graph picks a
+            # per-query base-layer entry point (HNSW-style descent)
+            up_ids, _, up_visited, upper_expanded = beam_search(
+                upper_adjacency, live, entry, qstate, ctx, accept, provider,
+                L=16, E=4, R=1, max_iters=8, masked_results=False,
+            )
+            entry = jnp.where(up_ids[:, 0] >= 0, up_ids[:, 0],
+                              jnp.broadcast_to(entry, (qn,)))
         res_ids, res_scores, visited, expanded = beam_search(
             adjacency, live, entry, qstate, ctx, accept, provider,
             L=ef, E=e, R=r, max_iters=iters, masked_results=masked_results,
         )
+        base_expanded = expanded
+        expanded = expanded + upper_expanded
 
         # ---- rerank phase -------------------------------------------------
         if use_pq and rerank_src != "none":
@@ -333,7 +353,8 @@ def _make_search_fn(
             keep &= final_scores >= threshold
         final_ids = jnp.where(keep, final_ids, -1)
         final_scores = jnp.where(keep, final_scores, NEG_INF)
-        return final_ids, final_scores, visited, expanded, reranked
+        return (final_ids, final_scores, visited, expanded, base_expanded,
+                reranked)
 
     return run
 
@@ -355,6 +376,7 @@ def search(
     nvq=None,  # NVQVectors: lazy-decoded rerank source (nvq+pq segments)
     has_tombstones: bool = True,  # False -> skip result masking when
     # unfiltered (clean graph: every pool entry is live)
+    upper_adjacency: jax.Array | None = None,  # hierarchy layer (optional)
 ) -> SearchResult:
     """Two-phase search over one graph segment (ONE compiled program).
 
@@ -389,15 +411,18 @@ def search(
         simf.value, use_pq, rerank_src, params.k, ef,
         params.expansions_per_iter, r, iters,
         float(params.threshold), float(params.rerank_floor), masked_results,
+        upper_adjacency is not None,
     )
-    final_ids, final_scores, visited, expanded, reranked = fn(
+    final_ids, final_scores, visited, expanded, base_expanded, reranked = fn(
         adjacency, live, entry, queries, accept,
         vectors, pq_codes, pq_codebooks, pq_center, rerank_vectors, nvq,
+        upper_adjacency,
     )
     return SearchResult(
         ids=final_ids,
         scores=final_scores,
         visited_count=visited,
         expanded_count=expanded,
+        expanded_base_count=base_expanded,
         reranked_count=reranked,
     )

@@ -54,10 +54,14 @@ def execute_knn_query(
     if fcount is not None and fcount <= threshold:
         return _exact_over_segments(index, query, k)
 
+    nested = index.has_nested() and not query.expand_nested_docs
     fetch_k = k
     if query.rescore is not None:
         fetch_k = min(int(np.ceil(k * query.rescore.oversample_factor)),
                       10_000)
+    if nested:
+        # oversample children so k distinct parents survive the collapse
+        fetch_k = min(fetch_k * 3, 10_000)
     sc = SearchConfig(
         k=fetch_k,
         ef_search=query.ef_search,
@@ -69,8 +73,40 @@ def execute_knn_query(
     res = index.search(query.vector, sc, accept_docs=query.filter_docs)
 
     if query.rescore is not None:
-        res = _rescore(index, query, res, k)
+        res = _rescore(index, query, res, k if not nested else fetch_k)
+    if nested:
+        res = _collapse_nested(index, res, k)
     return res
+
+
+def _collapse_nested(index: VectorIndex, res: QueryResult,
+                     k: int) -> QueryResult:
+    """Aggregate child hits to parents (max child score per parent).
+
+    Lucene nested-knn semantics: the parent joins its best-scoring child
+    (lucenelib nested queries); expand_nested_docs=True skips this.
+    """
+    ids = res.doc_ids
+    parents = index.parents_of(ids)
+    # docs without a parent represent themselves
+    group = np.where(parents >= 0, parents, ids)
+    out_ids = np.full((ids.shape[0], k), -1, np.int64)
+    out_scores = np.full((ids.shape[0], k), -np.inf, np.float32)
+    for qi in range(ids.shape[0]):
+        seen: dict[int, float] = {}
+        order = []
+        for d, g, s in zip(ids[qi], group[qi], res.scores[qi]):
+            if d < 0 or not np.isfinite(s):
+                continue
+            if int(g) not in seen:  # hits arrive score-desc: first is max
+                seen[int(g)] = float(s)
+                order.append(int(g))
+            if len(order) >= k:
+                break
+        for j, g in enumerate(order):
+            out_ids[qi, j] = g
+            out_scores[qi, j] = seen[g]
+    return dataclasses.replace(res, doc_ids=out_ids, scores=out_scores)
 
 
 def _exact_over_segments(index: VectorIndex, query: KnnQuery,
