@@ -173,7 +173,9 @@ def _incremental_merge(
         int(np.asarray(graph.live).sum()) + n_new,
     )
     build_pq = None
-    if pqv is not None:
+    if pqv is not None and cfg.mode == "on_disk":
+        # PQ build scoring only for the memory-constrained tier (fp32 is
+        # resident during in-memory merges; exact MXU scoring is faster)
         build_pq = {
             "codes": pqv.codes,
             "codebooks": pqv.pq.codebooks,
@@ -252,7 +254,9 @@ def _full_rebuild_merge(
 
     pqv = _merged_pq(cfg, segments[lead_idx], all_vectors, n)
     build_pq = None
-    if pqv is not None:
+    if pqv is not None and cfg.mode == "on_disk":
+        # PQ build scoring only for the memory-constrained tier (fp32 is
+        # resident during in-memory merges; exact MXU scoring is faster)
         build_pq = {
             "codes": pqv.codes,
             "codebooks": pqv.pq.codebooks,

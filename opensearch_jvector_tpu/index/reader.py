@@ -106,13 +106,21 @@ class SegmentReader:
         kwargs: dict = {}
         if seg.graph.upper_adjacency is not None:  # hierarchy layer
             kwargs["upper_adjacency"] = seg.graph.upper_adjacency
-        if seg.pqv is not None:
+        vectors, nvq = seg.rerank_source()
+        # TPU-first provider choice: when fp32 rows are resident in HBM
+        # (in_memory PQ segments keep them for rerank anyway), exact MXU
+        # scoring of beam candidates is both faster than ADC table gathers
+        # (XLA gathers ~1e8/s) and strictly more accurate, so the PQ codes
+        # serve build scoring / merges / the on_disk tier instead of the
+        # in-memory query path. NVQ segments have no resident fp32 -> the
+        # aux PQ drives the approximate phase, NVQ decode drives rerank
+        # (reference behavior).
+        if vectors is not None:
+            kwargs["vectors"] = vectors
+        elif seg.pqv is not None:
             kwargs["pq_codes"] = seg.pqv.codes
             kwargs["pq_codebooks"] = seg.pqv.pq.codebooks
             kwargs["pq_center"] = seg.pqv.pq.center
-        vectors, nvq = seg.rerank_source()
-        if vectors is not None:
-            kwargs["vectors"] = vectors
         if nvq is not None:
             kwargs["nvq"] = nvq
             # approximate phase rides the aux PQ; exact phase decodes NVQ

@@ -97,11 +97,17 @@ class IndexWriter:
             Counter.KNN_QUANTIZATION_TRAINING_TIME,
             int((time.monotonic() - t0) * 1000),
         )
-        build_pq = {
-            "codes": pqv.codes,
-            "codebooks": pqv.pq.codebooks,
-            "center": pqv.pq.center,
-        }
+        # Quantized construction (PQ build-score provider) only where it
+        # buys something on TPU: the fp32 array is resident during flush, so
+        # exact MXU scoring is faster than ADC gathers; on_disk mode keeps
+        # the PQ-build path (memory-constrained tier, reference behavior).
+        build_pq = None
+        if cfg.mode == "on_disk":
+            build_pq = {
+                "codes": pqv.codes,
+                "codebooks": pqv.pq.codebooks,
+                "center": pqv.pq.center,
+            }
         return pqv, nvq, build_pq
 
     def flush(self, name: str | None = None, sort_map=None) -> Path | None:

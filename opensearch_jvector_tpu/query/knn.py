@@ -109,6 +109,61 @@ def _collapse_nested(index: VectorIndex, res: QueryResult,
     return dataclasses.replace(res, doc_ids=out_ids, scores=out_scores)
 
 
+def execute_script_score(
+    index: VectorIndex,
+    space: str,
+    query_value,
+    k: int = 10,
+    accept_docs=None,
+) -> QueryResult:
+    """Exact script scoring over the whole index (painless knn_score parity).
+
+    The reference's `knn_score` painless script
+    (plugin/script/KNNScoringScriptEngine + KNNScoringSpaceFactory) scores
+    every candidate doc with a space function; here it is one batched scan
+    per segment (KNNScoringUtil.java:100-253 space semantics via
+    query/exact.script_score).
+    """
+    from opensearch_jvector_tpu.query.exact import _segment_fp32, script_score
+
+    q = np.asarray(query_value, np.float32)
+    best_ids = np.full((1, k), -1, np.int64)
+    best_scores = np.full((1, k), -np.inf, np.float32)
+    for name in index.segment_names:
+        seg = index._reader(name).seg
+        rows = np.asarray(_segment_fp32(seg))
+        scores = script_score(q, rows, space)
+        docs = seg.docmap.ord_to_doc
+        live = np.asarray(seg.graph.live)
+        ok = live & (docs >= 0)
+        if accept_docs is not None:
+            ok = ok & _accept_ords(seg, accept_docs)
+        if index._deleted_docs:
+            ok = ok & ~np.isin(docs, np.fromiter(index._deleted_docs,
+                                                 np.int64))
+        scores = np.where(ok, scores, -np.inf)
+        kk = min(k, scores.shape[0])
+        idx_top = np.argpartition(-scores, kk - 1)[:kk]
+        idx_top = idx_top[np.argsort(-scores[idx_top], kind="stable")]
+        seg_ids = np.where(scores[idx_top] > -np.inf, docs[idx_top], -1)
+        best_ids = np.concatenate([best_ids, seg_ids[None, :]], axis=1)
+        best_scores = np.concatenate(
+            [best_scores, scores[idx_top][None, :]], axis=1
+        )
+    order = np.argsort(-best_scores, axis=1, kind="stable")[:, :k]
+    ids = np.take_along_axis(best_ids, order, axis=1)
+    scores = np.take_along_axis(best_scores, order, axis=1)
+    if ids.shape[1] < k:
+        pad = k - ids.shape[1]
+        ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)
+    from opensearch_jvector_tpu.api.stats import Counter
+
+    index.stats.increment(Counter.SCRIPT_QUERY_REQUESTS)
+    return QueryResult(doc_ids=ids, scores=scores,
+                       visited=0, expanded=0, reranked=0)
+
+
 def _exact_over_segments(index: VectorIndex, query: KnnQuery,
                          k: int) -> QueryResult:
     """Brute-force scan of every segment (restrictive-filter path)."""

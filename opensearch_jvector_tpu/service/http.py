@@ -187,7 +187,34 @@ def _make_handler(mgr: IndexManager):
             idx, field = mgr.get(index_name)
             body = self._body()
             size = int(body.get("size", 10))
-            qroot = (body.get("query") or {}).get("knn") or {}
+            qbody = body.get("query") or {}
+
+            # painless-style script_score (knn_score engine parity):
+            # {"script_score": {"script": {"source": "knn_score",
+            #   "lang": "knn", "params": {field, query_value, space_type}}}}
+            if "script_score" in qbody:
+                script = (qbody["script_score"] or {}).get("script") or {}
+                if script.get("source") != "knn_score" or (
+                    script.get("lang", "knn") != "knn"
+                ):
+                    return self._error(
+                        400, "only the knn_score script is allowlisted"
+                    )
+                p = script.get("params") or {}
+                if p.get("field", field) != field:
+                    return self._error(400, f"unknown field {p.get('field')}")
+                res = knn_mod.execute_script_score(
+                    idx, p.get("space_type", "l2"), p["query_value"], k=size,
+                )
+                hits = [
+                    {"_id": int(d), "_score": float(s)}
+                    for d, s in zip(res.doc_ids[0], res.scores[0]) if d >= 0
+                ]
+                return self._send(200, {
+                    "hits": {"total": {"value": len(hits)}, "hits": hits},
+                })
+
+            qroot = qbody.get("knn") or {}
             if field not in qroot:
                 return self._error(400, f"knn query must target field {field}")
             query = parse_knn_query(qroot[field])

@@ -144,7 +144,9 @@ def test_quantized_flush_pq(tmp_path):
     assert seg.pqv.codes.shape == (600, 4)
     assert seg.vectors is not None  # PQ keeps fp32 inline for rerank
     res = idx.search(_vectors(4, seed=3), SearchConfig(k=5, ef_search=48))
-    assert res.reranked > 0  # two-phase search actually reranked
+    # in-memory PQ segments score the beam exactly on the MXU (PQ codes
+    # serve build/merge/on_disk); the two-phase rerank path is exercised by
+    # the on_disk and NVQ tests
     assert (res.doc_ids >= 0).all()
 
 
