@@ -76,6 +76,13 @@ class SegmentReader:
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
+        if seg.capacity() == 0:  # fully-empty segment (e.g. all-deleted merge)
+            qn0 = queries.shape[0]
+            return QueryResult(
+                doc_ids=np.full((qn0, sc.k), -1, np.int64),
+                scores=np.full((qn0, sc.k), -np.inf, np.float32),
+                visited=0, expanded=0, reranked=0,
+            )
         # Bucket the batch size to a power of two (min 8): each distinct
         # shape is a separate XLA compile, and callers send arbitrary counts.
         real_q = queries.shape[0]

@@ -8,14 +8,15 @@ reranked with exact scores.
 
 Design for XLA (no data-dependent shapes):
   * A whole batch of queries runs in one compiled program (`Q` static).
-  * Per query, a fixed-size candidate pool `L` (ef_search), `E` parallel
-    expansions per iteration (beam widening — raises arithmetic intensity of
-    the neighbor-gather + score step), a fixed-capacity visited buffer, and a
-    result pool `R = k * overquery_factor` (accepted-only, mirroring the
-    reference's separate result queue).
+  * Per query: a fixed-size candidate pool `L` (ef_search) that doubles as a
+    running deduplicated top-L of everything scored, `E` parallel expansions
+    per iteration (beam widening — raises arithmetic intensity of the
+    neighbor-gather + score step), and a fixed-capacity visited buffer.
   * `lax.while_loop` with an `active` mask per query; a query goes inactive
-    when its best unexpanded candidate scores below its worst result
-    (jVector's termination rule) or the iteration budget is hit.
+    when its pool has no unexpanded candidates or the iteration budget is
+    hit; results = the pool's accepted top-`R = k * overquery_factor`.
+  * Optional hierarchy pre-stage: a short beam on the coarse upper layer
+    picks a per-query base-layer entry point.
 
 Counters mirror `SearchResult` (visited/expanded/expanded-base-layer/
 reranked; JVectorReader.java:184-208).
@@ -81,7 +82,8 @@ class SearchParams:
     k: int
     ef_search: int = 100  # candidate pool size L
     overquery_factor: int = 5  # rerank pool R = k * overquery_factor
-    expansions_per_iter: int = 4  # E: beam widening factor
+    expansions_per_iter: int = 8  # E: beam widening factor (8 halves the
+    # while_loop iterations vs 4 at equal recall on TPU)
     max_iters: int = 0  # 0 -> derived from ef_search
     threshold: float = 0.0  # similarity cutoff on final results
     rerank_floor: float = 0.0  # approx-score floor to qualify for rerank

@@ -1,0 +1,127 @@
+"""Merge edge cases (JVectorMergeWithDeletedDocsTests coverage model):
+all-deleted segments, empty-segment merges, NVQ merge recompute, incremental
+vs guard-forced rebuild, leading-merge disable flag."""
+
+import numpy as np
+import pytest
+
+from opensearch_jvector_tpu.api.config import (
+    QUANT_NVQ,
+    QUANT_PQ,
+    DiskAnnConfig,
+    SearchConfig,
+)
+from opensearch_jvector_tpu.index.index import VectorIndex
+from opensearch_jvector_tpu.index.segment import read_segment
+from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
+DIM = 16
+
+
+def _cfg(**kw):
+    base = dict(dim=DIM, similarity=SimilarityFunction.EUCLIDEAN, m=8,
+                ef_construction=32, quantization_type="none")
+    base.update(kw)
+    return DiskAnnConfig(**base)
+
+
+def _vectors(n, seed=0):
+    return np.random.default_rng(seed).standard_normal((n, DIM)).astype(
+        np.float32)
+
+
+def test_merge_with_everything_deleted(tmp_path):
+    idx = VectorIndex(tmp_path, _cfg())
+    v = _vectors(200)
+    for i in range(200):
+        idx.add(i, v[i])
+    idx.flush()
+    idx.delete(list(range(200)))
+    idx.force_merge()
+    assert idx.doc_count() == 0
+    res = idx.search(_vectors(2, seed=1), SearchConfig(k=5, ef_search=32))
+    assert (res.doc_ids == -1).all()
+    # the index keeps working after new ingest
+    for i in range(200, 260):
+        idx.add(i, v[i % 200])
+    idx.flush()
+    res = idx.search(v[7], SearchConfig(k=3, ef_search=32))
+    assert (res.doc_ids[0] >= 200).all()
+
+
+def test_merge_mixed_deleted_segments(tmp_path):
+    idx = VectorIndex(tmp_path, _cfg())
+    v = _vectors(400, seed=2)
+    for i in range(200):
+        idx.add(i, v[i])
+    idx.flush()
+    for i in range(200, 400):
+        idx.add(i, v[i])
+    idx.flush()
+    idx.delete(list(range(0, 200)))  # first segment fully dead
+    idx.force_merge()
+    assert len(idx.segment_names) == 1
+    assert idx.doc_count() == 200
+    res = idx.search(v[250], SearchConfig(k=3, ef_search=32))
+    assert res.doc_ids[0][0] == 250
+
+
+def test_nvq_merge_recomputes(tmp_path):
+    cfg = _cfg(quantization_type=QUANT_NVQ,
+               min_batch_size_for_quantization=128, num_pq_subspaces=4)
+    idx = VectorIndex(tmp_path, cfg)
+    v = _vectors(500, seed=3)
+    for i in range(250):
+        idx.add(i, v[i])
+    idx.flush()
+    for i in range(250, 500):
+        idx.add(i, v[i])
+    idx.flush()
+    idx.force_merge()
+    seg = read_segment(tmp_path / idx.segment_names[0])
+    assert seg.nvq is not None  # recomputed over the merged corpus
+    assert seg.nvq.bytes_.shape[0] == 500
+    res = idx.search(v[300], SearchConfig(k=3, ef_search=48))
+    assert res.doc_ids[0][0] == 300
+
+
+def test_leading_merge_disabled_forces_rebuild(tmp_path):
+    cfg = _cfg(quantization_type=QUANT_PQ,
+               min_batch_size_for_quantization=128, num_pq_subspaces=4,
+               leading_segment_merge_disabled=True)
+    idx = VectorIndex(tmp_path, cfg)
+    v = _vectors(600, seed=4)
+    for i in range(500):
+        idx.add(i, v[i])
+    idx.flush()
+    for i in range(500, 600):
+        idx.add(i, v[i])
+    idx.flush()
+    idx.force_merge()
+    seg = read_segment(tmp_path / idx.segment_names[0])
+    # full rebuild compacts: capacity == live count (incremental would
+    # preserve the leading segment's padded ordinal space)
+    assert seg.capacity() == 600
+    res = idx.search(v[550], SearchConfig(k=3, ef_search=48))
+    assert res.doc_ids[0][0] == 550
+
+
+def test_incremental_merge_keeps_capacity_structure(tmp_path):
+    cfg = _cfg(quantization_type=QUANT_PQ,
+               min_batch_size_for_quantization=128, num_pq_subspaces=4)
+    idx = VectorIndex(tmp_path, cfg)
+    v = _vectors(600, seed=5)
+    for i in range(500):
+        idx.add(i, v[i])
+    idx.flush()
+    for i in range(500, 600):
+        idx.add(i, v[i])
+    idx.flush()
+    idx.force_merge()
+    seg = read_segment(tmp_path / idx.segment_names[0])
+    # incremental path: leading 500-capacity + 100 appended
+    assert seg.capacity() == 600
+    assert seg.pqv is not None  # codebooks reused + refined, re-encoded
+    assert seg.pqv.codes.shape[0] == 600
+    res = idx.search(v[550], SearchConfig(k=3, ef_search=48))
+    assert res.doc_ids[0][0] == 550
