@@ -57,6 +57,28 @@ def parse_knn_vector_mapping(body: dict) -> tuple[DiskAnnConfig, dict]:
     if mode not in MODES:
         raise ValidationError(f"mode must be one of {MODES}: {mode}")
 
+    # CompressionLevel parity (CompressionLevel.java + Mode pairing): "x32"
+    # style levels translate to a PQ subspace count hitting that
+    # bytes-per-vector ratio, with the level's default rescore oversample
+    # (2x for <=x16, 3x for x32, 5x for x64 — CompressionLevel.java:49-61).
+    compression = body.get("compression_level")
+    compression_oversample = None
+    compression_subspaces = None
+    if compression is not None:
+        lv = str(compression).lower().lstrip("x")
+        if not lv.isdigit() or int(lv) not in (1, 2, 4, 8, 16, 32, 64):
+            raise ValidationError(
+                f"compression_level must be one of x1..x64 (powers of 2): "
+                f"{compression}"
+            )
+        factor = int(lv)
+        if factor > 1:
+            target_bytes = max(1, (int(body["dimension"]) * 4) // factor)
+            compression_subspaces = target_bytes
+            compression_oversample = (
+                5.0 if factor >= 64 else 3.0 if factor >= 32 else 2.0
+            )
+
     method = body.get("method") or {}
     name = method.get("name", "disk_ann")
     if name not in ("disk_ann", "hnsw"):
@@ -80,6 +102,12 @@ def parse_knn_vector_mapping(body: dict) -> tuple[DiskAnnConfig, dict]:
         raise ValidationError(f"unknown method parameters: {sorted(unknown)}")
 
     kwargs = dict(dim=dim, similarity=SPACE_TO_SIMILARITY[space], mode=mode)
+    if compression_subspaces is not None:
+        m_sub = compression_subspaces
+        while dim % m_sub != 0:  # subspaces must tile the dimension
+            m_sub -= 1
+        kwargs["num_pq_subspaces"] = max(1, m_sub)
+        kwargs["quantization_type"] = "pq"
     if "m" in p:
         kwargs["m"] = int(p["m"])
     if "ef_construction" in p:
@@ -104,4 +132,7 @@ def parse_knn_vector_mapping(body: dict) -> tuple[DiskAnnConfig, dict]:
         kwargs["leading_segment_merge_disabled"] = bool(
             p["advanced.leading_segment_merge_disabled"]
         )
-    return DiskAnnConfig(**kwargs), {"mode": mode, "space_type": space}
+    extras = {"mode": mode, "space_type": space}
+    if compression_oversample is not None:
+        extras["default_rescore_oversample"] = compression_oversample
+    return DiskAnnConfig(**kwargs), extras

@@ -67,3 +67,29 @@ def test_on_disk_flush_search_merge(tmp_path):
     idx.force_merge()
     res2 = idx.search(q, SearchConfig(k=10, ef_search=64))
     assert not np.isin(res2.doc_ids, [1, 2]).any()
+
+
+def test_compression_level_mapping():
+    cfg, extras = parse_knn_vector_mapping({
+        "type": "knn_vector", "dimension": 128,
+        "compression_level": "x32",
+    })
+    # 128 dims * 4B / 32 = 16 bytes/vector -> 16 subspaces, 3x oversample
+    assert cfg.num_pq_subspaces == 16
+    assert cfg.quantization_type == "pq"
+    assert extras["default_rescore_oversample"] == 3.0
+    cfg, extras = parse_knn_vector_mapping({
+        "type": "knn_vector", "dimension": 128, "compression_level": "x64",
+    })
+    assert cfg.num_pq_subspaces == 8
+    assert extras["default_rescore_oversample"] == 5.0
+    cfg, extras = parse_knn_vector_mapping({
+        "type": "knn_vector", "dimension": 128, "compression_level": "x1",
+    })
+    assert "default_rescore_oversample" not in extras  # x1 = no compression
+    import pytest as _pytest
+    from opensearch_jvector_tpu.api.config import ValidationError as _VE
+    with _pytest.raises(_VE):
+        parse_knn_vector_mapping({
+            "type": "knn_vector", "dimension": 128, "compression_level": "x3",
+        })
