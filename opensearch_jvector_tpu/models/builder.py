@@ -288,7 +288,7 @@ class GraphIndexBuilder:
         """
         r = self.beam_width
         params = searcher_mod.SearchParams(
-            k=r, ef_search=r, overquery_factor=1, expansions_per_iter=4
+            k=r, ef_search=r, overquery_factor=1, expansions_per_iter=8
         )
         if pq is not None:
             kwargs = dict(
