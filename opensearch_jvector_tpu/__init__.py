@@ -18,4 +18,48 @@ Layer map (mirrors SURVEY.md §7):
 
 from opensearch_jvector_tpu.api.version import __version__
 
-__all__ = ["__version__"]
+__all__ = [
+    "__version__",
+    "DiskAnnConfig",
+    "SearchConfig",
+    "SimilarityFunction",
+    "VectorIndex",
+    "ShardedVectorIndex",
+    "KnnService",
+    "parse_knn_query",
+    "execute_knn_query",
+]
+
+
+def __getattr__(name):  # lazy: keep `import opensearch_jvector_tpu` light
+    if name in ("DiskAnnConfig", "SearchConfig"):
+        from opensearch_jvector_tpu.api import config as _c
+
+        return getattr(_c, name)
+    if name == "SimilarityFunction":
+        from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
+        return SimilarityFunction
+    if name == "VectorIndex":
+        from opensearch_jvector_tpu.index.index import VectorIndex
+
+        return VectorIndex
+    if name == "ShardedVectorIndex":
+        from opensearch_jvector_tpu.parallel.distributed import (
+            ShardedVectorIndex,
+        )
+
+        return ShardedVectorIndex
+    if name == "KnnService":
+        from opensearch_jvector_tpu.service.http import KnnService
+
+        return KnnService
+    if name == "parse_knn_query":
+        from opensearch_jvector_tpu.query.builder import parse_knn_query
+
+        return parse_knn_query
+    if name == "execute_knn_query":
+        from opensearch_jvector_tpu.query.knn import execute_knn_query
+
+        return execute_knn_query
+    raise AttributeError(name)
