@@ -57,10 +57,12 @@ def parse_knn_vector_mapping(body: dict) -> tuple[DiskAnnConfig, dict]:
     if mode not in MODES:
         raise ValidationError(f"mode must be one of {MODES}: {mode}")
 
-    # CompressionLevel parity (CompressionLevel.java + Mode pairing): "x32"
-    # style levels translate to a PQ subspace count hitting that
+    # CompressionLevel parity (CompressionLevel.java:49-61 + Mode pairing):
+    # "x32" style levels translate to a PQ subspace count hitting that
     # bytes-per-vector ratio, with the level's default rescore oversample
-    # (2x for <=x16, 3x for x32, 5x for x64 — CompressionLevel.java:49-61).
+    # (x8=2.0, x16=3.0, x32=3.0, x64=5.0). x2 is rejected for PQ: one-byte
+    # codes can express at most dim bytes/vector (= x4 for fp32), so a x2
+    # target is unreachable and would silently snap to x4.
     compression = body.get("compression_level")
     compression_oversample = None
     compression_subspaces = None
@@ -72,11 +74,16 @@ def parse_knn_vector_mapping(body: dict) -> tuple[DiskAnnConfig, dict]:
                 f"{compression}"
             )
         factor = int(lv)
+        if factor == 2:
+            raise ValidationError(
+                "compression_level x2 is not expressible with PQ byte "
+                "codes (minimum PQ compression is x4); use x1 or >=x4"
+            )
         if factor > 1:
             target_bytes = max(1, (int(body["dimension"]) * 4) // factor)
             compression_subspaces = target_bytes
             compression_oversample = (
-                5.0 if factor >= 64 else 3.0 if factor >= 32 else 2.0
+                5.0 if factor >= 64 else 3.0 if factor >= 16 else 2.0
             )
 
     method = body.get("method") or {}

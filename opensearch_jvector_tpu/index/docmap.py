@@ -73,18 +73,36 @@ class DocMap:
         return DocMap(new, parents)
 
     def mark_deleted_docs(self, deleted_docs: np.ndarray) -> np.ndarray:
-        """Ordinals whose doc is deleted (to tombstone in the graph)."""
-        dset = np.zeros(int(self.ord_to_doc.max(initial=-1)) + 1, bool)
-        dset[deleted_docs] = True
+        """Ordinals whose doc is deleted (to tombstone in the graph).
+
+        Deleted ids outside this segment's doc range belong to other
+        segments and are ignored.
+        """
+        deleted_docs = np.asarray(deleted_docs, np.int64)
+        size = int(self.ord_to_doc.max(initial=-1)) + 1
+        dset = np.zeros(size, bool)
+        dset[deleted_docs[(deleted_docs >= 0) & (deleted_docs < size)]] = True
         mask = (self.ord_to_doc >= 0) & dset[np.clip(self.ord_to_doc, 0, None)]
         return np.nonzero(mask)[0]
 
     @staticmethod
     def concat(maps: list["DocMap"], doc_bases: list[int]) -> "DocMap":
         """Merge per-segment maps with doc-id rebasing (merge reconstruction)."""
-        parts = []
+        parts, parent_parts = [], []
         for m, base in zip(maps, doc_bases):
             p = m.ord_to_doc.copy()
             p[p >= 0] += base
             parts.append(p)
-        return DocMap(np.concatenate(parts) if parts else np.empty(0, np.int64))
+            if m.ord_to_parent is not None:
+                q = m.ord_to_parent.copy()
+                q[q >= 0] += base
+                parent_parts.append(q)
+            else:
+                parent_parts.append(np.full(p.shape[0], -1, np.int64))
+        if not parts:
+            return DocMap(np.empty(0, np.int64))
+        parents = np.concatenate(parent_parts)
+        return DocMap(
+            np.concatenate(parts),
+            parents if (parents >= 0).any() else None,
+        )

@@ -101,14 +101,18 @@ class VectorIndex:
 
     def doc_count(self) -> int:
         total = 0
+        dead = (
+            np.fromiter(self._deleted_docs, np.int64)
+            if self._deleted_docs else None
+        )
         for name in self._segments:
             r = self._reader(name)
             docs = r.seg.docmap.ord_to_doc
             live = np.asarray(r.seg.graph.live)
             ok = live & (docs >= 0)
-            total += int(
-                sum(1 for d in docs[ok] if int(d) not in self._deleted_docs)
-            )
+            if dead is not None:
+                ok &= ~np.isin(docs, dead)
+            total += int(ok.sum())
         return total
 
     def has_nested(self) -> bool:
@@ -164,14 +168,12 @@ class VectorIndex:
         visited = expanded = reranked = 0
         for name in self._segments:
             r = self._reader(name)
-            res = r.search(queries, sc, accept_docs=accept_docs)
-            ids, scores = res.doc_ids, res.scores
-            if self._deleted_docs:
-                deleted = np.isin(ids, np.fromiter(self._deleted_docs, np.int64))
-                scores = np.where(deleted, -np.inf, scores)
-                ids = np.where(deleted, -1, ids)
-            all_ids = np.concatenate([all_ids, ids], axis=1)
-            all_scores = np.concatenate([all_scores, scores], axis=1)
+            # tombstones ride the accept mask INTO the search (liveDocs
+            # parity) so dead docs never consume the k result slots
+            res = r.search(queries, sc, accept_docs=accept_docs,
+                           deleted_docs=self._deleted_docs)
+            all_ids = np.concatenate([all_ids, res.doc_ids], axis=1)
+            all_scores = np.concatenate([all_scores, res.scores], axis=1)
             visited += res.visited
             expanded += res.expanded
             reranked += res.reranked
@@ -222,8 +224,15 @@ class VectorIndex:
                     )
                     docs = seg.docmap.ord_to_doc.copy()
                     docs[dead_ords] = -1
+                    # preserve the nested-parent map across the rebuild
+                    # (dropping it silently un-nests the index: children
+                    # would be returned raw instead of collapsed to parents)
+                    parents = seg.docmap.ord_to_parent
+                    if parents is not None:
+                        parents = parents.copy()
+                        parents[dead_ords] = -1
                     seg = _dc.replace(
-                        seg, docmap=type(seg.docmap)(docs)
+                        seg, docmap=type(seg.docmap)(docs, parents)
                     )
             segs.append(seg)
         path = merge_segments(self.root, segs, out_name, stats=self.stats)

@@ -48,19 +48,30 @@ class SegmentReader:
     def check_integrity(self, path: str | Path) -> bool:
         return segment_mod.check_integrity(path)
 
-    def _accept_mask(self, accept_docs) -> jax.Array | None:
-        """Accepted docs -> graph-ordinal bitmap (Bits adapter parity)."""
-        if accept_docs is None:
+    def _accept_mask(self, accept_docs, deleted_docs=None) -> jax.Array | None:
+        """Accepted docs -> graph-ordinal bitmap (Bits adapter parity).
+
+        `deleted_docs` (index-level tombstones not yet folded by a merge)
+        are intersected INTO the mask, matching the reference where
+        deletions reach the searcher as liveDocs accept bits — post-search
+        masking would let dead docs consume the k result slots.
+        """
+        if accept_docs is None and not deleted_docs:
             return None
-        accept_docs = np.asarray(accept_docs)
         o2d = self.seg.docmap.ord_to_doc
-        if accept_docs.dtype == bool:
-            ok = (o2d >= 0) & (o2d < accept_docs.shape[0])
-            mask = np.zeros(o2d.shape[0], bool)
-            mask[ok] = accept_docs[o2d[ok]]
-        else:  # a set/array of accepted doc ids
-            ok = np.isin(o2d, accept_docs) & (o2d >= 0)
-            mask = ok
+        if accept_docs is None:
+            mask = o2d >= 0
+        else:
+            accept_docs = np.asarray(accept_docs)
+            if accept_docs.dtype == bool:
+                ok = (o2d >= 0) & (o2d < accept_docs.shape[0])
+                mask = np.zeros(o2d.shape[0], bool)
+                mask[ok] = accept_docs[o2d[ok]]
+            else:  # a set/array of accepted doc ids
+                mask = np.isin(o2d, accept_docs) & (o2d >= 0)
+        if deleted_docs:
+            dead = np.fromiter(deleted_docs, np.int64)
+            mask = mask & ~np.isin(o2d, dead)
         cap = self.seg.graph.capacity
         if mask.shape[0] < cap:
             mask = np.pad(mask, (0, cap - mask.shape[0]))
@@ -71,6 +82,7 @@ class SegmentReader:
         queries,  # [Q, d]
         sc: SearchConfig,
         accept_docs=None,  # bool array over doc ids, or array of doc ids
+        deleted_docs=None,  # set of tombstoned doc ids (liveDocs analog)
     ) -> QueryResult:
         seg = self.seg
         queries = jnp.asarray(queries, jnp.float32)
@@ -103,7 +115,7 @@ class SegmentReader:
             threshold=sc.threshold,
             rerank_floor=sc.rerank_floor,
         )
-        accept = self._accept_mask(accept_docs)
+        accept = self._accept_mask(accept_docs, deleted_docs)
 
         if seg.row_store is not None:  # on_disk mode: host-tier rerank
             return self._tiered_search(

@@ -236,18 +236,34 @@ def _rescore(index: VectorIndex, query: KnnQuery, res: QueryResult,
 
 def _radial(index: VectorIndex, query: KnnQuery) -> QueryResult:
     """Radial search: all docs within a distance / above a score."""
+    from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
     simf = index.config.similarity
     if query.min_score is not None:
-        floor = float(query.min_score)
+        # translate the user's score (reference score space, per space
+        # type) into the engine's score convention. EUCLIDEAN and COSINE
+        # reference scores coincide with the engine's (1/(1+d^2) and
+        # (1+cos)/2); INNER_PRODUCT is piecewise in the reference
+        # (dot>=0 -> 1+dot, dot<0 -> 1/(1-dot), JVector.java:44-49) while
+        # the engine scores (1+dot)/2.
+        s = float(query.min_score)
+        if simf is SimilarityFunction.DOT_PRODUCT:
+            dot = (s - 1.0) if s >= 1.0 else (1.0 - 1.0 / max(s, 1e-30))
+            floor = (1.0 + dot) / 2.0
+        else:
+            floor = s
     else:
-        # translate max_distance -> engine score floor per space
+        # translate max_distance -> engine score floor per space:
+        # EUCLIDEAN distance is squared-L2 (score 1/(1+d)), COSINE distance
+        # is 1-cos (score (2-d)/2), INNER_PRODUCT distance is -dot
+        # (score (1-d)/2) — SpaceType semantics, see ADVICE round 1.
         d = float(query.max_distance)
-        from opensearch_jvector_tpu.ops.distances import SimilarityFunction
-
         if simf is SimilarityFunction.EUCLIDEAN:
             floor = 1.0 / (1.0 + d)
+        elif simf is SimilarityFunction.DOT_PRODUCT:
+            floor = (1.0 - d) / 2.0
         else:
-            floor = (2.0 - d) / 2.0  # cosine-family distance translation
+            floor = (2.0 - d) / 2.0  # cosine
     q = np.atleast_2d(query.vector)
     all_ids = np.full((1, 0), -1, np.int64)
     all_scores = np.zeros((1, 0), np.float32)

@@ -87,9 +87,23 @@ def test_compression_level_mapping():
         "type": "knn_vector", "dimension": 128, "compression_level": "x1",
     })
     assert "default_rescore_oversample" not in extras  # x1 = no compression
+    # x16 -> 3.0 oversample (CompressionLevel.java: x8=2.0, x16=3.0)
+    cfg, extras = parse_knn_vector_mapping({
+        "type": "knn_vector", "dimension": 128, "compression_level": "x16",
+    })
+    assert cfg.num_pq_subspaces == 32
+    assert extras["default_rescore_oversample"] == 3.0
+    cfg, extras = parse_knn_vector_mapping({
+        "type": "knn_vector", "dimension": 128, "compression_level": "x8",
+    })
+    assert extras["default_rescore_oversample"] == 2.0
     import pytest as _pytest
     from opensearch_jvector_tpu.api.config import ValidationError as _VE
     with _pytest.raises(_VE):
         parse_knn_vector_mapping({
             "type": "knn_vector", "dimension": 128, "compression_level": "x3",
+        })
+    with _pytest.raises(_VE):  # x2 unreachable with 1-byte PQ codes
+        parse_knn_vector_mapping({
+            "type": "knn_vector", "dimension": 128, "compression_level": "x2",
         })

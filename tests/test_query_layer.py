@@ -132,6 +132,48 @@ def test_radial_max_distance(small_index):
     assert 11 in ids
 
 
+def test_radial_inner_product_translation(tmp_path):
+    """innerproduct radial: distance = -dot, engine score (1+dot)/2.
+
+    max_distance d -> floor (1-d)/2 (NOT the cosine (2-d)/2, which is off
+    by 0.5 and over-restricts); min_score is given in the reference's
+    piecewise innerproduct score space (dot>=0 -> 1+dot).
+    """
+    import dataclasses
+
+    from opensearch_jvector_tpu.api.config import DiskAnnConfig
+    from opensearch_jvector_tpu.index.index import VectorIndex
+    from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
+    cfg = DiskAnnConfig(dim=DIM, similarity=SimilarityFunction.DOT_PRODUCT,
+                        m=8, ef_construction=32, quantization_type="none")
+    idx = VectorIndex(tmp_path / "ip", cfg)
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((50, DIM)).astype(np.float32) * 0.1
+    # make doc 0 have dot(q, v0) ~= 0.5, doc 1 ~= -0.5 against q
+    q_vec = np.zeros(DIM, np.float32)
+    q_vec[0] = 1.0
+    v[0] = 0.0; v[0][0] = 0.5
+    v[1] = 0.0; v[1][0] = -0.5
+    for i in range(50):
+        idx.add(i, v[i])
+    idx.flush()
+    # max_distance 0.0 accepts dot >= 0 (doc 0 yes, doc 1 no)
+    q = parse_knn_query({"vector": q_vec, "max_distance": 0.0})
+    res = knn.execute_knn_query(idx, q)
+    ids = res.doc_ids[res.doc_ids >= 0]
+    assert 0 in ids and 1 not in ids
+    # min_score 1.4 in reference space = dot >= 0.4 (doc 0 qualifies)
+    q = parse_knn_query({"vector": q_vec, "min_score": 1.4})
+    res = knn.execute_knn_query(idx, q)
+    ids = res.doc_ids[res.doc_ids >= 0]
+    assert 0 in ids and 1 not in ids
+    # min_score 1.6 = dot >= 0.6 excludes doc 0 too
+    q = parse_knn_query({"vector": q_vec, "min_score": 1.6})
+    res = knn.execute_knn_query(idx, q)
+    assert 0 not in res.doc_ids[res.doc_ids >= 0]
+
+
 def test_rescore_oversample(small_index):
     idx, v = small_index
     q = parse_knn_query({"vector": v[42] + 0.05, "k": 5, "rescore": True})
