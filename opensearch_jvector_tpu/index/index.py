@@ -14,6 +14,7 @@ flushes rolls back to the last committed set.
 from __future__ import annotations
 
 import json
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -22,6 +23,11 @@ from opensearch_jvector_tpu.api.config import DiskAnnConfig, SearchConfig
 from opensearch_jvector_tpu.api.stats import STATS, StatsRegistry
 from opensearch_jvector_tpu.index.merge import merge_segments
 from opensearch_jvector_tpu.index.reader import QueryResult, SegmentReader
+from opensearch_jvector_tpu.index.scheduler import (
+    ForceMergesOnlyMergePolicy,
+    MergePolicy,
+    MergeScheduler,
+)
 from opensearch_jvector_tpu.index.segment import read_segment
 from opensearch_jvector_tpu.index.writer import IndexWriter
 
@@ -32,6 +38,7 @@ class VectorIndex:
         root: str | Path,
         config: DiskAnnConfig | None = None,
         stats: StatsRegistry = STATS,
+        merge_policy: MergePolicy | None = None,
     ):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
@@ -50,6 +57,13 @@ class VectorIndex:
             self._deleted_docs = set()
         self.writer = IndexWriter(self.root, self.config, stats)
         self._readers: dict[str, SegmentReader] = {}
+        # ForceMergesOnly is the deterministic default (the reference's
+        # test/bench override); pass TieredMergePolicy for background
+        # compaction concurrent with ingest.
+        self.merge_policy = merge_policy or ForceMergesOnlyMergePolicy()
+        self.merge_scheduler = MergeScheduler()
+        self._lock = threading.RLock()  # guards _segments/_deleted_docs
+        self._merging: set[str] = set()  # segments owned by in-flight merges
 
     # -- commit model --------------------------------------------------------
 
@@ -68,7 +82,8 @@ class VectorIndex:
 
     @property
     def segment_names(self) -> list[str]:
-        return list(self._segments)
+        with self._lock:
+            return list(self._segments)
 
     # -- ingest --------------------------------------------------------------
 
@@ -78,17 +93,46 @@ class VectorIndex:
 
     def delete(self, doc_ids) -> None:
         """Tombstone docs; folded into graphs at the next merge."""
-        for d in np.atleast_1d(np.asarray(doc_ids, np.int64)):
-            self._deleted_docs.add(int(d))
-        self._commit()
+        with self._lock:
+            for d in np.atleast_1d(np.asarray(doc_ids, np.int64)):
+                self._deleted_docs.add(int(d))
+            self._commit()
 
     def flush(self) -> str | None:
         path = self.writer.flush()
         if path is None:
             return None
-        self._segments.append(path.name)
-        self._commit()
+        with self._lock:
+            self._segments.append(path.name)
+            self._commit()
+        self.maybe_merge()
         return path.name
+
+    # -- background merge ------------------------------------------------------
+
+    def maybe_merge(self):
+        """Consult the merge policy; schedule a background merge if it
+        selects segments. Returns the Future or None. Runs on the niced
+        merge pool, concurrent with further ingest (scheduler parity)."""
+        with self._lock:
+            free = [n for n in self._segments if n not in self._merging]
+            sizes = [(n, self._reader(n).seg.live_count()) for n in free]
+            pick = self.merge_policy.select(sizes)
+            if not pick:
+                return None
+            self._merging.update(pick)  # one owner per segment
+        return self.merge_scheduler.submit(self._merge_owned, pick)
+
+    def _merge_owned(self, names: list[str]) -> str:
+        try:
+            return self._merge_now(names)
+        finally:
+            with self._lock:
+                self._merging.difference_update(names)
+
+    def await_merges(self) -> None:
+        """Join in-flight background merges (deterministic test hook)."""
+        self.merge_scheduler.await_all()
 
     # -- readers ------------------------------------------------------------
 
@@ -166,7 +210,7 @@ class VectorIndex:
         all_ids = np.full((qn, 0), -1, np.int64)
         all_scores = np.zeros((qn, 0), np.float32)
         visited = expanded = reranked = 0
-        for name in self._segments:
+        for name in self.segment_names:  # snapshot: merges swap underneath
             r = self._reader(name)
             # tombstones ride the accept mask INTO the search (liveDocs
             # parity) so dead docs never consume the k result slots
@@ -200,44 +244,79 @@ class VectorIndex:
 
     # -- merge ----------------------------------------------------------------
 
-    def force_merge(self, out_name: str | None = None) -> str:
-        """Merge ALL segments into one (deterministic, test-friendly)."""
-        assert self._segments, "nothing to merge"
-        out_name = out_name or f"merged_{len(self._segments)}segs"
-        segs = []
-        for name in self._segments:
-            seg = read_segment(self.root / name)
-            # fold doc-level tombstones into the segment's live mask
-            if self._deleted_docs:
-                dead_ords = seg.docmap.mark_deleted_docs(
-                    np.fromiter(self._deleted_docs, np.int64)
-                )
-                if dead_ords.size:
-                    live = np.asarray(seg.graph.live).copy()
-                    live[dead_ords] = False
-                    import jax.numpy as jnp
-                    import dataclasses as _dc
+    @staticmethod
+    def _fold_tombstones(seg, deleted: np.ndarray):
+        """Apply doc tombstones to a loaded segment's live mask + docmap.
 
-                    seg = _dc.replace(
-                        seg,
-                        graph=_dc.replace(seg.graph, live=jnp.asarray(live)),
-                    )
-                    docs = seg.docmap.ord_to_doc.copy()
-                    docs[dead_ords] = -1
-                    # preserve the nested-parent map across the rebuild
-                    # (dropping it silently un-nests the index: children
-                    # would be returned raw instead of collapsed to parents)
-                    parents = seg.docmap.ord_to_parent
-                    if parents is not None:
-                        parents = parents.copy()
-                        parents[dead_ords] = -1
-                    seg = _dc.replace(
-                        seg, docmap=type(seg.docmap)(docs, parents)
-                    )
+        Returns (segment, folded_doc_ids). The nested-parent map is
+        preserved (dropping it silently un-nests the index: children would
+        be returned raw instead of collapsed to parents).
+        """
+        dead_ords = seg.docmap.mark_deleted_docs(deleted)
+        if not dead_ords.size:
+            return seg, np.empty(0, np.int64)
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        folded = seg.docmap.ord_to_doc[dead_ords].copy()
+        live = np.asarray(seg.graph.live).copy()
+        live[dead_ords] = False
+        seg = _dc.replace(
+            seg, graph=_dc.replace(seg.graph, live=jnp.asarray(live))
+        )
+        docs = seg.docmap.ord_to_doc.copy()
+        docs[dead_ords] = -1
+        parents = seg.docmap.ord_to_parent
+        if parents is not None:
+            parents = parents.copy()
+            parents[dead_ords] = -1
+        return _dc.replace(seg, docmap=type(seg.docmap)(docs, parents)), folded
+
+    def _merge_now(self, names: list[str], out_name: str | None = None) -> str:
+        """Merge `names` into one segment (runs on caller OR merge pool).
+
+        Works on a snapshot: searches keep serving the old segment set
+        until the atomic swap at the end. Tombstones for docs inside the
+        merged segments are folded into the output and cleared; deletes
+        arriving mid-merge stay tombstoned (they keep masking via accept
+        bits until the next merge).
+        """
+        with self._lock:
+            deleted = (
+                np.fromiter(self._deleted_docs, np.int64)
+                if self._deleted_docs else np.empty(0, np.int64)
+            )
+        if out_name is None:
+            with self._lock:
+                self._merge_counter = getattr(self, "_merge_counter", 0) + 1
+                out_name = f"merged_{len(names)}segs_m{self._merge_counter}"
+        segs, folded_all = [], []
+        for name in names:
+            seg = read_segment(self.root / name)
+            if deleted.size:
+                seg, folded = self._fold_tombstones(seg, deleted)
+                folded_all.append(folded)
             segs.append(seg)
         path = merge_segments(self.root, segs, out_name, stats=self.stats)
-        self._segments = [path.name]
-        self._deleted_docs.clear()
-        self._readers.clear()
-        self._commit()
+        with self._lock:
+            idx = self._segments.index(names[0])
+            kept = [n for n in self._segments if n not in names]
+            kept.insert(min(idx, len(kept)), path.name)
+            self._segments = kept
+            for f in folded_all:
+                self._deleted_docs.difference_update(int(d) for d in f)
+            for n in names:
+                self._readers.pop(n, None)
+            self._commit()
         return path.name
+
+    def force_merge(self, out_name: str | None = None) -> str:
+        """Merge ALL segments into one (deterministic, test-friendly)."""
+        self.await_merges()
+        with self._lock:
+            names = list(self._segments)
+        assert names, "nothing to merge"
+        return self._merge_now(
+            names, out_name or f"merged_{len(names)}segs"
+        )

@@ -73,6 +73,21 @@ def merge_segments(
     builder_batch_size: int = 1024,
 ) -> Path:
     """Merge segments into one; incremental when the guards allow."""
+    from opensearch_jvector_tpu.utils.profiling import phase
+
+    with phase("merge", stats=stats):
+        return _merge_segments_timed(
+            root, segments, out_name, stats, builder_batch_size
+        )
+
+
+def _merge_segments_timed(
+    root: str | Path,
+    segments: list[Segment],
+    out_name: str,
+    stats: StatsRegistry,
+    builder_batch_size: int,
+) -> Path:
     t0 = time.monotonic()
     assert segments, "nothing to merge"
     cfg = segments[0].config

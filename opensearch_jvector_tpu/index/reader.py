@@ -35,6 +35,37 @@ class QueryResult:
     reranked: int
 
 
+def ordinal_accept_mask(seg: Segment, accept_docs,
+                        deleted_docs=None) -> np.ndarray | None:
+    """Accepted docs -> graph-ordinal bitmap (Bits adapter parity).
+
+    `deleted_docs` (index-level tombstones not yet folded by a merge) are
+    intersected INTO the mask, matching the reference where deletions reach
+    the searcher as liveDocs accept bits — post-search masking would let
+    dead docs consume the k result slots. Returns None when unfiltered.
+    """
+    if accept_docs is None and not deleted_docs:
+        return None
+    o2d = seg.docmap.ord_to_doc
+    if accept_docs is None:
+        mask = o2d >= 0
+    else:
+        accept_docs = np.asarray(accept_docs)
+        if accept_docs.dtype == bool:
+            ok = (o2d >= 0) & (o2d < accept_docs.shape[0])
+            mask = np.zeros(o2d.shape[0], bool)
+            mask[ok] = accept_docs[o2d[ok]]
+        else:  # a set/array of accepted doc ids
+            mask = np.isin(o2d, accept_docs) & (o2d >= 0)
+    if deleted_docs:
+        dead = np.fromiter(deleted_docs, np.int64)
+        mask = mask & ~np.isin(o2d, dead)
+    cap = seg.graph.capacity
+    if mask.shape[0] < cap:
+        mask = np.pad(mask, (0, cap - mask.shape[0]))
+    return mask[:cap]
+
+
 class SegmentReader:
     def __init__(self, seg: Segment, stats: StatsRegistry = STATS):
         self.seg = seg
@@ -49,33 +80,8 @@ class SegmentReader:
         return segment_mod.check_integrity(path)
 
     def _accept_mask(self, accept_docs, deleted_docs=None) -> jax.Array | None:
-        """Accepted docs -> graph-ordinal bitmap (Bits adapter parity).
-
-        `deleted_docs` (index-level tombstones not yet folded by a merge)
-        are intersected INTO the mask, matching the reference where
-        deletions reach the searcher as liveDocs accept bits — post-search
-        masking would let dead docs consume the k result slots.
-        """
-        if accept_docs is None and not deleted_docs:
-            return None
-        o2d = self.seg.docmap.ord_to_doc
-        if accept_docs is None:
-            mask = o2d >= 0
-        else:
-            accept_docs = np.asarray(accept_docs)
-            if accept_docs.dtype == bool:
-                ok = (o2d >= 0) & (o2d < accept_docs.shape[0])
-                mask = np.zeros(o2d.shape[0], bool)
-                mask[ok] = accept_docs[o2d[ok]]
-            else:  # a set/array of accepted doc ids
-                mask = np.isin(o2d, accept_docs) & (o2d >= 0)
-        if deleted_docs:
-            dead = np.fromiter(deleted_docs, np.int64)
-            mask = mask & ~np.isin(o2d, dead)
-        cap = self.seg.graph.capacity
-        if mask.shape[0] < cap:
-            mask = np.pad(mask, (0, cap - mask.shape[0]))
-        return jnp.asarray(mask[:cap])
+        mask = ordinal_accept_mask(self.seg, accept_docs, deleted_docs)
+        return None if mask is None else jnp.asarray(mask)
 
     def search(
         self,
@@ -147,18 +153,21 @@ class SegmentReader:
                 "NVQ segments always carry an aux PQ (nvq+pq)"
             )
 
+        from opensearch_jvector_tpu.utils.profiling import phase
+
         t0 = time.monotonic()
-        res = searcher_mod.search(
-            seg.graph.adjacency,
-            seg.graph.live,
-            seg.graph.entry,
-            queries,
-            params,
-            seg.config.similarity,
-            accept=accept,
-            **kwargs,
-        )
-        jax.block_until_ready(res.ids)
+        with phase("query", stats=self.stats):
+            res = searcher_mod.search(
+                seg.graph.adjacency,
+                seg.graph.live,
+                seg.graph.entry,
+                queries,
+                params,
+                seg.config.similarity,
+                accept=accept,
+                **kwargs,
+            )
+            jax.block_until_ready(res.ids)
         self.stats.increment(
             Counter.KNN_GRAPH_SEARCH_TIME, int((time.monotonic() - t0) * 1000)
         )
@@ -210,7 +219,9 @@ class SegmentReader:
     def _tiered_search(self, queries, real_q, params: SearchParams, accept,
                        filtered: bool) -> QueryResult:
         """on_disk mode: ADC approximate phase on device, fp32 rows paged
-        from the native host store for the rerank (index/tiered.py design)."""
+        from the native host store for the rerank. HBM cost per vector is
+        M bytes (codes) + max_degree*4 (adjacency) vs dim*4 for a fully
+        resident segment — the BigANN-scale tier (BASELINE.json config 5)."""
         from opensearch_jvector_tpu.ops.distances import (
             batched_candidate_scores,
         )

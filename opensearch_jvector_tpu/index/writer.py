@@ -118,6 +118,12 @@ class IndexWriter:
         """
         if not self._doc_ids:
             return None
+        from opensearch_jvector_tpu.utils.profiling import phase
+
+        with phase("flush", stats=self.stats):
+            return self._flush_locked(name, sort_map)
+
+    def _flush_locked(self, name: str | None, sort_map) -> Path | None:
         name = name or f"seg_{self._flush_counter:06d}_{len(self._doc_ids)}"
         self._flush_counter += 1
 

@@ -36,6 +36,7 @@ from opensearch_jvector_tpu.ops.distances import (
     SimilarityFunction,
     batched_candidate_scores,
 )
+from opensearch_jvector_tpu.ops.topk import topk_scores
 
 NEG_INF = jnp.float32(-jnp.inf)
 
@@ -261,8 +262,7 @@ def beam_search(
         pool_scores = jnp.where(ok, cand_scores, NEG_INF)
     else:
         pool_scores = cand_scores
-    res_scores, idx = jax.lax.top_k(pool_scores, R)
-    res_ids = jnp.take_along_axis(cand_ids, idx, axis=1)
+    res_scores, res_ids = topk_scores(pool_scores, cand_ids, R)
     res_ids = jnp.where(res_scores > NEG_INF, res_ids, -1)
     return res_ids, res_scores, visited_n, expanded_n
 
@@ -343,12 +343,10 @@ def _make_search_fn(
             exact = batched_candidate_scores(queries, cand, simf)
             exact = jnp.where(qualify, exact, NEG_INF)
             reranked = jnp.sum(qualify, axis=1).astype(jnp.int32)
-            final_scores, idx = jax.lax.top_k(exact, k)
-            final_ids = jnp.take_along_axis(res_ids, idx, axis=1)
+            final_scores, final_ids = topk_scores(exact, res_ids, k)
         else:
             reranked = jnp.zeros((qn,), jnp.int32)
-            final_scores, idx = jax.lax.top_k(res_scores, k)
-            final_ids = jnp.take_along_axis(res_ids, idx, axis=1)
+            final_scores, final_ids = topk_scores(res_scores, res_ids, k)
 
         keep = final_scores > NEG_INF
         if threshold > 0.0:  # 0.0 == disabled (reference default)

@@ -19,16 +19,24 @@ from pathlib import Path
 import numpy as np
 
 from opensearch_jvector_tpu.api.config import DiskAnnConfig, SearchConfig
-from opensearch_jvector_tpu.api.stats import StatsRegistry
+from opensearch_jvector_tpu.api.stats import Counter, StatsRegistry
 from opensearch_jvector_tpu.index.index import VectorIndex
 from opensearch_jvector_tpu.index.reader import QueryResult
 
 
 class ShardedVectorIndex:
-    """S independent shards + scatter-gather search."""
+    """S independent shards + scatter-gather search.
+
+    With a device mesh attached (`mesh=` or `attach_mesh`), searches run
+    the FULL per-shard two-phase engine (PQ/ADC + rerank + filters +
+    docmap) on the mesh in one program (parallel/sharded.py:
+    sharded_engine_search) whenever each shard is a single in-memory
+    segment; otherwise the host scatter-gather loop below runs, exactly
+    like OpenSearch falls back to transport-level fan-out.
+    """
 
     def __init__(self, root: str | Path, config: DiskAnnConfig | None = None,
-                 n_shards: int = 2):
+                 n_shards: int = 2, mesh=None):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         meta_path = self.root / "shards.json"
@@ -48,6 +56,14 @@ class ShardedVectorIndex:
                         stats=self.shard_stats[s])
             for s in range(n_shards)
         ]
+        self.mesh = mesh
+        self._mesh_state = None  # cached stacked device arrays
+        self._mesh_segments = None  # segment names the cache was built from
+
+    def attach_mesh(self, mesh) -> None:
+        """Place shards on a device mesh (one shard per mesh device)."""
+        self.mesh = mesh
+        self._mesh_state = None
 
     def _route(self, doc_id: int) -> int:
         return int(doc_id) % self.n_shards  # deterministic routing
@@ -72,17 +88,124 @@ class ShardedVectorIndex:
     def doc_count(self) -> int:
         return sum(s.doc_count() for s in self.shards)
 
+    # -- mesh fast path -------------------------------------------------------
+
+    def _mesh_ready_segments(self):
+        """One single-segment in-memory Segment per shard, or None."""
+        segs = []
+        for shard in self.shards:
+            if len(shard._segments) != 1 or shard.writer.num_buffered():
+                return None
+            segs.append(shard._reader(shard._segments[0]).seg)
+        return segs
+
+    def _search_on_mesh(self, queries: np.ndarray, sc: SearchConfig,
+                        accept_docs) -> QueryResult | None:
+        """Full-engine mesh search; None when preconditions don't hold."""
+        from opensearch_jvector_tpu.index.reader import ordinal_accept_mask
+        from opensearch_jvector_tpu.models.searcher import SearchParams
+        from opensearch_jvector_tpu.parallel import sharded
+
+        if self.mesh is None:
+            return None
+        if int(np.prod(self.mesh.devices.shape)) != self.n_shards:
+            return None
+        segs = self._mesh_ready_segments()
+        if segs is None:
+            return None
+        names = [s.name for s in segs]
+        if self._mesh_state is None or self._mesh_segments != names:
+            try:
+                self._mesh_state = sharded.stack_engine_state(segs)
+            except ValueError:  # NVQ / on_disk / mixed quantization shards
+                return None
+            self._mesh_segments = names
+        state = self._mesh_state
+
+        # per-shard ordinal accept masks (user filter ∧ ¬tombstones)
+        accept = None
+        if accept_docs is not None or any(
+            shard._deleted_docs for shard in self.shards
+        ):
+            rows = []
+            for seg, shard in zip(segs, self.shards):
+                m = ordinal_accept_mask(seg, accept_docs, shard._deleted_docs)
+                if m is None:
+                    m = np.asarray(seg.graph.live) & (
+                        seg.docmap.ord_to_doc >= 0
+                    )
+                pad = state.n_local - m.shape[0]
+                rows.append(np.pad(m, (0, pad)) if pad else m)
+            import jax.numpy as jnp
+
+            accept = jnp.asarray(np.stack(rows))
+
+        qn = queries.shape[0]
+        bucket = 8
+        while bucket < qn:
+            bucket *= 2
+        padded = queries
+        if bucket != qn:
+            padded = np.concatenate(
+                [queries, np.broadcast_to(queries[:1],
+                                          (bucket - qn, queries.shape[1]))]
+            )
+        params = SearchParams(
+            k=sc.k, ef_search=sc.resolved_ef(),
+            overquery_factor=sc.overquery_factor,
+            threshold=sc.threshold, rerank_floor=sc.rerank_floor,
+        )
+        import time as _time
+
+        import jax as _jax
+        import jax.numpy as jnp
+
+        t0 = _time.monotonic()
+        docs, scores, counters = sharded.sharded_engine_search(
+            self.mesh, state, jnp.asarray(padded, jnp.float32), params,
+            self.config.similarity, accept=accept,
+        )
+        _jax.block_until_ready(docs)
+        elapsed_ms = int((_time.monotonic() - t0) * 1000)
+
+        counters = np.asarray(counters)  # [S, 3] visited/expanded/reranked
+        for s in range(self.n_shards):
+            reg = self.shard_stats[s]
+            reg.increment(Counter.KNN_QUERY_COUNT, qn)
+            if accept_docs is not None:
+                reg.increment(Counter.KNN_QUERY_WITH_FILTER_COUNT, qn)
+            reg.increment(Counter.KNN_QUERY_VISITED_NODES, int(counters[s, 0]))
+            reg.increment(Counter.KNN_QUERY_EXPANDED_NODES, int(counters[s, 1]))
+            reg.increment(
+                Counter.KNN_QUERY_EXPANDED_BASE_LAYER_NODES,
+                int(counters[s, 1]),
+            )
+            reg.increment(Counter.KNN_QUERY_RERANKED_COUNT,
+                          int(counters[s, 2]))
+            reg.increment(Counter.KNN_GRAPH_SEARCH_TIME, elapsed_ms)
+        return QueryResult(
+            doc_ids=np.asarray(docs)[:qn].astype(np.int64),
+            scores=np.asarray(scores)[:qn],
+            visited=int(counters[:, 0].sum()),
+            expanded=int(counters[:, 1].sum()),
+            reranked=int(counters[:, 2].sum()),
+        )
+
     def search(self, queries, sc: SearchConfig,
                accept_docs=None) -> QueryResult:
-        """Scatter to every shard, merge top-k on the host.
+        """Scatter to every shard, merge top-k.
 
-        Each shard's search is itself one device program; the merge over
-        S * k results is negligible host work. (When shards live on
-        separate mesh devices, parallel/sharded.py runs the same fan-out
-        with an all_gather merge instead.)
+        Mesh path: one compiled program fans the batch out to every
+        shard's device, runs the full two-phase search per shard, and
+        merges doc-id results over ICI. Host path (fallback): each
+        shard's search is itself one device program; the merge over
+        S * k results is negligible host work.
         """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         qn = queries.shape[0]
+        mesh_res = self._search_on_mesh(queries, sc, accept_docs)
+        if mesh_res is not None:
+            return mesh_res
         all_ids = np.full((qn, 0), -1, np.int64)
         all_scores = np.zeros((qn, 0), np.float32)
         visited = expanded = reranked = 0

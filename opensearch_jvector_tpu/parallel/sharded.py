@@ -30,6 +30,7 @@ from opensearch_jvector_tpu.ops.distances import (
     SimilarityFunction,
     batched_candidate_scores,
 )
+from opensearch_jvector_tpu.ops.topk import topk_scores
 
 AXIS = "shard"
 
@@ -60,8 +61,7 @@ def _local_search(adjacency, live, entry, vectors, queries, accept,
         or max(8, -(-max(params.ef_search, params.k) // params.expansions_per_iter)),
         vma_axis=AXIS,
     )
-    top_s, idx = jax.lax.top_k(res_scores, params.k)
-    top_i = jnp.take_along_axis(res_ids, idx, axis=1)
+    top_s, top_i = topk_scores(res_scores, res_ids, params.k)
     return top_i, top_s
 
 
@@ -85,6 +85,15 @@ def sharded_search(
     d_shards, n_local = adjacency.shape[0], adjacency.shape[1]
     if accept is None:
         accept = jnp.ones((d_shards, n_local), bool)
+    run = _make_sharded_fn(mesh, params, simf, n_local)
+    return run(adjacency, live, entries, vectors, accept, queries)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sharded_fn(mesh: Mesh, params: SearchParams,
+                     simf: SimilarityFunction, n_local: int):
+    """Cached jitted program for sharded_search (stable identity per
+    (mesh, params, simf) so repeated calls don't retrace)."""
 
     def shard_fn(adj, liv, ent, vec, acc, q):
         adj, liv, vec, acc = adj[0], liv[0], vec[0], acc[0]
@@ -114,11 +123,10 @@ def sharded_search(
         qn = queries.shape[0]
         flat_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(qn, -1)
         flat_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(qn, -1)
-        top_s, idx = jax.lax.top_k(flat_scores, params.k)
-        top_i = jnp.take_along_axis(flat_ids, idx, axis=1)
+        top_s, top_i = topk_scores(flat_scores, flat_ids, params.k)
         return top_i, top_s
 
-    return run(adjacency, live, entries, vectors, accept, queries)
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -260,12 +268,10 @@ def _full_local_search(adj, live, entry, o2d, accept, queries,
         exact = batched_candidate_scores(queries, cand, simf)
         exact = jnp.where(qualify, exact, -jnp.inf)
         reranked = jnp.sum(qualify, axis=1).astype(jnp.int32)
-        scores, idx = jax.lax.top_k(exact, params.k)
-        ids = jnp.take_along_axis(res_ids, idx, axis=1)
+        scores, ids = topk_scores(exact, res_ids, params.k)
     else:
         reranked = jnp.zeros((qn,), jnp.int32)
-        scores, idx = jax.lax.top_k(res_scores, params.k)
-        ids = jnp.take_along_axis(res_ids, idx, axis=1)
+        scores, ids = topk_scores(res_scores, res_ids, params.k)
 
     keep = scores > -jnp.inf
     if params.threshold > 0.0:
@@ -293,6 +299,22 @@ def sharded_engine_search(
     if accept is None:
         accept = state.live
     use_pq = state.use_pq
+    # dummy PQ operands keep one code path; XLA drops unused inputs
+    d_sh = state.n_shards
+    cod = state.pq_codes if use_pq else jnp.zeros((d_sh, 1, 1), jnp.int32)
+    cb = (state.pq_codebooks if use_pq
+          else jnp.zeros((d_sh, 1, 1, 1), jnp.float32))
+    ctr = (state.pq_center if use_pq
+           else jnp.zeros((d_sh, 1), jnp.float32))
+    run = _make_engine_fn(mesh, params, simf, use_pq)
+    return run(state.adjacency, state.live, state.entries, state.ord_to_doc,
+               state.vectors, accept, cod, cb, ctr, queries)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_engine_fn(mesh: Mesh, params: SearchParams,
+                    simf: SimilarityFunction, use_pq: bool):
+    """Cached jitted program for sharded_engine_search."""
 
     def shard_fn(adj, liv, ent, o2d, vec, acc, cod, cb, ctr, q):
         adj, liv, o2d, vec, acc = adj[0], liv[0], o2d[0], vec[0], acc[0]
@@ -308,13 +330,6 @@ def sharded_engine_search(
         ).astype(jnp.int32)
         return docs[None], scores[None], counters[None]  # [1, Q, k]/[1, 3]
 
-    # dummy PQ operands keep one code path; XLA drops unused inputs
-    d_sh = state.n_shards
-    cod = state.pq_codes if use_pq else jnp.zeros((d_sh, 1, 1), jnp.int32)
-    cb = (state.pq_codebooks if use_pq
-          else jnp.zeros((d_sh, 1, 1, 1), jnp.float32))
-    ctr = (state.pq_center if use_pq
-           else jnp.zeros((d_sh, 1), jnp.float32))
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
@@ -336,13 +351,11 @@ def sharded_engine_search(
         qn = queries.shape[0]
         flat_docs = jnp.transpose(all_docs, (1, 0, 2)).reshape(qn, -1)
         flat_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(qn, -1)
-        top_s, idx = jax.lax.top_k(flat_scores, params.k)
-        top_d = jnp.take_along_axis(flat_docs, idx, axis=1)
+        top_s, top_d = topk_scores(flat_scores, flat_docs, params.k)
         top_d = jnp.where(top_s > -jnp.inf, top_d, -1)
         return top_d, top_s, counters
 
-    return run(state.adjacency, state.live, state.entries, state.ord_to_doc,
-               state.vectors, accept, cod, cb, ctr, queries)
+    return run
 
 
 def dryrun_engine(mesh: Mesh, n_devices: int) -> None:

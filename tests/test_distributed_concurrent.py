@@ -57,6 +57,64 @@ def test_sharded_index_search_and_stats(tmp_path):
     assert idx.doc_count() == 796
 
 
+def test_mesh_full_engine_search_matches_host_path(tmp_path):
+    """The mesh path runs the FULL per-shard engine (PQ/ADC approximate
+    phase + exact rerank + docmap + tombstones + filters) and must agree
+    with the host scatter-gather loop: same recall, same counter totals.
+    """
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    n = 1600
+    v = _vectors(n, seed=7)
+    cfg = _cfg(quantization_type="pq", num_pq_subspaces=8,
+               min_batch_size_for_quantization=64)
+    n_shards = 8
+    mesh = sharded.make_mesh(jax.devices()[:n_shards])
+    idx = ShardedVectorIndex(tmp_path, cfg, n_shards=n_shards, mesh=mesh)
+    for i in range(n):
+        idx.add(i, v[i])
+    idx.flush()
+    for shard in idx.shards:  # PQ segments for every shard
+        assert shard._reader(shard._segments[0]).seg.pqv is not None
+
+    q = _vectors(16, seed=8)
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+    sc = SearchConfig(k=10, ef_search=64)
+
+    res_mesh = idx.search(q, sc)
+    assert idx._mesh_state is not None, "mesh path did not run"
+    rec_mesh = recall_at_k(res_mesh.doc_ids, truth, 10)
+
+    # identical query through the host loop (mesh detached)
+    idx_host = ShardedVectorIndex(tmp_path)  # reopened: no mesh
+    res_host = idx_host.search(q, sc)
+    rec_host = recall_at_k(res_host.doc_ids, truth, 10)
+
+    assert rec_mesh >= 0.9, rec_mesh
+    assert abs(rec_mesh - rec_host) <= 0.05, (rec_mesh, rec_host)
+
+    # counters aggregate identically in structure: every shard saw the batch
+    stats = idx.stats()
+    assert stats["knn_query_count"] == n_shards * 16
+    assert stats["knn_query_reranked_count"] > 0  # rerank ran on-mesh
+    assert stats["knn_query_visited_nodes"] > 0
+
+    # tombstones are masked inside the mesh program
+    top0 = int(res_mesh.doc_ids[0, 0])
+    idx.delete([top0])
+    res2 = idx.search(q, sc)
+    assert top0 not in res2.doc_ids[0].tolist()
+
+    # accept filter plumbs doc space -> per-shard ordinal space
+    accept = np.zeros(n, bool)
+    accept[: n // 2] = True
+    res3 = idx.search(q, sc, accept_docs=accept)
+    ids = res3.doc_ids[res3.doc_ids >= 0]
+    assert ids.size and (ids < n // 2).all()
+
+
 def test_sharded_index_reopen(tmp_path):
     v = _vectors(200, seed=2)
     idx = ShardedVectorIndex(tmp_path, _cfg(), n_shards=2)

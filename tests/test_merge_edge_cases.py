@@ -125,3 +125,61 @@ def test_incremental_merge_keeps_capacity_structure(tmp_path):
     assert seg.pqv.codes.shape[0] == 600
     res = idx.search(v[550], SearchConfig(k=3, ef_search=48))
     assert res.doc_ids[0][0] == 550
+
+
+def test_tiered_policy_background_merge_concurrent_with_ingest(tmp_path):
+    """Background merges run on the niced merge pool while ingest continues
+    (JVectorFormat.java:197-212 scheduler parity); ForceMergesOnly stays the
+    deterministic default."""
+    from opensearch_jvector_tpu.api.config import SearchConfig
+    from opensearch_jvector_tpu.index.scheduler import TieredMergePolicy
+    from opensearch_jvector_tpu.utils.ground_truth import (
+        ground_truth_topk,
+        recall_at_k,
+    )
+
+    idx = VectorIndex(
+        tmp_path, _cfg(),
+        merge_policy=TieredMergePolicy(max_segments=2, merge_factor=3),
+    )
+    v = _vectors(600, seed=11)
+    # 6 flushes of 100 docs each; merges fire automatically from flush 3 on,
+    # while later adds/flushes keep arriving
+    for chunk in range(6):
+        for i in range(chunk * 100, (chunk + 1) * 100):
+            idx.add(i, v[i])
+        idx.flush()
+        # searches are served from a stable snapshot mid-merge
+        res = idx.search(v[:4], SearchConfig(k=3, ef_search=32))
+        assert (res.doc_ids[np.arange(4), 0] == np.arange(4)).all()
+    idx.await_merges()
+    assert len(idx.segment_names) < 6  # compaction actually happened
+    assert idx.doc_count() == 600
+
+    q = _vectors(8, seed=12)
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+    res = idx.search(q, SearchConfig(k=10, ef_search=64))
+    assert recall_at_k(res.doc_ids, truth, 10) >= 0.85
+
+    # deletes racing a merge stay masked either way
+    idx.delete([5, 6])
+    for i in range(600, 700):
+        idx.add(i, v[i % 600] + 1.0)
+    idx.flush()
+    idx.await_merges()
+    res = idx.search(v[5], SearchConfig(k=5, ef_search=32))
+    assert 5 not in res.doc_ids[0].tolist()
+    assert idx.doc_count() == 698
+
+
+def test_force_merges_only_policy_never_auto_merges(tmp_path):
+    idx = VectorIndex(tmp_path, _cfg())  # default policy
+    v = _vectors(300, seed=13)
+    for chunk in range(6):
+        for i in range(chunk * 50, (chunk + 1) * 50):
+            idx.add(i, v[i])
+        idx.flush()
+    idx.await_merges()
+    assert len(idx.segment_names) == 6  # untouched until force_merge
+    idx.force_merge()
+    assert len(idx.segment_names) == 1

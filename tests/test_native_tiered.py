@@ -1,14 +1,12 @@
-"""Native paged store + tiered (larger-than-memory) search tests."""
+"""Native paged store + tiered (larger-than-memory) reader-path tests."""
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
-from opensearch_jvector_tpu.api.config import SearchConfig
-from opensearch_jvector_tpu.index.docmap import DocMap
-from opensearch_jvector_tpu.index import tiered
-from opensearch_jvector_tpu.models import pq as pq_mod
-from opensearch_jvector_tpu.models.builder import GraphIndexBuilder
+from opensearch_jvector_tpu.api.config import DiskAnnConfig, SearchConfig
+from opensearch_jvector_tpu.index.reader import SegmentReader
+from opensearch_jvector_tpu.index.segment import read_segment, write_segment
+from opensearch_jvector_tpu.index.writer import IndexWriter
 from opensearch_jvector_tpu.ops.distances import SimilarityFunction
 from opensearch_jvector_tpu.utils import native_store
 from opensearch_jvector_tpu.utils.ground_truth import ground_truth_topk, recall_at_k
@@ -37,25 +35,28 @@ def test_native_library_builds():
     assert native_store.native_available()
 
 
-def test_tiered_search_recall(tmp_path):
+def test_tiered_reader_path_recall(tmp_path):
+    """on_disk mode through the PRODUCTION reader: device holds graph + PQ
+    codes; fp32 rows are paged from the native host store for rerank."""
     rng = np.random.default_rng(1)
     n, d, qn, k = 3000, 32, 16, 10
     v = rng.standard_normal((n, d)).astype(np.float32)
     q = rng.standard_normal((qn, d)).astype(np.float32)
-    simf = SimilarityFunction.EUCLIDEAN
-    vj = jnp.asarray(v)
+    cfg = DiskAnnConfig(
+        dim=d, similarity=SimilarityFunction.EUCLIDEAN, m=16,
+        ef_construction=48, quantization_type="pq", num_pq_subspaces=8,
+        min_batch_size_for_quantization=64, mode="on_disk",
+    )
+    writer = IndexWriter(tmp_path, cfg)
+    for i in range(n):
+        writer.add_document(i, v[i])
+    path = writer.flush()
 
-    builder = GraphIndexBuilder(dim=d, max_degree=16, beam_width=48,
-                                batch_size=512)
-    graph = builder.build(vj, simf)
-    pq = pq_mod.train_pq(vj, simf, num_subspaces=8, iters=4)
-    pqv = pq_mod.PQVectors(pq=pq, codes=pq_mod.encode(pq, vj, simf))
-    docmap = DocMap(np.arange(n, dtype=np.int64))
-
-    seg = tiered.build_tiered(tmp_path, graph, pqv, docmap, v, simf)
-    res = tiered.tiered_search(seg, q, SearchConfig(k=k, ef_search=96))
-    truth = ground_truth_topk(q, v, k, simf)
+    seg = read_segment(path)
+    assert seg.row_store is not None and seg.vectors is None  # host tier
+    reader = SegmentReader(seg)
+    res = reader.search(q, SearchConfig(k=k, ef_search=96))
+    truth = ground_truth_topk(q, v, k, SimilarityFunction.EUCLIDEAN)
     rec = recall_at_k(res.doc_ids, truth, k)
     assert rec >= 0.85, rec
     assert res.reranked > 0
-    seg.store.close()
