@@ -177,27 +177,51 @@ class VectorIndex:
             out = np.where(out < 0, p, out)
         return out
 
-    def get_vector(self, doc_id: int) -> np.ndarray | None:
-        """Fetch a document's vector from index storage (derived source).
+    def get_vectors(self, doc_ids) -> tuple[np.ndarray, np.ndarray]:
+        """Bulk vector read-back from index storage (derived source).
 
         The reference strips vectors from _source and re-injects them from
         the vector index at read time (codec/derivedsource/, default-on for
-        knn indices — JVectorKNNPlugin.java:217-228). Here vectors are only
-        ever stored once, in the segment, and this is the read-back hook.
+        knn indices — JVectorKNNPlugin.java:217-228). Vectors are stored
+        once, in the segment; lookups ride the per-segment doc->ordinal
+        inverse (O(hits log N), Segment.ords_for_docs).
+
+        Returns (vectors [n, dim] f32, found [n] bool).
         """
-        if int(doc_id) in self._deleted_docs:
-            return None
-        for name in self._segments:
+        doc_ids = np.asarray(doc_ids, np.int64).reshape(-1)
+        out = np.zeros((doc_ids.shape[0], self.config.dim), np.float32)
+        found = np.zeros(doc_ids.shape[0], bool)
+        if self._deleted_docs:
+            alive = ~np.isin(
+                doc_ids, np.fromiter(self._deleted_docs, np.int64)
+            )
+        else:
+            alive = np.ones(doc_ids.shape[0], bool)
+        for name in self.segment_names:
+            want = alive & ~found & (doc_ids >= 0)
+            if not want.any():
+                break
             seg = self._reader(name).seg
-            hit = np.nonzero(seg.docmap.ord_to_doc == int(doc_id))[0]
-            if hit.size:
-                ordn = int(hit[0])
-                if not bool(np.asarray(seg.graph.live)[ordn]):
-                    continue
+            ords = seg.ords_for_docs(doc_ids)
+            live = np.asarray(seg.graph.live)
+            hit = want & (ords >= 0)
+            hit[hit] = live[ords[hit]]
+            if not hit.any():
+                continue
+            if seg.row_store is not None:  # on_disk: page just these rows
+                rows = seg.row_store.gather(ords[hit])
+            else:
                 from opensearch_jvector_tpu.query.exact import _segment_fp32
 
-                return np.asarray(_segment_fp32(seg)[ordn])
-        return None
+                rows = np.asarray(_segment_fp32(seg))[ords[hit]]
+            out[hit] = rows
+            found |= hit
+        return out, found
+
+    def get_vector(self, doc_id: int) -> np.ndarray | None:
+        """Single-doc read-back (see get_vectors)."""
+        vecs, found = self.get_vectors([int(doc_id)])
+        return vecs[0] if found[0] else None
 
     # -- search ---------------------------------------------------------------
 

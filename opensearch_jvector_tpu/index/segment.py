@@ -65,6 +65,36 @@ class Segment:
     nvq: NVQVectors | None = None
     pqv: PQVectors | None = None
     row_store: object | None = None  # utils.native_store.PagedVectorStore
+    # lazily-built doc->ordinal inverse (sorted docs + ordinal permutation);
+    # makes vector read-back / MMR / rescore O(hits log N), not O(N) scans
+    _doc_sort: tuple | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    def ords_for_docs(self, doc_ids) -> np.ndarray:
+        """Vectorized doc id -> graph ordinal (-1 where absent).
+
+        Derived-source read-back index (DerivedSourceVectorTransformer
+        intent, derivedsource/DerivedSourceVectorTransformer.java:31-61):
+        built once per segment, then every lookup is a binary search.
+        """
+        if self._doc_sort is None:
+            docs = self.docmap.ord_to_doc
+            order = np.argsort(docs, kind="stable")
+            object.__setattr__(self, "_doc_sort",
+                               (docs[order], order.astype(np.int64)))
+        sdocs, sords = self._doc_sort
+        flat = np.asarray(doc_ids, np.int64).reshape(-1)
+        pos = np.searchsorted(sdocs, flat)
+        pos_c = np.clip(pos, 0, max(len(sdocs) - 1, 0))
+        ok = (
+            (len(sdocs) > 0)
+            & (pos < len(sdocs))
+            & (sdocs[pos_c] == flat)
+            & (flat >= 0)
+        )
+        out = np.where(ok, sords[pos_c] if len(sdocs) else -1, -1)
+        return out.reshape(np.asarray(doc_ids).shape)
 
     @property
     def quantization_type(self) -> str:

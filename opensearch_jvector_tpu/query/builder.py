@@ -61,8 +61,11 @@ class KnnQuery:
 
     def __post_init__(self):
         self.vector = np.asarray(self.vector, np.float32)
-        if self.vector.ndim != 1:
-            raise ValidationError("query vector must be 1-D")
+        # 1-D = single query (the REST DSL shape); 2-D [Q, d] = batched
+        # execution of Q query vectors under one set of parameters — the
+        # engine's native batch amortization exposed at the public API
+        if self.vector.ndim not in (1, 2):
+            raise ValidationError("query vector must be 1-D or [Q, d] 2-D")
         modes = sum(
             x is not None for x in (self.k, self.max_distance, self.min_score)
         )

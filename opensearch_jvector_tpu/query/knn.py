@@ -168,8 +168,9 @@ def _exact_over_segments(index: VectorIndex, query: KnnQuery,
                          k: int) -> QueryResult:
     """Brute-force scan of every segment (restrictive-filter path)."""
     q = np.atleast_2d(query.vector)
-    all_ids = np.full((1, 0), -1, np.int64)
-    all_scores = np.zeros((1, 0), np.float32)
+    qn = q.shape[0]
+    all_ids = np.full((qn, 0), -1, np.int64)
+    all_scores = np.zeros((qn, 0), np.float32)
     for name in index.segment_names:
         seg = index._reader(name).seg
         accept = None
@@ -208,28 +209,26 @@ def _accept_ords(seg, filter_docs) -> np.ndarray:
 
 def _rescore(index: VectorIndex, query: KnnQuery, res: QueryResult,
              k: int) -> QueryResult:
-    """Exact re-scoring of the oversampled candidates (RescoreContext)."""
-    q = jnp.asarray(np.atleast_2d(query.vector), jnp.float32)
-    cand_ids = res.doc_ids  # [1, fetch_k]
-    # gather candidate vectors by doc id across segments
-    vecs = np.zeros((cand_ids.shape[1], query.vector.shape[0]), np.float32)
-    found = np.zeros((cand_ids.shape[1],), bool)
-    for name in index.segment_names:
-        seg = index._reader(name).seg
-        inv = {int(d): o for o, d in enumerate(seg.docmap.ord_to_doc) if d >= 0}
-        v = None
-        for j, d in enumerate(cand_ids[0]):
-            if d >= 0 and int(d) in inv and not found[j]:
-                if v is None:
-                    v = np.asarray(exact_mod._segment_fp32(seg))
-                vecs[j] = v[inv[int(d)]]
-                found[j] = True
+    """Exact re-scoring of the oversampled candidates (RescoreContext).
+
+    Batched: candidate vectors for ALL queries are fetched in one bulk
+    read-back (per-segment doc->ordinal inverse) and rescored in one
+    batched device call.
+    """
+    q = jnp.asarray(np.atleast_2d(query.vector), jnp.float32)  # [Q, d]
+    cand_ids = res.doc_ids  # [Q, fetch_k]
+    qn, fk = cand_ids.shape
+    vecs, found = index.get_vectors(cand_ids.reshape(-1))
+    vecs = vecs.reshape(qn, fk, -1)
+    found = found.reshape(qn, fk)
     simf = index.config.similarity
-    s = np.asarray(pairwise_scores(q, jnp.asarray(vecs), simf))[0]
-    s = np.where(found & (cand_ids[0] >= 0), s, -np.inf)
-    order = np.argsort(-s, kind="stable")[:k]
-    ids = cand_ids[0][order][None, :]
-    scores = s[order][None, :]
+    from opensearch_jvector_tpu.ops.distances import batched_candidate_scores
+
+    s = np.asarray(batched_candidate_scores(q, jnp.asarray(vecs), simf))
+    s = np.where(found & (cand_ids >= 0), s, -np.inf)
+    order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    ids = np.take_along_axis(cand_ids, order, axis=1)
+    scores = np.take_along_axis(s, order, axis=1)
     ids = np.where(scores > -np.inf, ids, -1)
     return dataclasses.replace(res, doc_ids=ids, scores=scores)
 
@@ -265,8 +264,9 @@ def _radial(index: VectorIndex, query: KnnQuery) -> QueryResult:
         else:
             floor = (2.0 - d) / 2.0  # cosine
     q = np.atleast_2d(query.vector)
-    all_ids = np.full((1, 0), -1, np.int64)
-    all_scores = np.zeros((1, 0), np.float32)
+    qn = q.shape[0]
+    all_ids = np.full((qn, 0), -1, np.int64)
+    all_scores = np.zeros((qn, 0), np.float32)
     for name in index.segment_names:
         seg = index._reader(name).seg
         accept = None

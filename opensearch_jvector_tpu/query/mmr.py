@@ -97,22 +97,8 @@ def mmr_search(
 
     # pull candidate vectors from the segments (derived-source analog:
     # vectors are fetched from the index storage, not duplicated in _source)
-    from opensearch_jvector_tpu.query.exact import _segment_fp32
-
-    d = index.config.dim
-    vecs = np.zeros((ids.shape[0], d), np.float32)
-    found = np.zeros(ids.shape[0], bool)
-    for name in index.segment_names:
-        seg = index._reader(name).seg
-        inv = {int(dd): o for o, dd in enumerate(seg.docmap.ord_to_doc)
-               if dd >= 0}
-        v = None
-        for j, doc in enumerate(ids):
-            if valid[j] and not found[j] and int(doc) in inv:
-                if v is None:
-                    v = np.asarray(_segment_fp32(seg))
-                vecs[j] = v[inv[int(doc)]]
-                found[j] = True
+    # via the per-segment doc->ordinal inverse — O(hits), not O(N)
+    vecs, found = index.get_vectors(ids)
 
     rel = np.where(valid & found, res.scores[0], -np.inf)
     order = mmr_rerank(vecs, rel, size, params.diversity,

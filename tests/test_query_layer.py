@@ -87,8 +87,8 @@ def test_parse_rejects_bad_queries():
     with pytest.raises(ValidationError):
         parse_knn_query({"vector": [0.0] * DIM, "k": 5,
                          "rescore": {"oversample_factor": 1000.0}})
-    with pytest.raises(ValidationError):
-        KnnQuery(vector=np.zeros((2, 2)), k=5)
+    with pytest.raises(ValidationError):  # 2-D is batched; 3-D is invalid
+        KnnQuery(vector=np.zeros((2, 2, 2)), k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -286,3 +286,36 @@ def test_quantization_state_cache_evicts():
     cache.put("big1", big)
     cache.put("big2", big)  # 2 x 4kB > 2kB -> evictions
     assert cache.stats()["weight_bytes"] <= 8100
+
+
+def test_batched_query_execution(small_index):
+    """[Q, d] query vectors run as ONE batched engine call end-to-end,
+    including rescore (the TPU batch-amortization surface)."""
+    idx, v = small_index
+    qv = np.stack([v[3], v[17], v[29]])
+    q = parse_knn_query({"vector": qv, "k": 5,
+                         "rescore": {"oversample_factor": 2.0}})
+    res = knn.execute_knn_query(idx, q)
+    assert res.doc_ids.shape == (3, 5)
+    # batched execution == three single-query executions
+    for row, vec in enumerate(qv):
+        q1 = parse_knn_query({"vector": vec, "k": 5,
+                              "rescore": {"oversample_factor": 2.0}})
+        r1 = knn.execute_knn_query(idx, q1)
+        np.testing.assert_array_equal(res.doc_ids[row], r1.doc_ids[0])
+
+    # batched radial
+    q = parse_knn_query({"vector": qv, "max_distance": 0.5})
+    res = knn.execute_knn_query(idx, q)
+    assert res.doc_ids.shape[0] == 3
+    for row, expect in zip(res.doc_ids, (3, 17, 29)):
+        assert expect in row[row >= 0]  # exact scan: self-match present
+
+
+def test_bulk_vector_readback(small_index):
+    idx, v = small_index
+    vecs, found = idx.get_vectors([7, 13, 10_000, -1, 42])
+    assert found.tolist() == [True, True, False, False, True]
+    np.testing.assert_allclose(vecs[0], v[7], rtol=1e-6)
+    np.testing.assert_allclose(vecs[4], v[42], rtol=1e-6)
+    assert (vecs[2] == 0).all()
