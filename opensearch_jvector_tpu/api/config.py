@@ -15,6 +15,15 @@ from opensearch_jvector_tpu.ops.distances import SimilarityFunction
 QUANT_NONE = "none"
 QUANT_PQ = "pq"
 QUANT_NVQ = "nvq+pq"  # NVQ always pairs with an aux PQ in the reference
+# scalar (binary / multi-bit) quantization — the reference pairs these with
+# its Lucene-engine path (quantization/quantizer/*); here they are native
+# disk_ann modes: Hamming approximate phase over bit-packed codes + fp32
+# rerank (thermometer coding for 2/4-bit)
+QUANT_1BIT = "1bit"
+QUANT_2BIT = "2bit"
+QUANT_4BIT = "4bit"
+SCALAR_QUANTS = (QUANT_1BIT, QUANT_2BIT, QUANT_4BIT)
+SCALAR_BITS = {QUANT_1BIT: 1, QUANT_2BIT: 2, QUANT_4BIT: 4}
 
 # defaults (KNNConstants.java:84-116, JVectorFormat.java:34-35)
 DEFAULT_M = 32
@@ -83,10 +92,17 @@ class DiskAnnConfig:
             raise ValidationError(
                 f"neighbor_overflow must be >= 1.0: {self.neighbor_overflow}"
             )
-        if self.quantization_type not in (QUANT_NONE, QUANT_PQ, QUANT_NVQ):
+        allowed = (QUANT_NONE, QUANT_PQ, QUANT_NVQ) + SCALAR_QUANTS
+        if self.quantization_type not in allowed:
             raise ValidationError(
-                f"quantization_type must be one of none|pq|nvq+pq: "
+                f"quantization_type must be one of {'|'.join(allowed)}: "
                 f"{self.quantization_type}"
+            )
+        if (self.mode == "on_disk"
+                and self.quantization_type in SCALAR_QUANTS):
+            raise ValidationError(
+                "on_disk mode requires pq/nvq+pq quantization (the host "
+                "tier pages rows against an ADC approximate phase)"
             )
         if self.nvq_num_subvectors < 1:
             raise ValidationError("nvq.num_subvectors must be >= 1")

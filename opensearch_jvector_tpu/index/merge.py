@@ -35,6 +35,8 @@ import numpy as np
 from opensearch_jvector_tpu.api.config import (
     QUANT_NONE,
     QUANT_NVQ,
+    SCALAR_BITS,
+    SCALAR_QUANTS,
     DiskAnnConfig,
 )
 from opensearch_jvector_tpu.api.stats import STATS, Counter, StatsRegistry
@@ -119,10 +121,28 @@ def _merge_segments_timed(
     return path
 
 
+def _merged_scalar(cfg: DiskAnnConfig, all_vectors):
+    """Scalar (1/2/4-bit) merge recomputes thresholds + codes from scratch
+    over the merged rows (same policy as NVQ: cheap retrain, exact codes)."""
+    if cfg.quantization_type not in SCALAR_QUANTS:
+        return None
+    from opensearch_jvector_tpu.models import scalar as scalar_mod
+
+    import jax.numpy as _jnp
+
+    state = scalar_mod.train_scalar_quantizer(
+        np.asarray(all_vectors), bits=SCALAR_BITS[cfg.quantization_type]
+    )
+    codes = scalar_mod.quantize_vectors(state, all_vectors)
+    return state, _jnp.asarray(codes)
+
+
 def _merged_pq(cfg: DiskAnnConfig, lead: Segment, all_vectors, n_live):
     """PQ policy on merge: reuse leading codebooks + refine + re-encode;
     train fresh when the leading segment has none and n >= min batch."""
-    if cfg.quantization_type == QUANT_NONE:
+    if cfg.quantization_type == QUANT_NONE or (
+        cfg.quantization_type in SCALAR_QUANTS
+    ):
         return None
     if lead.pqv is not None:
         refined = pq_mod.refine_pq(lead.pqv.pq, all_vectors, cfg.similarity)
@@ -222,9 +242,12 @@ def _incremental_merge(
         ) if n_new else lead.docmap.ord_to_doc,
         parents if (parents >= 0).any() else None,
     )
+    scalar = _merged_scalar(cfg, all_vectors)
     return Segment(
         name=out_name, config=cfg, graph=graph, docmap=docmap,
         vectors=all_vectors, nvq=None, pqv=pqv,
+        scalar_state=scalar[0] if scalar else None,
+        scalar_codes=scalar[1] if scalar else None,
     )
 
 
@@ -297,7 +320,10 @@ def _full_rebuild_merge(
         # NVQ merge recomputes quantization from scratch (mergeNVQ parity)
         nvq = nvq_mod.train_nvq(all_vectors, cfg.nvq_num_subvectors)
         vectors = None
+    scalar = _merged_scalar(cfg, all_vectors)
     return Segment(
         name=out_name, config=cfg, graph=graph, docmap=docmap,
         vectors=vectors, nvq=nvq, pqv=pqv,
+        scalar_state=scalar[0] if scalar else None,
+        scalar_codes=scalar[1] if scalar else None,
     )

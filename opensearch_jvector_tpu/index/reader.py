@@ -146,6 +146,13 @@ class SegmentReader:
             kwargs["pq_codes"] = seg.pqv.codes
             kwargs["pq_codebooks"] = seg.pqv.pq.codebooks
             kwargs["pq_center"] = seg.pqv.pq.center
+        if seg.scalar_state is not None:
+            # scalar (1/2/4-bit) mode: Hamming approximate phase over
+            # bit-packed codes, exact fp32 rerank (vectors stay resident)
+            kwargs["scalar_codes"] = seg.scalar_codes
+            kwargs["scalar_thresholds"] = jnp.asarray(
+                seg.scalar_state.thresholds
+            )
         if nvq is not None:
             kwargs["nvq"] = nvq
             # approximate phase rides the aux PQ; exact phase decodes NVQ

@@ -45,7 +45,11 @@ from opensearch_jvector_tpu.models.graph import VamanaGraph
 from opensearch_jvector_tpu.models.nvq import NVQVectors
 from opensearch_jvector_tpu.models.pq import ProductQuantization, PQVectors
 
-QUANT_TYPE_BYTE = {QUANT_NONE: 0, QUANT_PQ: 1, QUANT_NVQ: 2}
+# NONE/PQ/NVQ bytes mirror the reference (JVectorIndexQuantization.java:
+# 51-53); 3-5 extend the scheme for native scalar quantization (the
+# reference stores scalar state in separate .osknnqstate files instead)
+QUANT_TYPE_BYTE = {QUANT_NONE: 0, QUANT_PQ: 1, QUANT_NVQ: 2,
+                   "1bit": 3, "2bit": 4, "4bit": 5}
 BYTE_TO_QUANT = {v: k for k, v in QUANT_TYPE_BYTE.items()}
 
 
@@ -65,6 +69,8 @@ class Segment:
     nvq: NVQVectors | None = None
     pqv: PQVectors | None = None
     row_store: object | None = None  # utils.native_store.PagedVectorStore
+    scalar_state: object | None = None  # models.scalar.QuantizationState
+    scalar_codes: jnp.ndarray | None = None  # [capacity, B] uint8 packed
     # lazily-built doc->ordinal inverse (sorted docs + ordinal permutation);
     # makes vector read-back / MMR / rescore O(hits log N), not O(N) scans
     _doc_sort: tuple | None = dataclasses.field(
@@ -100,6 +106,8 @@ class Segment:
     def quantization_type(self) -> str:
         if self.nvq is not None:
             return QUANT_NVQ
+        if self.scalar_state is not None:
+            return {1: "1bit", 2: "2bit", 4: "4bit"}[self.scalar_state.bits]
         if self.pqv is not None:
             return QUANT_PQ
         return QUANT_NONE
@@ -181,6 +189,15 @@ def write_segment(root: str | Path, seg: Segment) -> Path:
                 "codes": np.asarray(seg.pqv.codes),
             },
         )
+    if seg.scalar_state is not None:
+        store.write_container(
+            d / "scalar.jvtpu",
+            {"bits": seg.scalar_state.bits},
+            {
+                "thresholds": np.asarray(seg.scalar_state.thresholds),
+                "codes": np.asarray(seg.scalar_codes),
+            },
+        )
     docmap_arrays = {"ord_to_doc": seg.docmap.ord_to_doc}
     if seg.docmap.ord_to_parent is not None:
         docmap_arrays["ord_to_parent"] = seg.docmap.ord_to_parent
@@ -228,6 +245,27 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
                 global_mean=jnp.asarray(varr["global_mean"]),
             )
 
+    scalar_state = None
+    scalar_codes = None
+    spath = d / "scalar.jvtpu"
+    if spath.exists():
+        from opensearch_jvector_tpu.models.scalar import (
+            SCALAR_STATE_CACHE,
+            QuantizationState,
+        )
+
+        key = str(d.resolve())
+        cached = SCALAR_STATE_CACHE.get(key)
+        smeta, sarr = store.read_container(spath, verify=verify)
+        if cached is not None:
+            scalar_state = cached
+        else:
+            scalar_state = QuantizationState(
+                bits=int(smeta["bits"]), thresholds=sarr["thresholds"]
+            )
+            SCALAR_STATE_CACHE.put(key, scalar_state)
+        scalar_codes = jnp.asarray(sarr["codes"])
+
     pqv = None
     ppath = d / "pq.jvtpu"
     if ppath.exists():
@@ -242,6 +280,7 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
     return Segment(
         name=d.name, config=config, graph=graph, docmap=docmap,
         vectors=vectors, nvq=nvq, pqv=pqv, row_store=row_store,
+        scalar_state=scalar_state, scalar_codes=scalar_codes,
     )
 
 

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from opensearch_jvector_tpu.api.config import (
+    SCALAR_BITS,
+    SCALAR_QUANTS,
     QUANT_NONE,
     QUANT_NVQ,
     QUANT_PQ,
@@ -73,18 +75,33 @@ class IndexWriter:
         return len(self._doc_ids)
 
     def _quantize_for_flush(self, vectors: jnp.ndarray):
-        """Train quantizers when n >= min batch; returns (pqv, nvq, build_pq).
+        """Train quantizers when n >= min batch.
 
+        Returns (pqv, nvq, scalar, build_pq); `scalar` is a
+        (QuantizationState, packed_codes) pair for 1/2/4-bit modes.
         build_pq is the dict handed to the builder as the PQ build-score
         provider (BuildScoreProvider.pqBuildScoreProvider parity).
         """
         cfg = self.config
         n = vectors.shape[0]
         if cfg.quantization_type == QUANT_NONE:
-            return None, None, None
+            return None, None, None, None
         if n < cfg.min_batch_size_for_quantization:
-            return None, None, None
+            return None, None, None, None
         t0 = time.monotonic()
+        if cfg.quantization_type in SCALAR_QUANTS:
+            from opensearch_jvector_tpu.models import scalar as scalar_mod
+
+            bits = SCALAR_BITS[cfg.quantization_type]
+            state = scalar_mod.train_scalar_quantizer(
+                np.asarray(vectors), bits=bits
+            )
+            codes = scalar_mod.quantize_vectors(state, vectors)
+            self.stats.increment(
+                Counter.KNN_QUANTIZATION_TRAINING_TIME,
+                int((time.monotonic() - t0) * 1000),
+            )
+            return None, None, (state, jnp.asarray(codes)), None
         pq = pq_mod.train_pq(
             vectors, cfg.similarity, num_subspaces=cfg.num_pq_subspaces
         )
@@ -108,7 +125,7 @@ class IndexWriter:
                 "codebooks": pqv.pq.codebooks,
                 "center": pqv.pq.center,
             }
-        return pqv, nvq, build_pq
+        return pqv, nvq, None, build_pq
 
     def flush(self, name: str | None = None, sort_map=None) -> Path | None:
         """Build + persist a segment from the buffered docs; clears buffer.
@@ -145,7 +162,7 @@ class IndexWriter:
         has_nested = bool((parent_ids >= 0).any())
 
         cfg = self.config
-        pqv, nvq, build_pq = self._quantize_for_flush(vectors)
+        pqv, nvq, scalar, build_pq = self._quantize_for_flush(vectors)
 
         t0 = time.monotonic()
         builder = GraphIndexBuilder(
@@ -176,6 +193,8 @@ class IndexWriter:
             vectors=None if nvq is not None else vectors,
             nvq=nvq,
             pqv=pqv,
+            scalar_state=scalar[0] if scalar else None,
+            scalar_codes=scalar[1] if scalar else None,
         )
         path = write_segment(self.root, seg)
         self.stats.increment(Counter.KNN_FLUSH_COUNT)

@@ -161,3 +161,8 @@ class QuantizationStateCache:
     def stats(self) -> dict:
         with self._lock:
             return {"entries": len(self._entries), "weight_bytes": self._weight}
+
+
+# Node-level singleton (QuantizationStateCache parity): read_segment caches
+# trained scalar states here so re-opens skip threshold deserialization.
+SCALAR_STATE_CACHE = QuantizationStateCache()

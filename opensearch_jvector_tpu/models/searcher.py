@@ -76,6 +76,37 @@ def make_pq_provider(simf_id: int):
     return provider
 
 
+@functools.lru_cache(maxsize=None)
+def make_hamming_provider():
+    """Hamming scoring provider for scalar (1/2/4-bit) quantization:
+    ctx={'codes': [N, B] uint8 bit-packed}; qstate = packed query codes
+    [Q, B]. XOR + popcount on the VPU; score = 1/(1+distance)
+    (KNNScoringUtil.calculateHammingBit parity)."""
+
+    def provider(ctx: dict[str, Any], qstate: jax.Array, ids: jax.Array):
+        codes = ctx["codes"][jnp.clip(ids, 0)]  # [Q, C, B] uint8
+        x = jnp.bitwise_xor(codes, qstate[:, None, :])
+        d = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+        return 1.0 / (1.0 + d.astype(jnp.float32))
+
+    return provider
+
+
+def _encode_scalar_queries(queries: jax.Array, thr: jax.Array) -> jax.Array:
+    """Quantize queries against per-dimension thresholds -> packed uint8.
+
+    Thermometer coding across levels (d-major bit order), identical to
+    models/scalar.quantize_vectors so query and storage codes align.
+    """
+    above = (queries[:, None, :] > thr[None, :, :]).astype(jnp.uint8)
+    qn = queries.shape[0]
+    flat = jnp.transpose(above, (0, 2, 1)).reshape(qn, -1)
+    pad = (-flat.shape[1]) % 8
+    b = jnp.pad(flat, ((0, 0), (0, pad))).reshape(qn, -1, 8)
+    weights = (2 ** jnp.arange(7, -1, -1, dtype=jnp.uint8))[None, None, :]
+    return jnp.sum(b * weights, axis=-1).astype(jnp.uint8)
+
+
 @dataclasses.dataclass(frozen=True)
 class SearchParams:
     """Static search configuration (part of the jit cache key)."""
@@ -270,7 +301,7 @@ def beam_search(
 @functools.lru_cache(maxsize=None)
 def _make_search_fn(
     simf_id: int,
-    use_pq: bool,
+    approx: str,  # "exact" | "pq" | "scalar" approximate-phase provider
     rerank_src: str,  # "none" | "vectors" | "rerank_vectors" | "nvq"
     k: int,
     ef: int,
@@ -289,14 +320,18 @@ def _make_search_fn(
     enormously when the device sits behind a host tunnel.
     """
     simf = SimilarityFunction(simf_id)
-    provider = make_pq_provider(simf_id) if use_pq else make_exact_provider(simf_id)
+    provider = {
+        "pq": make_pq_provider(simf_id),
+        "scalar": make_hamming_provider(),
+        "exact": make_exact_provider(simf_id),
+    }[approx]
 
     @jax.jit
     def run(adjacency, live, entry, queries, accept,
             vectors, pq_codes, pq_codebooks, pq_center, rerank_vectors, nvq,
-            upper_adjacency):
+            upper_adjacency, scalar_codes, scalar_thresholds):
         qn = queries.shape[0]
-        if use_pq:
+        if approx == "pq":
             nsub, _, dsub = pq_codebooks.shape
             centered = (
                 queries if pq_center is None else queries - pq_center[None, :]
@@ -308,6 +343,9 @@ def _make_search_fn(
             qsub = centered.reshape(qn, nsub, dsub)
             luts = adc_ops.build_luts(qsub, pq_codebooks, simf.is_euclidean)
             qstate, ctx = luts, {"codes": pq_codes}
+        elif approx == "scalar":
+            qstate = _encode_scalar_queries(queries, scalar_thresholds)
+            ctx = {"codes": scalar_codes}
         else:
             qstate, ctx = queries, {"vectors": vectors}
 
@@ -329,7 +367,7 @@ def _make_search_fn(
         expanded = expanded + upper_expanded
 
         # ---- rerank phase -------------------------------------------------
-        if use_pq and rerank_src != "none":
+        if approx != "exact" and rerank_src != "none":
             qualify = res_ids >= 0
             if rerank_floor > 0.0:  # 0.0 == disabled (reference default)
                 qualify &= res_scores >= rerank_floor
@@ -377,6 +415,8 @@ def search(
     has_tombstones: bool = True,  # False -> skip result masking when
     # unfiltered (clean graph: every pool entry is live)
     upper_adjacency: jax.Array | None = None,  # hierarchy layer (optional)
+    scalar_codes: jax.Array | None = None,  # [N, B] uint8 bit-packed codes
+    scalar_thresholds: jax.Array | None = None,  # [levels, d] f32
 ) -> SearchResult:
     """Two-phase search over one graph segment (ONE compiled program).
 
@@ -392,8 +432,8 @@ def search(
     ef = max(params.ef_search, r)
     iters = params.max_iters or max(8, (ef + params.expansions_per_iter - 1)
                                     // params.expansions_per_iter)
-    use_pq = pq_codes is not None
-    if use_pq:
+    if pq_codes is not None:
+        approx = "pq"
         assert pq_codebooks is not None
         if nvq is not None:
             rerank_src = "nvq"
@@ -403,12 +443,17 @@ def search(
             rerank_src = "vectors"
         else:
             rerank_src = "none"
+    elif scalar_codes is not None:
+        approx = "scalar"
+        assert scalar_thresholds is not None and vectors is not None
+        rerank_src = "vectors"
     else:
+        approx = "exact"
         assert vectors is not None
         rerank_src = "none"
 
     fn = _make_search_fn(
-        simf.value, use_pq, rerank_src, params.k, ef,
+        simf.value, approx, rerank_src, params.k, ef,
         params.expansions_per_iter, r, iters,
         float(params.threshold), float(params.rerank_floor), masked_results,
         upper_adjacency is not None,
@@ -416,7 +461,7 @@ def search(
     final_ids, final_scores, visited, expanded, base_expanded, reranked = fn(
         adjacency, live, entry, queries, accept,
         vectors, pq_codes, pq_codebooks, pq_center, rerank_vectors, nvq,
-        upper_adjacency,
+        upper_adjacency, scalar_codes, scalar_thresholds,
     )
     return SearchResult(
         ids=final_ids,

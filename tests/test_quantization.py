@@ -142,3 +142,69 @@ def test_nvq_encode_decode_quality():
         np.asarray(nv.decode_rows(ids)), np.asarray(nv.decode()[ids]),
         rtol=1e-6,
     )
+
+
+def test_scalar_quantization_end_to_end(tmp_path):
+    """1/2/4-bit scalar quantization is config-reachable: Hamming
+    approximate phase over bit-packed codes + exact fp32 rerank, surviving
+    flush -> read -> search -> merge (recompute policy)."""
+    from opensearch_jvector_tpu.api.config import DiskAnnConfig, SearchConfig
+    from opensearch_jvector_tpu.api.mapping import parse_knn_vector_mapping
+    from opensearch_jvector_tpu.index.index import VectorIndex
+
+    dim, n, qn, k = 64, 1200, 8, 10
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((n, dim)).astype(np.float32)
+    q = rng.standard_normal((qn, dim)).astype(np.float32)
+    truth = ground_truth_topk(q, v, k, SimilarityFunction.EUCLIDEAN)
+
+    # reachable from the mapping layer
+    cfg, _ = parse_knn_vector_mapping({
+        "type": "knn_vector", "dimension": dim,
+        "method": {"name": "disk_ann", "parameters": {
+            "advanced.quantization_type": "4bit",
+            "advanced.min_batch_size_for_quantization": 256,
+        }},
+    })
+    assert cfg.quantization_type == "4bit"
+
+    # 1-bit carries only d bits of signal: like the reference's binary
+    # quantization it depends on heavy oversampling + exact rerank
+    for qt, oq, floor in (("1bit", 20, 0.70), ("4bit", 5, 0.85)):
+        import dataclasses
+
+        c = dataclasses.replace(cfg, quantization_type=qt)
+        idx = VectorIndex(tmp_path / qt, c)
+        for i in range(n):
+            idx.add(i, v[i])
+        idx.flush()
+        seg = idx._reader(idx.segment_names[0]).seg
+        assert seg.scalar_state is not None
+        assert seg.quantization_type == qt
+        expected_bytes = {"1bit": dim // 8, "4bit": dim * 15 // 8}[qt]
+        assert seg.scalar_codes.shape == (n, expected_bytes)
+
+        res = idx.search(q, SearchConfig(k=k, ef_search=256,
+                                         overquery_factor=oq))
+        rec = recall_at_k(res.doc_ids, truth, k)
+        assert rec >= floor, (qt, rec)
+        assert res.reranked > 0  # fp32 rerank actually ran
+
+        if qt == "4bit":  # merge recomputes thresholds + codes (NVQ-style)
+            idx.delete([0])
+            idx.force_merge()
+            seg2 = idx._reader(idx.segment_names[0]).seg
+            assert seg2.scalar_state is not None
+            res2 = idx.search(q, SearchConfig(k=k, ef_search=256,
+                                              overquery_factor=oq))
+            assert recall_at_k(res2.doc_ids, truth, k) >= floor - 0.1
+
+
+def test_scalar_rejected_for_on_disk():
+    from opensearch_jvector_tpu.api.config import (
+        DiskAnnConfig,
+        ValidationError,
+    )
+
+    with pytest.raises(ValidationError):
+        DiskAnnConfig(dim=32, quantization_type="1bit", mode="on_disk")
