@@ -93,6 +93,18 @@ def _merge_segments_timed(
     t0 = time.monotonic()
     assert segments, "nothing to merge"
     cfg = segments[0].config
+    # breaker guards merges: the merged segment + the sources coexist in
+    # device memory while the new graph builds
+    from opensearch_jvector_tpu.utils.circuit_breaker import BREAKER
+
+    total = sum(s.capacity() for s in segments)
+    BREAKER.check(
+        BREAKER.estimate_segment_bytes(
+            total, cfg.dim, cfg.m, cfg.neighbor_overflow,
+            cfg.num_pq_subspaces
+            if cfg.quantization_type != QUANT_NONE else None,
+        )
+    )
     lead_idx = _elect_leading(segments)
     lead = segments[lead_idx]
     others = [s for i, s in enumerate(segments) if i != lead_idx]

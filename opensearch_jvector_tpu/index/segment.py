@@ -210,6 +210,21 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
     d = Path(path)
     meta, _ = store.read_container(d / "meta.jvtpu", verify=verify)
     config = DiskAnnConfig.from_meta(meta["config"])
+    # memory circuit breaker guards loads too (the reference's breaker
+    # also guards cache loads, KNNSettings.java:68-108): estimate the
+    # device footprint from the meta before uploading any array
+    from opensearch_jvector_tpu.api.config import QUANT_NONE as _QN
+    from opensearch_jvector_tpu.utils.circuit_breaker import BREAKER
+
+    BREAKER.check(
+        BREAKER.estimate_segment_bytes(
+            int(meta.get("capacity", 0)), config.dim, config.m,
+            config.neighbor_overflow,
+            config.num_pq_subspaces
+            if config.quantization_type != _QN else None,
+            keep_fp32=config.mode != "on_disk",
+        )
+    )
     gmeta, garr = store.read_container(d / "graph.jvtpu", verify=verify)
     graph = VamanaGraph(
         adjacency=jnp.asarray(garr["adjacency"]),

@@ -64,3 +64,37 @@ def test_profiling_phase_counter_and_trace(tmp_path, monkeypatch):
     with phase("traced-phase", stats=stats):
         np.ones(10).sum()
     assert (tmp_path / "traced-phase").exists()
+
+
+def test_breaker_guards_segment_load_and_merge(tmp_path, monkeypatch):
+    """A too-large load or merge trips cleanly BEFORE uploading to the
+    device (the reference's breaker also guards cache loads,
+    KNNSettings.java:68-108)."""
+    import numpy as np
+
+    from opensearch_jvector_tpu.api.config import DiskAnnConfig, SearchConfig
+    from opensearch_jvector_tpu.index.index import VectorIndex
+    from opensearch_jvector_tpu.index.segment import read_segment
+    from opensearch_jvector_tpu.utils import circuit_breaker as cb
+
+    cfg = DiskAnnConfig(dim=16, m=8, ef_construction=32,
+                        quantization_type="none")
+    idx = VectorIndex(tmp_path, cfg)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((100, 16)).astype(np.float32)
+    for i in range(100):
+        idx.add(i, v[i])
+    name = idx.flush()
+
+    # fake a tiny device: 1 KiB budget -> every load/merge trips
+    monkeypatch.setattr(cb.BREAKER, "device_memory_bytes", lambda: 2048)
+    monkeypatch.setattr(cb.BREAKER, "device_memory_in_use", lambda: 0)
+    with pytest.raises(cb.CircuitBreakerException):
+        read_segment(tmp_path / name)
+    seg_ok = None
+    with pytest.raises(cb.CircuitBreakerException):
+        idx2 = VectorIndex(tmp_path)
+        idx2.force_merge()
+    assert cb.BREAKER.tripped
+    monkeypatch.undo()
+    assert read_segment(tmp_path / name) is not None  # loads fine again
