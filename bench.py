@@ -1,12 +1,19 @@
-"""Headline benchmark: batched DiskANN search latency on one TPU chip.
+"""Headline benchmark: DiskANN search + build + merge on one TPU chip.
 
 Mirrors the reference's JMH FormatBenchmarkQueryWithRandomVectors setup
-(random vectors, dim 128; README.md:90-98): build a Vamana graph, then
-measure average per-query search latency with the recall@10 gate reported
-alongside. Baseline: jvector fp32 at 100k docs = 0.451 ms/op (BASELINE.md).
+(random vectors, dim 128; README.md:90-98) and its merge-time comparison
+(README.md:163-174). Baseline: jvector fp32 at 100k docs = 0.451 ms/op
+single-query (BASELINE.md).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "ms/query", "vs_baseline": N}
+Metrics emitted (one JSON line; extras under "extra"):
+  * search_ms_per_query batched (batch=512) — TPU batch amortization
+  * search_ms_per_op at batch=1 and batch=8 — the JMH-comparable numbers
+  * recall@10 on the sift-like corpus AND the adversarial gaussian corpus
+  * build vectors/sec cold (includes XLA compile) and warm (steady state)
+  * incremental (10k delta into 90k) vs full-rebuild merge seconds
+
+All phases share one compiled-program family (same N/batch shapes) so the
+remote-compile cost is paid once, in the cold build.
 """
 
 import json
@@ -24,6 +31,8 @@ DIM = int(os.environ.get("BENCH_DIM", 128))
 Q = int(os.environ.get("BENCH_Q", 512))
 K = int(os.environ.get("BENCH_K", 10))
 EF = int(os.environ.get("BENCH_EF", 100))
+BATCH = int(os.environ.get("BENCH_BATCH", 2048))
+FULL = os.environ.get("BENCH_FULL", "1") != "0"  # 0 -> headline only
 # "sift": low-effective-dimension synthetic (latent 16 -> DIM linear map +
 # noise), matching the geometry of real image-descriptor sets like
 # SIFT-128 (effective dim ~15-20; real datasets unavailable offline).
@@ -32,17 +41,20 @@ DATA = os.environ.get("BENCH_DATA", "sift")
 BASELINE_MS = 0.451  # reference jvector fp32, 100k docs, dim 128 (README.md:92)
 
 
-def make_data(rng):
-    if DATA == "gaussian":
-        vectors = rng.standard_normal((N, DIM)).astype(np.float32)
-        queries = rng.standard_normal((Q, DIM)).astype(np.float32)
-        return vectors, queries
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def make_data(rng, kind, n, q):
+    if kind == "gaussian":
+        return (rng.standard_normal((n, DIM)).astype(np.float32),
+                rng.standard_normal((q, DIM)).astype(np.float32))
     latent = 16
     a = rng.standard_normal((latent, DIM)).astype(np.float32) / np.sqrt(latent)
-    vectors = (rng.standard_normal((N, latent)).astype(np.float32) @ a
-               + 0.05 * rng.standard_normal((N, DIM)).astype(np.float32))
-    queries = (rng.standard_normal((Q, latent)).astype(np.float32) @ a
-               + 0.05 * rng.standard_normal((Q, DIM)).astype(np.float32))
+    vectors = (rng.standard_normal((n, latent)).astype(np.float32) @ a
+               + 0.05 * rng.standard_normal((n, DIM)).astype(np.float32))
+    queries = (rng.standard_normal((q, latent)).astype(np.float32) @ a
+               + 0.05 * rng.standard_normal((q, DIM)).astype(np.float32))
     return vectors, queries
 
 
@@ -50,8 +62,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from opensearch_jvector_tpu.models.builder import GraphIndexBuilder
     from opensearch_jvector_tpu.models import searcher
+    from opensearch_jvector_tpu.models.builder import GraphIndexBuilder
     from opensearch_jvector_tpu.models.searcher import SearchParams
     from opensearch_jvector_tpu.ops.distances import SimilarityFunction
     from opensearch_jvector_tpu.utils.ground_truth import (
@@ -61,46 +73,171 @@ def main():
 
     simf = SimilarityFunction.EUCLIDEAN
     rng = np.random.default_rng(7)
-    v_np, q_np = make_data(rng)
+    v_np, q_np = make_data(rng, DATA, N, Q)
     vectors, queries = jnp.asarray(v_np), jnp.asarray(q_np)
+    extra = {}
+
+    def build(builder=None):
+        builder = builder or GraphIndexBuilder(
+            dim=DIM, max_degree=48, beam_width=100, batch_size=BATCH
+        )
+        return builder.build(vectors, simf)
 
     t0 = time.time()
-    builder = GraphIndexBuilder(
-        dim=DIM, max_degree=48, beam_width=100, batch_size=1024
-    )
-    graph = builder.build(vectors, simf)
-    build_s = time.time() - t0
-    print(f"# build: {N} vectors in {build_s:.1f}s "
-          f"({N / build_s:.0f} vec/s)", file=sys.stderr)
+    graph = build()
+    build_cold = time.time() - t0
+    log(f"build(cold, incl. compile): {N} vectors in {build_cold:.1f}s "
+        f"({N / build_cold:.0f} vec/s)")
+    extra["build_vec_per_s_cold"] = round(N / build_cold, 1)
+
+    if FULL:
+        t0 = time.time()
+        graph = build()
+        build_warm = time.time() - t0
+        log(f"build(warm): {N} vectors in {build_warm:.1f}s "
+            f"({N / build_warm:.0f} vec/s)")
+        extra["build_vec_per_s_warm"] = round(N / build_warm, 1)
+        extra["merge_full_rebuild_s"] = round(build_warm, 2)
 
     params = SearchParams(k=K, ef_search=EF, overquery_factor=5)
 
-    def run():
+    def run(g, qs, vs):
         res = searcher.search(
-            graph.adjacency, graph.live, graph.entry, queries, params, simf,
-            vectors=vectors,
+            g.adjacency, g.live, g.entry, qs, params, simf, vectors=vs,
         )
         jax.block_until_ready(res.ids)
         return res
 
-    res = run()  # compile + warm
+    def timed_ms_per_query(g, qs, vs, iters=5):
+        run(g, qs, vs)  # compile + warm
+        t0 = time.time()
+        for _ in range(iters):
+            run(g, qs, vs)
+        return (time.time() - t0) / iters / qs.shape[0] * 1000.0
+
+    res = run(graph, queries, vectors)
     truth = ground_truth_topk(queries, vectors, K, simf)
     rec = recall_at_k(np.asarray(res.ids), truth, K)
-    print(f"# recall@{K}: {rec:.4f}", file=sys.stderr)
+    log(f"recall@{K} ({DATA}): {rec:.4f}")
+    ms_batched = timed_ms_per_query(graph, queries, vectors)
+    log(f"batched (batch={Q}): {ms_batched:.4f} ms/query")
 
-    iters = 5
-    t0 = time.time()
-    for _ in range(iters):
-        run()
-    total = time.time() - t0
-    ms_per_query = total / iters / Q * 1000.0
+    if FULL:
+        # Per-op wall latency (single dispatch per op). Through the axon
+        # host tunnel each dispatch pays the full host<->device RTT, so the
+        # wall number is tunnel-dominated; the device-loop number below is
+        # the JMH-comparable one (query handled adjacent to the chip).
+        ms_b8 = timed_ms_per_query(graph, queries[:8], vectors, iters=20)
+        ms_b1 = timed_ms_per_query(graph, queries[:1], vectors, iters=20)
+        log(f"batch=8 wall: {ms_b8:.4f} ms/op ; batch=1 wall: {ms_b1:.4f} "
+            f"ms/op (incl. host-tunnel dispatch RTT)")
+        extra["search_ms_per_op_batch8_wall"] = round(ms_b8, 4)
+        extra["search_ms_per_op_batch1_wall"] = round(ms_b1, 4)
+
+        # Device-resident serving loop: REPS sequential single-query
+        # searches chained inside ONE program (each iteration's query is
+        # data-dependent on the previous result, so XLA cannot overlap
+        # them). Measures pure on-device per-op latency.
+        import functools as _ft
+
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        reps = 50
+
+        def chained(adjacency, live, entry, q1, vs):
+            provider = searcher.make_exact_provider(simf.value)
+            accept = live
+
+            def body(i, carry):
+                acc, _ = carry
+                qq = q1 + 0.0 * acc  # serialize on the previous result
+                ids, scores, visited, expanded = searcher.beam_search(
+                    adjacency, live, entry, qq, {"vectors": vs}, accept,
+                    provider, L=max(EF, K * 5), E=16, R=K * 5,
+                    max_iters=max(8, -(-max(EF, K * 5) // 16)),
+                )
+                top_s, idx = _jax.lax.top_k(scores, K)
+                return (top_s[0, 0], ids)
+
+            return _jax.lax.fori_loop(
+                0, reps, body, (_jnp.float32(0.0), _jnp.zeros(
+                    (1, K * 5), _jnp.int32))
+            )
+
+        cfn = _jax.jit(chained)
+        out = cfn(graph.adjacency, graph.live, graph.entry, queries[:1],
+                  vectors)
+        _jax.block_until_ready(out)  # compile + warm
+        t0 = time.time()
+        for _ in range(3):
+            _jax.block_until_ready(
+                cfn(graph.adjacency, graph.live, graph.entry, queries[:1],
+                    vectors)
+            )
+        dev_ms = (time.time() - t0) / 3 / reps * 1000.0
+        log(f"batch=1 device-loop: {dev_ms:.4f} ms/op "
+            f"(reference jvector fp32 single-op: {BASELINE_MS} ms -> "
+            f"{BASELINE_MS / dev_ms:.2f}x)")
+        extra["search_ms_per_op_batch1_device"] = round(dev_ms, 4)
+        extra["vs_baseline_batch1_device"] = round(BASELINE_MS / dev_ms, 2)
+
+        # adversarial i.i.d. gaussian corpus — same shapes, no new compiles
+        gv_np, gq_np = make_data(np.random.default_rng(11), "gaussian", N, Q)
+        g_vectors, g_queries = jnp.asarray(gv_np), jnp.asarray(gq_np)
+        t0 = time.time()
+        g_graph = GraphIndexBuilder(
+            dim=DIM, max_degree=48, beam_width=100, batch_size=BATCH
+        ).build(g_vectors, simf)
+        log(f"gaussian build(warm): {time.time() - t0:.1f}s")
+        g_res = run(g_graph, g_queries, g_vectors)
+        g_truth = ground_truth_topk(g_queries, g_vectors, K, simf)
+        g_rec = recall_at_k(np.asarray(g_res.ids), g_truth, K)
+        g_ms = timed_ms_per_query(g_graph, g_queries, g_vectors)
+        log(f"gaussian: recall@{K}={g_rec:.4f}, {g_ms:.4f} ms/query batched")
+        extra["gaussian_recall_at_k"] = round(float(g_rec), 4)
+        extra["gaussian_ms_per_query_batched"] = round(g_ms, 4)
+
+        # incremental (leading-segment) vs full-rebuild merge: delta-insert
+        # the last 10% into a graph of the first 90% — same [N] program
+        # family as the main build, so this measures steady-state insert.
+        n_delta = N // 10
+        boot_n = min(4096, N - n_delta)
+        inc_builder = GraphIndexBuilder(
+            dim=DIM, max_degree=48, beam_width=100, batch_size=BATCH
+        )
+        g90 = inc_builder.build(
+            vectors[:boot_n], simf, capacity=N
+        )
+        import dataclasses as _dc
+
+        g90 = _dc.replace(
+            g90,
+            live=jnp.zeros((N,), bool).at[jnp.arange(boot_n)].set(True),
+        )
+        if boot_n < N - n_delta:
+            g90 = inc_builder.add_nodes(
+                g90, vectors, np.arange(boot_n, N - n_delta), simf
+            )
+        t0 = time.time()
+        g_full = inc_builder.add_nodes(
+            g90, vectors, np.arange(N - n_delta, N), simf
+        )
+        jax.block_until_ready(g_full.adjacency)
+        merge_inc = time.time() - t0
+        log(f"incremental merge (delta {n_delta} into {N - n_delta}): "
+            f"{merge_inc:.1f}s vs full rebuild "
+            f"{extra['merge_full_rebuild_s']}s "
+            f"({extra['merge_full_rebuild_s'] / merge_inc:.1f}x)")
+        extra["merge_incremental_s"] = round(merge_inc, 2)
 
     print(json.dumps({
         "metric": f"search_ms_per_query_batched ({DATA} N={N}, d={DIM}, "
                   f"batch={Q}, recall@{K}={rec:.3f})",
-        "value": round(ms_per_query, 5),
+        "value": round(ms_batched, 5),
         "unit": "ms/query",
-        "vs_baseline": round(BASELINE_MS / ms_per_query, 2),
+        "vs_baseline": round(BASELINE_MS / ms_batched, 2),
+        "extra": extra,
     }))
 
 

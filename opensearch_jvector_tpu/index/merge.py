@@ -72,7 +72,7 @@ def merge_segments(
     segments: list[Segment],
     out_name: str,
     stats: StatsRegistry = STATS,
-    builder_batch_size: int = 1024,
+    builder_batch_size: int = 2048,
 ) -> Path:
     """Merge segments into one; incremental when the guards allow."""
     from opensearch_jvector_tpu.utils.profiling import phase

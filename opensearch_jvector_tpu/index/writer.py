@@ -40,7 +40,7 @@ class IndexWriter:
         root: str | Path,
         config: DiskAnnConfig,
         stats: StatsRegistry = STATS,
-        build_batch_size: int = 1024,
+        build_batch_size: int = 2048,
     ):
         self.root = Path(root)
         self.config = config

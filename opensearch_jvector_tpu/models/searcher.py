@@ -114,8 +114,9 @@ class SearchParams:
     k: int
     ef_search: int = 100  # candidate pool size L
     overquery_factor: int = 5  # rerank pool R = k * overquery_factor
-    expansions_per_iter: int = 8  # E: beam widening factor (8 halves the
-    # while_loop iterations vs 4 at equal recall on TPU)
+    expansions_per_iter: int = 16  # E: beam widening factor (measured on
+    # v5e at N=20k/d=128: E=16 halves while_loop iterations vs E=8 at
+    # identical recall, 0.99 ms -> batched 0.306 ms/q; E=32 regresses)
     max_iters: int = 0  # 0 -> derived from ef_search
     threshold: float = 0.0  # similarity cutoff on final results
     rerank_floor: float = 0.0  # approx-score floor to qualify for rerank

@@ -58,6 +58,9 @@ class KnnQuery:
     use_pruning: bool = DEFAULT_USE_PRUNING
     rescore: Rescore | None = None
     expand_nested_docs: bool = False
+    # unmapped target field -> empty results instead of an error
+    # (KNNQueryBuilder.ignoreUnmapped parity)
+    ignore_unmapped: bool = False
 
     def __post_init__(self):
         self.vector = np.asarray(self.vector, np.float32)
@@ -103,6 +106,7 @@ def parse_knn_query(body: dict) -> KnnQuery:
     known = {
         "vector", "k", "filter", "method_parameters", "rescore",
         "max_distance", "min_score", "expand_nested_docs",
+        "ignore_unmapped",
     }
     unknown = set(body) - known
     if unknown:
@@ -146,4 +150,5 @@ def parse_knn_query(body: dict) -> KnnQuery:
         use_pruning=bool(mp.get("advanced.use_pruning", DEFAULT_USE_PRUNING)),
         rescore=rescore,
         expand_nested_docs=bool(body.get("expand_nested_docs", False)),
+        ignore_unmapped=bool(body.get("ignore_unmapped", False)),
     )

@@ -216,6 +216,15 @@ def _make_handler(mgr: IndexManager):
 
             qroot = qbody.get("knn") or {}
             if field not in qroot:
+                # ignore_unmapped parity: an unmapped target field returns
+                # empty hits instead of an error when the flag is set
+                tgt = next(iter(qroot), None)
+                if tgt is not None and bool(
+                    (qroot[tgt] or {}).get("ignore_unmapped", False)
+                ):
+                    return self._send(200, {
+                        "hits": {"total": {"value": 0}, "hits": []},
+                    })
                 return self._error(400, f"knn query must target field {field}")
             query = parse_knn_query(qroot[field])
 

@@ -1,0 +1,53 @@
+"""Reference-scale recall gate (RecallTestsIT.java:54-80 parity):
+10k docs, dim 16, k=100, 100 queries vs exact ground truth, per space type.
+"""
+
+import numpy as np
+import pytest
+
+from opensearch_jvector_tpu.api.config import DiskAnnConfig, SearchConfig
+from opensearch_jvector_tpu.index.reader import SegmentReader
+from opensearch_jvector_tpu.index.segment import Segment
+from opensearch_jvector_tpu.index.docmap import DocMap
+from opensearch_jvector_tpu.index.writer import IndexWriter
+from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+from opensearch_jvector_tpu.utils.ground_truth import ground_truth_topk, recall_at_k
+
+N_DOCS = 10_000
+DIM = 16
+K = 100
+N_QUERIES = 100
+
+# per-space floors, mirroring the reference's empirical per-config
+# thresholds (theirs: 0.95/0.98 region on the same corpus shape)
+FLOORS = {
+    "l2": (SimilarityFunction.EUCLIDEAN, 0.95),
+    "cosinesimil": (SimilarityFunction.COSINE, 0.95),
+    "innerproduct": (SimilarityFunction.DOT_PRODUCT, 0.90),
+}
+
+
+@pytest.mark.parametrize("space", sorted(FLOORS))
+def test_recall_gate_10k_k100(space, tmp_path):
+    simf, floor = FLOORS[space]
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((N_DOCS, DIM)).astype(np.float32)
+    q = rng.standard_normal((N_QUERIES, DIM)).astype(np.float32)
+
+    writer = IndexWriter(
+        tmp_path,
+        DiskAnnConfig(dim=DIM, similarity=simf, m=16, ef_construction=64,
+                      quantization_type="none"),
+        build_batch_size=2048,
+    )
+    for i in range(N_DOCS):
+        writer.add_document(i, v[i])
+    path = writer.flush()
+
+    from opensearch_jvector_tpu.index.segment import read_segment
+
+    reader = SegmentReader(read_segment(path))
+    res = reader.search(q, SearchConfig(k=K, ef_search=200))
+    truth = ground_truth_topk(q, v, K, simf)
+    rec = recall_at_k(res.doc_ids, truth, K)
+    assert rec >= floor, f"{space}: recall@{K}={rec:.4f} < {floor}"

@@ -114,3 +114,21 @@ def test_rest_error_paths(service):
             "type": "knn_vector", "dimension": DIM, "space_type": "hamming",
         }}}})
     assert status == 400  # script-only space on the engine
+
+
+def test_ignore_unmapped_field(service):
+    """Unmapped target field: 400 without the flag, empty hits with it
+    (KNNQueryBuilder.ignoreUnmapped parity)."""
+    _req(service, "PUT", "/ium", {
+        "mappings": {"properties": {"vec": {
+            "type": "knn_vector", "dimension": DIM,
+        }}}})
+    status, _ = _req(service, "POST", "/ium/_search", {
+        "query": {"knn": {"other_field": {"vector": [0.0] * DIM, "k": 3}}}})
+    assert status == 400
+    status, data = _req(service, "POST", "/ium/_search", {
+        "query": {"knn": {"other_field": {
+            "vector": [0.0] * DIM, "k": 3, "ignore_unmapped": True,
+        }}}})
+    assert status == 200
+    assert data["hits"]["total"]["value"] == 0
