@@ -185,9 +185,34 @@ def _make_splice_prune_fn(simf_id: int, m_out: int, alpha: float):
         pvecs = vectors[ids]
         cvecs = vectors[jnp.clip(cand, 0)]
         scores = batched_candidate_scores(pvecs, cvecs, simf)
-        scores = jnp.where(cand >= 0, scores, NEG_INF)
+        # Mask duplicate ids (keep one occurrence) BEFORE the top-k so the
+        # narrowed window isn't wasted on copies of one near neighbor. Done
+        # by sort + adjacent-equal (O(C log C)); a pairwise-equality mask
+        # would be O(C^2) — the very blowup this function avoids.
+        order = jnp.argsort(cand, axis=1)
+        sorted_cand = jnp.take_along_axis(cand, order, axis=1)
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros((b, 1), bool),
+             (sorted_cand[:, 1:] == sorted_cand[:, :-1])
+             & (sorted_cand[:, 1:] >= 0)],
+            axis=1,
+        )
+        dup = jnp.zeros_like(dup_sorted).at[
+            jnp.arange(b)[:, None], order
+        ].set(dup_sorted)
+        scores = jnp.where((cand >= 0) & ~dup, scores, NEG_INF)
+        # Narrow to the best W candidates by score before robust prune: the
+        # prune is O(C^2) in memory ([B, C, C] pairwise), and the raw 2-hop
+        # set is cap + cap^2 wide (~1.5k at m=32) — 18GB of intermediate at
+        # B=2048. The alpha-prune only ever selects near candidates, so a
+        # score top-k preselect is lossless in practice.
+        w = min(4 * m_out, cand.shape[1])
+        top_scores, top_idx = jax.lax.top_k(scores, w)
+        top_cand = jnp.take_along_axis(cand, top_idx, axis=1)
+        top_cand = jnp.where(top_scores > NEG_INF, top_cand, -1)
         sel = robust_prune_batch(
-            pvecs, cand, cvecs, scores, alpha, m_out, simf_id, point_ids=ids
+            pvecs, top_cand, vectors[jnp.clip(top_cand, 0)], top_scores,
+            alpha, m_out, simf_id, point_ids=ids,
         )
         out_rows = jnp.full((b, cap), -1, jnp.int32)
         out_rows = out_rows.at[:, : sel.shape[1]].set(sel)
@@ -277,6 +302,16 @@ class GraphIndexBuilder:
         self.counters = BuildCounters()
         self._has_tombstones = False
 
+    def _bucket(self, n: int) -> int:
+        """Pad width for a round of n real items: next power of two (min 64),
+        capped at batch_size. Bounds compute for small rounds while keeping
+        the set of compiled program shapes small (pow2 family, one compile
+        each, persistent-cached)."""
+        b = 64
+        while b < n:
+            b *= 2
+        return min(b, self.batch_size)
+
     # -- scoring helpers ---------------------------------------------------
 
     def _search_candidates(
@@ -361,12 +396,13 @@ class GraphIndexBuilder:
         fn = _make_overflow_prune_fn(simf.value, self.max_degree, self.alpha)
         for s in range(0, node_ids.size, chunk):
             ids = node_ids[s : s + chunk]
-            pad = chunk - ids.size
+            bucket = self._bucket(ids.size)
+            pad = bucket - ids.size
             # pad with duplicates of the first id AND its extras: duplicate
             # scatter rows then compute identical results, so the undefined
             # write order of duplicate scatter indices cannot matter
             ids_p = np.pad(ids, (0, pad), constant_values=ids[0])
-            ex = np.full((chunk, e_width), -1, np.int32)
+            ex = np.full((bucket, e_width), -1, np.int32)
             if extras is not None and extras.size:
                 blk = extras[s : s + chunk]
                 ex[: blk.shape[0], : blk.shape[1]] = blk[:, :e_width]
@@ -385,12 +421,14 @@ class GraphIndexBuilder:
 
     def _insert_round(self, st: _DeviceAdj, live_dev, entry, batch, vectors,
                       simf, pq):
-        # Pad the batch to a constant size so every round hits the same
-        # compiled programs (XLA retraces on shape changes).
+        # Pad the batch to a pow2 bucket so rounds hit a small family of
+        # compiled programs (XLA retraces on shape changes) without paying
+        # full-batch compute for tiny rounds.
         real_b = len(batch)
-        if real_b < self.batch_size:
+        bucket = self._bucket(real_b)
+        if real_b < bucket:
             batch = np.concatenate(
-                [batch, np.full(self.batch_size - real_b, batch[0], batch.dtype)]
+                [batch, np.full(bucket - real_b, batch[0], batch.dtype)]
             )
         b = len(batch)
         batch_dev = jnp.asarray(batch, jnp.int32)
@@ -415,19 +453,21 @@ class GraphIndexBuilder:
         self._prune_overflow(st, overflowed, vectors, simf, extras=extras)
 
     def _apply_edges(self, st, new_ids, sel, dst, slot, src):
-        """Pad edge lists to a fixed width and apply on device (no retrace)."""
-        width = self.batch_size * self.max_degree
+        """Pad edge lists to a bucketed width and apply on device (bounded
+        shape family, no per-round retrace)."""
+        bucket = self._bucket(new_ids.size)
+        width = bucket * self.max_degree
         n_cap = st.dev.shape[0]
         dst_p = np.full(width, n_cap, np.int32)  # OOB -> dropped by scatter
         slot_p = np.zeros(width, np.int32)
         src_p = np.full(width, -1, np.int32)
         m = min(dst.size, width)
         dst_p[:m], slot_p[:m], src_p[:m] = dst[:m], slot[:m], src[:m]
-        # pad the row write to batch_size with duplicates (identical content
+        # pad the row write to the bucket with duplicates (identical content
         # -> duplicate scatter indices are harmless)
         rows = st.pad_rows(sel)
-        if new_ids.size < self.batch_size:
-            padn = self.batch_size - new_ids.size
+        if new_ids.size < bucket:
+            padn = bucket - new_ids.size
             new_ids = np.concatenate(
                 [new_ids, np.full(padn, new_ids[0], new_ids.dtype)]
             )
@@ -535,11 +575,11 @@ class GraphIndexBuilder:
             for s in range(0, order.size, self.batch_size):
                 batch = order[s : s + self.batch_size]
                 real_b = batch.size
-                if real_b < self.batch_size:
+                bucket = self._bucket(real_b)
+                if real_b < bucket:
                     batch = np.concatenate(
                         [batch,
-                         np.full(self.batch_size - real_b, batch[0],
-                                 batch.dtype)]
+                         np.full(bucket - real_b, batch[0], batch.dtype)]
                     )
                 batch_dev = jnp.asarray(batch, jnp.int32)
                 queries = vectors[batch_dev]
@@ -668,7 +708,7 @@ class GraphIndexBuilder:
             fn = _make_splice_prune_fn(simf.value, self.max_degree, self.alpha)
             for s in range(0, dead_nodes.size, self.batch_size):
                 ids = dead_nodes[s : s + self.batch_size]
-                pad = self.batch_size - ids.size
+                pad = self._bucket(ids.size) - ids.size
                 ids = np.pad(ids, (0, pad), constant_values=ids[0])
                 sel, st.dev = fn(
                     jnp.asarray(ids, jnp.int32), st.dev, live_dev, vectors

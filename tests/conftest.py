@@ -33,3 +33,17 @@ assert len(jax.devices()) >= 8, (
 )
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_collection_modifyitems(config, items):
+    """`slow` marker: reference-scale / torture cells skipped by default on
+    the single-core CI host (RUN_SLOW=1 runs everything — the nightly/IT
+    tier, like the reference's gradle integTest split)."""
+    import pytest
+
+    if os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow tier: set RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -29,7 +29,7 @@ def _clustered(n, qn, seed=0):
 
 
 def test_upper_layer_built_and_improves_clustered_recall():
-    n, qn, k = 3000, 32, 10
+    n, qn, k = 1600, 32, 10
     v_np, q_np = _clustered(n, qn)
     v, q = jnp.asarray(v_np), jnp.asarray(q_np)
     simf = SimilarityFunction.EUCLIDEAN
