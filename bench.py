@@ -198,6 +198,40 @@ def main():
         extra["gaussian_recall_at_k"] = round(float(g_rec), 4)
         extra["gaussian_ms_per_query_batched"] = round(g_ms, 4)
 
+        # PQ/ADC quantized search on the same corpus: the reference's
+        # quantized mode is its best number (0.194 ms/op @100k, README.md:95).
+        # ADC approximate phase over uint8 codes + fp32 rerank of the top
+        # k*overquery survivors — the production PQ segment path.
+        from opensearch_jvector_tpu.models import pq as pq_mod
+
+        t0 = time.time()
+        pq = pq_mod.train_pq(vectors, simf)
+        pq_codes = pq_mod.encode(pq, vectors, simf)
+        jax.block_until_ready(pq_codes)
+        log(f"pq train+encode ({pq.num_subspaces} subspaces): "
+            f"{time.time() - t0:.1f}s")
+        extra["pq_train_encode_s"] = round(time.time() - t0, 2)
+
+        def run_pq(qs):
+            res = searcher.search(
+                graph.adjacency, graph.live, graph.entry, qs, params, simf,
+                vectors=vectors, pq_codes=pq_codes,
+                pq_codebooks=pq.codebooks, pq_center=pq.center,
+            )
+            jax.block_until_ready(res.ids)
+            return res
+
+        pq_res = run_pq(queries)
+        pq_rec = recall_at_k(np.asarray(pq_res.ids), truth, K)
+        t0 = time.time()
+        for _ in range(5):
+            run_pq(queries)
+        pq_ms = (time.time() - t0) / 5 / Q * 1000.0
+        log(f"pq/adc batched: {pq_ms:.4f} ms/query, recall@{K}={pq_rec:.4f} "
+            f"(reference PQ single-op: 0.194 ms)")
+        extra["pq_ms_per_query_batched"] = round(pq_ms, 4)
+        extra["pq_recall_at_k"] = round(float(pq_rec), 4)
+
         # incremental (leading-segment) vs full-rebuild merge: delta-insert
         # the last 10% into a graph of the first 90% — same [N] program
         # family as the main build, so this measures steady-state insert.
@@ -208,12 +242,6 @@ def main():
         )
         g90 = inc_builder.build(
             vectors[:boot_n], simf, capacity=N
-        )
-        import dataclasses as _dc
-
-        g90 = _dc.replace(
-            g90,
-            live=jnp.zeros((N,), bool).at[jnp.arange(boot_n)].set(True),
         )
         if boot_n < N - n_delta:
             g90 = inc_builder.add_nodes(

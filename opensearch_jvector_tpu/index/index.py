@@ -153,7 +153,7 @@ class VectorIndex:
             r = self._reader(name)
             docs = r.seg.docmap.ord_to_doc
             live = np.asarray(r.seg.graph.live)
-            ok = live & (docs >= 0)
+            ok = live[: docs.shape[0]] & (docs >= 0)
             if dead is not None:
                 ok &= ~np.isin(docs, dead)
             total += int(ok.sum())

@@ -52,14 +52,17 @@ MAX_ORDINALS = 2**31 - 1
 
 
 def _materialize_vectors(seg: Segment) -> jnp.ndarray:
-    """fp32 rows for a segment (decodes NVQ / pages the host tier)."""
+    """fp32 rows for a segment's USED ordinals (decodes NVQ / pages the
+    host tier). Rows beyond `docmap.num_ordinals` are capacity-bucket
+    padding, never real vectors — sliced off here."""
+    used = seg.docmap.num_ordinals
     if seg.vectors is not None:
-        return seg.vectors
-    if seg.row_store is not None:  # on_disk mode
+        return seg.vectors[:used]
+    if seg.row_store is not None:  # on_disk mode (stores exact rows)
         rows = seg.row_store.gather(np.arange(seg.row_store.num_rows))
-        return jnp.asarray(rows)
+        return jnp.asarray(rows)[:used]
     assert seg.nvq is not None
-    return seg.nvq.decode()
+    return seg.nvq.decode()[:used]
 
 
 def _elect_leading(segments: list[Segment]) -> int:
@@ -109,14 +112,16 @@ def _merge_segments_timed(
     lead = segments[lead_idx]
     others = [s for i, s in enumerate(segments) if i != lead_idx]
 
-    total_live = sum(s.live_count() for s in segments)
+    # density over USED ordinals (docmap length): capacity-bucket padding is
+    # free tail space, not fragmentation — only real delete holes count
+    lead_used = lead.docmap.num_ordinals
     lead_density = (
-        lead.live_count() / max(lead.capacity(), 1) if lead.capacity() else 0.0
+        lead.live_count() / max(lead_used, 1) if lead_used else 0.0
     )
     use_incremental = (
         not cfg.leading_segment_merge_disabled
         and cfg.quantization_type != QUANT_NVQ  # NVQ always rebuilds (parity)
-        and lead.capacity() + sum(s.live_count() for s in others) < MAX_ORDINALS
+        and lead_used + sum(s.live_count() for s in others) < MAX_ORDINALS
         and lead_density >= MIN_LEADING_DENSITY
         and lead.live_count() > 0
     )
@@ -176,15 +181,20 @@ def _incremental_merge(
     out_name: str,
     batch_size: int,
 ) -> Segment:
-    """Append the other segments' live vectors into the leading graph."""
-    lead_cap = lead.capacity()
-    lead_vecs = _materialize_vectors(lead)
+    """Append the other segments' live vectors into the leading graph.
+
+    New ordinals start at the lead's USED count (docmap length) — the lead
+    graph's capacity bucket may be larger, and that padded tail is free
+    slot space the delta inserts occupy first.
+    """
+    lead_used = lead.docmap.num_ordinals
+    lead_vecs = _materialize_vectors(lead)  # [lead_used, d]
 
     new_vec_blocks, new_doc_blocks, new_parent_blocks = [], [], []
     for s in others:
         live = np.asarray(s.graph.live)
         docs = s.docmap.ord_to_doc
-        keep = live & (docs >= 0)
+        keep = live[: docs.shape[0]] & (docs >= 0)
         ids = np.nonzero(keep)[0]
         if ids.size == 0:
             continue
@@ -198,11 +208,15 @@ def _incremental_merge(
         )
     n_new = sum(b.shape[0] for b in new_vec_blocks)
 
-    capacity = lead_cap + n_new
-    all_vectors = jnp.concatenate(
+    used = lead_used + n_new
+    from opensearch_jvector_tpu.models.graph import bucket_capacity, pad_rows
+
+    capacity = max(bucket_capacity(used), lead.capacity())
+    exact_vectors = jnp.concatenate(
         [jnp.asarray(lead_vecs)]
         + [jnp.asarray(b) for b in new_vec_blocks]
-    ) if n_new else jnp.asarray(lead_vecs)
+    ) if n_new else jnp.asarray(lead_vecs)  # [used, d] real rows only
+    all_vectors = pad_rows(exact_vectors, capacity)
 
     graph = lead.graph.with_capacity(capacity)
     builder = GraphIndexBuilder(
@@ -216,9 +230,11 @@ def _incremental_merge(
     )
 
     pqv = _merged_pq(
-        cfg, lead, all_vectors,
+        cfg, lead, exact_vectors,
         int(np.asarray(graph.live).sum()) + n_new,
     )
+    if pqv is not None:  # codes cover the padded capacity (zeros tail)
+        pqv = pq_mod.PQVectors(pq=pqv.pq, codes=pad_rows(pqv.codes, capacity))
     build_pq = None
     if pqv is not None and cfg.mode == "on_disk":
         # PQ build scoring only for the memory-constrained tier (fp32 is
@@ -230,7 +246,7 @@ def _incremental_merge(
         }
 
     if n_new:
-        new_ids = np.arange(lead_cap, capacity)
+        new_ids = np.arange(lead_used, used)
         graph = builder.add_nodes(
             graph, all_vectors, new_ids, cfg.similarity, pq=build_pq
         )
@@ -254,12 +270,12 @@ def _incremental_merge(
         ) if n_new else lead.docmap.ord_to_doc,
         parents if (parents >= 0).any() else None,
     )
-    scalar = _merged_scalar(cfg, all_vectors)
+    scalar = _merged_scalar(cfg, exact_vectors)
     return Segment(
         name=out_name, config=cfg, graph=graph, docmap=docmap,
         vectors=all_vectors, nvq=None, pqv=pqv,
         scalar_state=scalar[0] if scalar else None,
-        scalar_codes=scalar[1] if scalar else None,
+        scalar_codes=pad_rows(scalar[1], capacity) if scalar else None,
     )
 
 
@@ -275,7 +291,7 @@ def _full_rebuild_merge(
     for s in segments:
         live = np.asarray(s.graph.live)
         docs = s.docmap.ord_to_doc
-        keep = live & (docs >= 0)
+        keep = live[: docs.shape[0]] & (docs >= 0)
         ids = np.nonzero(keep)[0]
         if ids.size == 0:
             continue
@@ -322,20 +338,37 @@ def _full_rebuild_merge(
         hierarchy_enabled=cfg.hierarchy_enabled,
         batch_size=batch_size,
     )
-    graph = builder.build(all_vectors, cfg.similarity, pq=build_pq)
+    from opensearch_jvector_tpu.models.graph import bucket_capacity, pad_rows
+
+    cap = bucket_capacity(n)
+    if build_pq is not None:
+        build_pq = {
+            k: (pad_rows(v, cap) if k == "codes" else v)
+            for k, v in build_pq.items()
+        }
+    graph = builder.build(all_vectors, cfg.similarity, pq=build_pq,
+                          capacity=cap)
+    cap = graph.capacity
+    if pqv is not None:
+        pqv = pq_mod.PQVectors(pq=pqv.pq, codes=pad_rows(pqv.codes, cap))
 
     nvq = None
-    vectors = all_vectors
+    vectors = pad_rows(all_vectors, cap)
     if cfg.quantization_type == QUANT_NVQ and (
         n >= cfg.min_batch_size_for_quantization
     ):
         # NVQ merge recomputes quantization from scratch (mergeNVQ parity)
         nvq = nvq_mod.train_nvq(all_vectors, cfg.nvq_num_subvectors)
+        nvq = nvq_mod.NVQVectors(
+            bytes_=pad_rows(nvq.bytes_, cap),
+            params=pad_rows(nvq.params, cap),
+            global_mean=nvq.global_mean,
+        )
         vectors = None
     scalar = _merged_scalar(cfg, all_vectors)
     return Segment(
         name=out_name, config=cfg, graph=graph, docmap=docmap,
         vectors=vectors, nvq=nvq, pqv=pqv,
         scalar_state=scalar[0] if scalar else None,
-        scalar_codes=scalar[1] if scalar else None,
+        scalar_codes=pad_rows(scalar[1], cap) if scalar else None,
     )

@@ -41,7 +41,7 @@ from opensearch_jvector_tpu.api.config import (
 )
 from opensearch_jvector_tpu.index import store
 from opensearch_jvector_tpu.index.docmap import DocMap
-from opensearch_jvector_tpu.models.graph import VamanaGraph
+from opensearch_jvector_tpu.models.graph import VamanaGraph, bucket_capacity
 from opensearch_jvector_tpu.models.nvq import NVQVectors
 from opensearch_jvector_tpu.models.pq import ProductQuantization, PQVectors
 
@@ -131,6 +131,12 @@ def write_segment(root: str | Path, seg: Segment) -> Path:
     d = root / seg.name
     d.mkdir(parents=True, exist_ok=True)
 
+    # Device arrays are padded to a pow2 capacity bucket (shared XLA program
+    # families); files store only the used-ordinal prefix. read_segment
+    # re-pads on load, so old exact-capacity files and new sliced files read
+    # identically.
+    used = seg.docmap.num_ordinals
+
     meta = {
         "config": seg.config.to_meta(),
         "quantization_type_byte": QUANT_TYPE_BYTE[seg.quantization_type],
@@ -140,12 +146,14 @@ def write_segment(root: str | Path, seg: Segment) -> Path:
     store.write_container(d / "meta.jvtpu", meta, {})
 
     graph_arrays = {
-        "adjacency": np.asarray(seg.graph.adjacency),
-        "degrees": np.asarray(seg.graph.degrees),
-        "live": np.asarray(seg.graph.live),
+        "adjacency": np.asarray(seg.graph.adjacency)[:used],
+        "degrees": np.asarray(seg.graph.degrees)[:used],
+        "live": np.asarray(seg.graph.live)[:used],
     }
     if seg.graph.upper_adjacency is not None:  # hierarchy layer
-        graph_arrays["upper_adjacency"] = np.asarray(seg.graph.upper_adjacency)
+        graph_arrays["upper_adjacency"] = np.asarray(
+            seg.graph.upper_adjacency
+        )[:used]
     store.write_container(
         d / "graph.jvtpu", {"entry": int(seg.graph.entry)}, graph_arrays
     )
@@ -161,21 +169,21 @@ def write_segment(root: str | Path, seg: Segment) -> Path:
                 write_row_file,
             )
 
-            write_row_file(d / "rows.f32", np.asarray(seg.vectors))
+            write_row_file(d / "rows.f32", np.asarray(seg.vectors)[:used])
         store.write_container(d / "vectors.jvtpu", {"kind": "fp32_ondisk"}, {})
     elif seg.vectors is not None:
         store.write_container(
             d / "vectors.jvtpu",
             {"kind": "fp32"},
-            {"vectors": np.asarray(seg.vectors, np.float32)},
+            {"vectors": np.asarray(seg.vectors, np.float32)[:used]},
         )
     if seg.nvq is not None:
         store.write_container(
             d / "vectors.jvtpu",
             {"kind": "nvq"},
             {
-                "bytes": np.asarray(seg.nvq.bytes_),
-                "params": np.asarray(seg.nvq.params),
+                "bytes": np.asarray(seg.nvq.bytes_)[:used],
+                "params": np.asarray(seg.nvq.params)[:used],
                 "global_mean": np.asarray(seg.nvq.global_mean),
             },
         )
@@ -186,7 +194,7 @@ def write_segment(root: str | Path, seg: Segment) -> Path:
             {
                 "codebooks": np.asarray(seg.pqv.pq.codebooks),
                 "center": np.asarray(seg.pqv.pq.center),
-                "codes": np.asarray(seg.pqv.codes),
+                "codes": np.asarray(seg.pqv.codes)[:used],
             },
         )
     if seg.scalar_state is not None:
@@ -195,7 +203,7 @@ def write_segment(root: str | Path, seg: Segment) -> Path:
             {"bits": seg.scalar_state.bits},
             {
                 "thresholds": np.asarray(seg.scalar_state.thresholds),
-                "codes": np.asarray(seg.scalar_codes),
+                "codes": np.asarray(seg.scalar_codes)[:used],
             },
         )
     docmap_arrays = {"ord_to_doc": seg.docmap.ord_to_doc}
@@ -226,13 +234,25 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
         )
     )
     gmeta, garr = store.read_container(d / "graph.jvtpu", verify=verify)
+    # Files store the used-ordinal prefix; pad device arrays to the pow2
+    # capacity bucket so all segment sizes share XLA program families.
+    # (Pre-bucketing files stored full exact-capacity arrays — same path.)
+    used = garr["live"].shape[0]
+    cap = bucket_capacity(used) if used else 0
+
+    def _pad2d(a, fill):
+        if a.shape[0] >= cap:
+            return a
+        widths = [(0, cap - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, widths, constant_values=fill)
+
     graph = VamanaGraph(
-        adjacency=jnp.asarray(garr["adjacency"]),
-        degrees=jnp.asarray(garr["degrees"]),
-        live=jnp.asarray(garr["live"]),
+        adjacency=jnp.asarray(_pad2d(garr["adjacency"], -1)),
+        degrees=jnp.asarray(_pad2d(garr["degrees"], 0)),
+        live=jnp.asarray(_pad2d(garr["live"], False)),
         entry=jnp.int32(gmeta["entry"]),
         upper_adjacency=(
-            jnp.asarray(garr["upper_adjacency"])
+            jnp.asarray(_pad2d(garr["upper_adjacency"], -1))
             if "upper_adjacency" in garr else None
         ),
     )
@@ -246,7 +266,7 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
     if vpath.exists():
         vmeta, varr = store.read_container(vpath, verify=verify)
         if vmeta["kind"] == "fp32":
-            vectors = jnp.asarray(varr["vectors"])
+            vectors = jnp.asarray(_pad2d(varr["vectors"], 0))
         elif vmeta["kind"] == "fp32_ondisk":
             from opensearch_jvector_tpu.utils.native_store import (
                 PagedVectorStore,
@@ -255,8 +275,8 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
             row_store = PagedVectorStore(d / "rows.f32", dim=config.dim)
         else:
             nvq = NVQVectors(
-                bytes_=jnp.asarray(varr["bytes"]),
-                params=jnp.asarray(varr["params"]),
+                bytes_=jnp.asarray(_pad2d(varr["bytes"], 0)),
+                params=jnp.asarray(_pad2d(varr["params"], 0)),
                 global_mean=jnp.asarray(varr["global_mean"]),
             )
 
@@ -279,7 +299,7 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
                 bits=int(smeta["bits"]), thresholds=sarr["thresholds"]
             )
             SCALAR_STATE_CACHE.put(key, scalar_state)
-        scalar_codes = jnp.asarray(sarr["codes"])
+        scalar_codes = jnp.asarray(_pad2d(sarr["codes"], 0))
 
     pqv = None
     ppath = d / "pq.jvtpu"
@@ -290,7 +310,7 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
                 codebooks=jnp.asarray(parr["codebooks"]),
                 center=jnp.asarray(parr["center"]),
             ),
-            codes=jnp.asarray(parr["codes"]),
+            codes=jnp.asarray(_pad2d(parr["codes"], 0)),
         )
     return Segment(
         name=d.name, config=config, graph=graph, docmap=docmap,

@@ -32,6 +32,7 @@ from opensearch_jvector_tpu.index.segment import Segment, write_segment
 from opensearch_jvector_tpu.models import nvq as nvq_mod
 from opensearch_jvector_tpu.models import pq as pq_mod
 from opensearch_jvector_tpu.models.builder import GraphIndexBuilder
+from opensearch_jvector_tpu.models.graph import bucket_capacity, pad_rows
 
 
 class IndexWriter:
@@ -174,7 +175,17 @@ class IndexWriter:
             hierarchy_enabled=cfg.hierarchy_enabled,
             batch_size=self.build_batch_size,
         )
-        graph = builder.build(vectors, cfg.similarity, pq=build_pq)
+        # device arrays are padded to the graph's pow2 capacity bucket so
+        # every segment size shares XLA program families (disk files store
+        # only the used prefix — see write_segment)
+        cap = bucket_capacity(vectors.shape[0])
+        if build_pq is not None:
+            build_pq = {
+                k: (pad_rows(v, cap) if k == "codes" else v)
+                for k, v in build_pq.items()
+            }
+        graph = builder.build(vectors, cfg.similarity, pq=build_pq,
+                              capacity=cap)
         self.stats.increment(
             Counter.KNN_GRAPH_BUILD_TIME, int((time.monotonic() - t0) * 1000)
         )
@@ -183,6 +194,15 @@ class IndexWriter:
         if sort_map is not None:
             docmap = docmap.apply_sort(np.asarray(sort_map))
 
+        cap = graph.capacity
+        if pqv is not None:
+            pqv = pq_mod.PQVectors(pq=pqv.pq, codes=pad_rows(pqv.codes, cap))
+        if nvq is not None:
+            nvq = nvq_mod.NVQVectors(
+                bytes_=pad_rows(nvq.bytes_, cap),
+                params=pad_rows(nvq.params, cap),
+                global_mean=nvq.global_mean,
+            )
         seg = Segment(
             name=name,
             config=cfg,
@@ -190,11 +210,11 @@ class IndexWriter:
             docmap=docmap,
             # NVQ replaces inline fp32 storage (the reference's NVQ feature
             # replaces InlineVectors); PQ keeps fp32 inline for rerank.
-            vectors=None if nvq is not None else vectors,
+            vectors=None if nvq is not None else pad_rows(vectors, cap),
             nvq=nvq,
             pqv=pqv,
             scalar_state=scalar[0] if scalar else None,
-            scalar_codes=scalar[1] if scalar else None,
+            scalar_codes=pad_rows(scalar[1], cap) if scalar else None,
         )
         path = write_segment(self.root, seg)
         self.stats.increment(Counter.KNN_FLUSH_COUNT)

@@ -35,7 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from opensearch_jvector_tpu.models import searcher as searcher_mod
-from opensearch_jvector_tpu.models.graph import VamanaGraph
+from opensearch_jvector_tpu.models.graph import (
+    VamanaGraph,
+    bucket_capacity,
+    pad_rows,
+)
 from opensearch_jvector_tpu.ops.distances import (
     SimilarityFunction,
     batched_candidate_scores,
@@ -491,13 +495,18 @@ class GraphIndexBuilder:
         pq: dict | None = None,  # quantized-construction score source
         capacity: int | None = None,
     ) -> VamanaGraph:
-        """Fresh Vamana build over `vectors` (insertion in shuffled rounds)."""
+        """Fresh Vamana build over `vectors` (insertion in shuffled rounds).
+
+        `capacity` (>= n) is rounded up to a pow2 bucket so graphs of any
+        corpus size share XLA program families (each distinct capacity is a
+        full retrace of the search/prune programs — seconds per shape).
+        """
         n = int(vectors.shape[0])
-        capacity = capacity or n
         cap_deg = self.overflow_degree
-        vectors = jnp.asarray(vectors, jnp.float32)
         if n == 0:
-            return VamanaGraph.empty(capacity, cap_deg)
+            return VamanaGraph.empty(capacity or 0, cap_deg)
+        capacity = bucket_capacity(max(capacity or 0, n))
+        vectors = pad_rows(jnp.asarray(vectors, jnp.float32), capacity)
 
         st = _DeviceAdj(
             jnp.full((capacity, cap_deg), -1, jnp.int32),
@@ -507,9 +516,12 @@ class GraphIndexBuilder:
         live_dev = jnp.zeros((capacity,), bool)
         self._has_tombstones = False
 
-        # entry point: medoid approximation = nearest to the mean
-        mean = jnp.mean(vectors, axis=0, keepdims=True)
-        entry = int(jnp.argmax(pairwise_scores(mean, vectors, simf)[0]))
+        # entry point: medoid approximation = nearest to the mean (pad rows
+        # beyond n are zeros — exclude them from both mean and argmax)
+        mean = jnp.mean(vectors[:n], axis=0, keepdims=True)
+        escores = pairwise_scores(mean, vectors, simf)[0]
+        escores = jnp.where(jnp.arange(capacity) < n, escores, NEG_INF)
+        entry = int(jnp.argmax(escores))
 
         rng = np.random.default_rng(self.seed)
         order = rng.permutation(n)
@@ -567,7 +579,7 @@ class GraphIndexBuilder:
         live = np.asarray(graph.live)
         live_dev = graph.live
         entry = int(graph.entry)
-        vectors = jnp.asarray(vectors, jnp.float32)
+        vectors = pad_rows(jnp.asarray(vectors, jnp.float32), graph.capacity)
         ids_all = np.nonzero(live)[0]
         rng = np.random.default_rng(self.seed + 1)
         for _ in range(passes):
@@ -652,7 +664,7 @@ class GraphIndexBuilder:
         live = np.asarray(graph.live).copy()
         live_dev = graph.live
         entry = int(graph.entry)
-        vectors = jnp.asarray(vectors, jnp.float32)
+        vectors = pad_rows(jnp.asarray(vectors, jnp.float32), graph.capacity)
         # deleted nodes referenced by the loaded adjacency must be masked out
         # of candidate pools during delta inserts. Computed on device (one
         # scalar readback) — downloading the full adjacency over the host
@@ -697,7 +709,7 @@ class GraphIndexBuilder:
         st = _DeviceAdj(graph.adjacency, np.asarray(graph.degrees).copy())
         live = np.asarray(graph.live)
         live_dev = jnp.asarray(live)
-        vectors = jnp.asarray(vectors, jnp.float32)
+        vectors = pad_rows(jnp.asarray(vectors, jnp.float32), graph.capacity)
 
         adj_host = np.asarray(st.dev)
         valid = adj_host >= 0
@@ -836,7 +848,9 @@ class GraphIndexBuilder:
             seed=self.seed + 11,
         )
         sub_graph = sub.build(vectors[jnp.asarray(members)], simf)
-        local = np.asarray(sub_graph.adjacency)[:, :m_up]
+        # the sub-build pads to its own capacity bucket; only the first
+        # len(members) rows are real nodes
+        local = np.asarray(sub_graph.adjacency)[: members.size, :m_up]
         translated = np.where(local >= 0, members[np.clip(local, 0, None)], -1)
         capacity = live.shape[0]
         upper = np.full((capacity, m_up), -1, np.int32)

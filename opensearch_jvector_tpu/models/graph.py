@@ -24,6 +24,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bucket_capacity(n: int, minimum: int = 64) -> int:
+    """Graph capacity for n ordinals: next power of two (min `minimum`).
+
+    Every distinct capacity is a distinct XLA program family (shapes are
+    static under jit) and a fresh trace costs seconds; pow2 bucketing keeps
+    the family count logarithmic in corpus size. The padded tail rows are
+    live=False holes — the same representation deletes already use — so no
+    search/build semantics change. (Disk files store only the used prefix;
+    see index/segment.py.)
+    """
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def pad_rows(arr: jax.Array, capacity: int):
+    """Zero-pad a row-indexed device array to `capacity` rows."""
+    n = arr.shape[0]
+    if n >= capacity:
+        return arr
+    widths = [(0, capacity - n)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, widths)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class VamanaGraph:

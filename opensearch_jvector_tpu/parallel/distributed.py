@@ -131,9 +131,10 @@ class ShardedVectorIndex:
             for seg, shard in zip(segs, self.shards):
                 m = ordinal_accept_mask(seg, accept_docs, shard._deleted_docs)
                 if m is None:
-                    m = np.asarray(seg.graph.live) & (
-                        seg.docmap.ord_to_doc >= 0
-                    )
+                    used = seg.docmap.num_ordinals
+                    m = np.asarray(seg.graph.live).copy()
+                    m[:used] &= seg.docmap.ord_to_doc >= 0
+                    m[used:] = False  # capacity-bucket padding
                 pad = state.n_local - m.shape[0]
                 rows.append(np.pad(m, (0, pad)) if pad else m)
             import jax.numpy as jnp

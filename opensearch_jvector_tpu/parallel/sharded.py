@@ -201,8 +201,11 @@ def stack_engine_state(segments) -> ShardedEngineState:
         if o2d.size and o2d.max(initial=-1) > np.iinfo(np.int32).max:
             raise ValueError("doc ids exceed int32 (mesh path)")
         o2d = o2d.astype(np.int32)
+        # the docmap covers used ordinals only (< capacity bucket): pad from
+        # its OWN length to the common width
+        dpad = n - o2d.shape[0]
         o2ds.append(
-            np.pad(o2d, (0, pad), constant_values=-1) if pad else o2d
+            np.pad(o2d, (0, dpad), constant_values=-1) if dpad else o2d
         )
         v = np.asarray(s.vectors, np.float32)
         vecs.append(np.pad(v, ((0, pad), (0, 0))) if pad else v)

@@ -77,10 +77,17 @@ def exact_search_segment(
     scores = pairwise_scores(queries, v, simf)  # [Q, n]
 
     live = np.asarray(seg.graph.live)
+    cap = v.shape[0]
+    # docmap covers used ordinals; rows beyond are capacity-bucket padding
     docs = seg.docmap.ord_to_doc
-    valid = live & (docs >= 0)
+    if docs.shape[0] < cap:
+        docs = np.pad(docs, (0, cap - docs.shape[0]), constant_values=-1)
+    valid = live[:cap] & (docs >= 0)
     if accept_ords is not None:
-        valid = valid & np.asarray(accept_ords)[: valid.shape[0]]
+        acc = np.asarray(accept_ords)
+        n_acc = min(acc.shape[0], cap)
+        valid[:n_acc] &= acc[:n_acc]
+        valid[n_acc:] = False  # filtered search: unmapped tail not accepted
     scores = jnp.where(jnp.asarray(valid)[None, :], scores, -jnp.inf)
 
     kk = min(k, scores.shape[1])

@@ -134,10 +134,13 @@ def execute_script_score(
         rows = np.asarray(_segment_fp32(seg))
         scores = script_score(q, rows, space)
         docs = seg.docmap.ord_to_doc
-        live = np.asarray(seg.graph.live)
+        if docs.shape[0] < rows.shape[0]:  # capacity-bucket padding rows
+            docs = np.pad(docs, (0, rows.shape[0] - docs.shape[0]),
+                          constant_values=-1)
+        live = np.asarray(seg.graph.live)[: rows.shape[0]]
         ok = live & (docs >= 0)
         if accept_docs is not None:
-            ok = ok & _accept_ords(seg, accept_docs)
+            ok = ok & _accept_ords(seg, accept_docs)[: ok.shape[0]]
         if index._deleted_docs:
             ok = ok & ~np.isin(docs, np.fromiter(index._deleted_docs,
                                                  np.int64))
@@ -197,14 +200,20 @@ def _exact_over_segments(index: VectorIndex, query: KnnQuery,
 
 
 def _accept_ords(seg, filter_docs) -> np.ndarray:
+    """Doc filter -> ordinal mask over the FULL graph capacity (bucket
+    padding rows beyond the docmap are never accepted)."""
     f = np.asarray(filter_docs)
     o2d = seg.docmap.ord_to_doc
     if f.dtype == bool:
         ok = (o2d >= 0) & (o2d < f.shape[0])
         mask = np.zeros(o2d.shape[0], bool)
         mask[ok] = f[o2d[ok]]
-        return mask
-    return np.isin(o2d, f) & (o2d >= 0)
+    else:
+        mask = np.isin(o2d, f) & (o2d >= 0)
+    cap = seg.graph.capacity
+    if mask.shape[0] < cap:
+        mask = np.pad(mask, (0, cap - mask.shape[0]))
+    return mask
 
 
 def _rescore(index: VectorIndex, query: KnnQuery, res: QueryResult,

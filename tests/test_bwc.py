@@ -42,13 +42,15 @@ def test_v1_segment_opens_and_searches():
     correct nearest neighbors under the current code."""
     check_integrity(FIXTURE)
     seg = read_segment(FIXTURE, verify=True)
-    assert seg.capacity() == 50 and seg.config.dim == 8
+    # device arrays pad to the pow2 capacity bucket; 50 real ordinals
+    assert seg.docmap.num_ordinals == 50 and seg.capacity() >= 50
+    assert seg.config.dim == 8
     v = np.load(VECTORS)
     reader = SegmentReader(seg)
     res = reader.search(v[:4], SearchConfig(k=3, ef_search=32))
     assert (res.doc_ids[np.arange(4), 0] == np.arange(4)).all()
     np.testing.assert_array_equal(
-        np.asarray(seg.vectors), v
+        np.asarray(seg.vectors)[:50], v
     )
 
 

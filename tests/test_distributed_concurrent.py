@@ -34,12 +34,12 @@ def _vectors(n, seed=0):
 
 
 def test_sharded_index_search_and_stats(tmp_path):
-    v = _vectors(800)
+    v = _vectors(400)
     idx = ShardedVectorIndex(tmp_path, _cfg(), n_shards=4)
-    for i in range(800):
+    for i in range(400):
         idx.add(i, v[i])
     idx.flush()
-    assert idx.doc_count() == 800
+    assert idx.doc_count() == 400
 
     q = _vectors(8, seed=1)
     truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
@@ -54,7 +54,7 @@ def test_sharded_index_search_and_stats(tmp_path):
     idx.delete([0, 1, 2, 3])
     res = idx.search(q, SearchConfig(k=10, ef_search=64))
     assert not np.isin(res.doc_ids, [0, 1, 2, 3]).any()
-    assert idx.doc_count() == 796
+    assert idx.doc_count() == 396
 
 
 def test_mesh_full_engine_search_matches_host_path(tmp_path):
@@ -128,9 +128,9 @@ def test_sharded_index_reopen(tmp_path):
 
 def test_concurrent_queries_one_index(tmp_path):
     """Parity with JVectorConcurrentQueryTests: many threads, one reader."""
-    v = _vectors(600, seed=3)
+    v = _vectors(300, seed=3)
     idx = VectorIndex(tmp_path, _cfg())
-    for i in range(600):
+    for i in range(300):
         idx.add(i, v[i])
     idx.flush()
     q = _vectors(4, seed=4)

@@ -141,7 +141,8 @@ def test_quantized_flush_pq(tmp_path):
     name = idx.flush()
     seg = read_segment(tmp_path / name)
     assert seg.pqv is not None  # n >= min batch -> quantized
-    assert seg.pqv.codes.shape == (600, 4)
+    assert seg.pqv.codes.shape[1] == 4
+    assert seg.docmap.num_ordinals == 600
     assert seg.vectors is not None  # PQ keeps fp32 inline for rerank
     res = idx.search(_vectors(4, seed=3), SearchConfig(k=5, ef_search=48))
     # in-memory PQ segments score the beam exactly on the MXU (PQ codes
@@ -184,11 +185,11 @@ def test_nvq_flush(tmp_path):
 
 def test_multi_segment_search_and_merge(tmp_path):
     idx = VectorIndex(tmp_path, _cfg())
-    v = _vectors(900, seed=6)
-    for i in range(450):
+    v = _vectors(500, seed=6)
+    for i in range(250):
         idx.add(i, v[i])
     idx.flush()
-    for i in range(450, 900):
+    for i in range(250, 500):
         idx.add(i, v[i])
     idx.flush()
     assert len(idx.segment_names) == 2
@@ -209,11 +210,11 @@ def test_multi_segment_search_and_merge(tmp_path):
 
 def test_deletes_tombstone_then_merge(tmp_path):
     idx = VectorIndex(tmp_path, _cfg())
-    v = _vectors(500, seed=8)
-    for i in range(500):
+    v = _vectors(300, seed=8)
+    for i in range(300):
         idx.add(i, v[i])
     idx.flush()
-    deleted = list(range(0, 500, 5))
+    deleted = list(range(0, 300, 5))
     idx.delete(deleted)
     res = idx.search(_vectors(6, seed=9), SearchConfig(k=10, ef_search=64))
     assert not np.isin(res.doc_ids, deleted).any()

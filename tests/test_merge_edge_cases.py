@@ -70,19 +70,19 @@ def test_nvq_merge_recomputes(tmp_path):
     cfg = _cfg(quantization_type=QUANT_NVQ,
                min_batch_size_for_quantization=128, num_pq_subspaces=4)
     idx = VectorIndex(tmp_path, cfg)
-    v = _vectors(500, seed=3)
-    for i in range(250):
+    v = _vectors(300, seed=3)
+    for i in range(150):
         idx.add(i, v[i])
     idx.flush()
-    for i in range(250, 500):
+    for i in range(150, 300):
         idx.add(i, v[i])
     idx.flush()
     idx.force_merge()
     seg = read_segment(tmp_path / idx.segment_names[0])
     assert seg.nvq is not None  # recomputed over the merged corpus
-    assert seg.nvq.bytes_.shape[0] == 500
-    res = idx.search(v[300], SearchConfig(k=3, ef_search=48))
-    assert res.doc_ids[0][0] == 300
+    assert seg.docmap.num_ordinals == 300  # recomputed over merged corpus
+    res = idx.search(v[200], SearchConfig(k=3, ef_search=48))
+    assert res.doc_ids[0][0] == 200
 
 
 def test_leading_merge_disabled_forces_rebuild(tmp_path):
@@ -99,9 +99,9 @@ def test_leading_merge_disabled_forces_rebuild(tmp_path):
     idx.flush()
     idx.force_merge()
     seg = read_segment(tmp_path / idx.segment_names[0])
-    # full rebuild compacts: capacity == live count (incremental would
-    # preserve the leading segment's padded ordinal space)
-    assert seg.capacity() == 600
+    # full rebuild compacts: used ordinals == live count (capacity is the
+    # pow2 device bucket)
+    assert seg.docmap.num_ordinals == 600
     res = idx.search(v[550], SearchConfig(k=3, ef_search=48))
     assert res.doc_ids[0][0] == 550
 
@@ -119,10 +119,10 @@ def test_incremental_merge_keeps_capacity_structure(tmp_path):
     idx.flush()
     idx.force_merge()
     seg = read_segment(tmp_path / idx.segment_names[0])
-    # incremental path: leading 500-capacity + 100 appended
-    assert seg.capacity() == 600
+    # incremental path: leading 500 used ordinals + 100 appended
+    assert seg.docmap.num_ordinals == 600
     assert seg.pqv is not None  # codebooks reused + refined, re-encoded
-    assert seg.pqv.codes.shape[0] == 600
+    assert seg.pqv.codes.shape[0] >= 600
     res = idx.search(v[550], SearchConfig(k=3, ef_search=48))
     assert res.doc_ids[0][0] == 550
 

@@ -39,7 +39,7 @@ def test_tiered_reader_path_recall(tmp_path):
     """on_disk mode through the PRODUCTION reader: device holds graph + PQ
     codes; fp32 rows are paged from the native host store for rerank."""
     rng = np.random.default_rng(1)
-    n, d, qn, k = 1800, 32, 16, 10
+    n, d, qn, k = 1000, 32, 16, 10
     v = rng.standard_normal((n, d)).astype(np.float32)
     q = rng.standard_normal((qn, d)).astype(np.float32)
     cfg = DiskAnnConfig(

@@ -152,7 +152,7 @@ def test_scalar_quantization_end_to_end(tmp_path):
     from opensearch_jvector_tpu.api.mapping import parse_knn_vector_mapping
     from opensearch_jvector_tpu.index.index import VectorIndex
 
-    dim, n, qn, k = 64, 1200, 8, 10
+    dim, n, qn, k = 64, 700, 8, 10
     rng = np.random.default_rng(5)
     v = rng.standard_normal((n, dim)).astype(np.float32)
     q = rng.standard_normal((qn, dim)).astype(np.float32)
@@ -162,6 +162,7 @@ def test_scalar_quantization_end_to_end(tmp_path):
     cfg, _ = parse_knn_vector_mapping({
         "type": "knn_vector", "dimension": dim,
         "method": {"name": "disk_ann", "parameters": {
+            "m": 8, "ef_construction": 32,
             "advanced.quantization_type": "4bit",
             "advanced.min_batch_size_for_quantization": 256,
         }},
@@ -184,7 +185,8 @@ def test_scalar_quantization_end_to_end(tmp_path):
         assert seg.scalar_state is not None
         assert seg.quantization_type == qt
         expected_bytes = {"1bit": dim // 8, "4bit": dim * 15 // 8}[qt]
-        assert seg.scalar_codes.shape == (n, expected_bytes)
+        assert seg.scalar_codes.shape[1] == expected_bytes
+        assert seg.docmap.num_ordinals == n
 
         res = idx.search(q, SearchConfig(k=k, ef_search=100,
                                          overquery_factor=oq))

@@ -26,12 +26,11 @@ FLOORS = {
     "innerproduct": (SimilarityFunction.DOT_PRODUCT, 0.90),
 }
 
-# l2 (the flagship space) gates every run; the other spaces are the
-# RUN_SLOW tier — each is a fresh 10k-vector build, ~35s/space on the
-# single-core CI host (space-type recall parity is also covered at 2k scale
-# in test_graph_build_search for every run)
+# The 10k-doc gates are the RUN_SLOW tier — each is a fresh 10k-vector
+# build, ~40s/space on the single-core CI host. Space-type recall parity
+# still gates EVERY run at unit scale in test_graph_build_search.
 _PARAMS = [
-    "l2",
+    pytest.param("l2", marks=pytest.mark.slow),
     pytest.param("cosinesimil", marks=pytest.mark.slow),
     pytest.param("innerproduct", marks=pytest.mark.slow),
 ]
