@@ -227,10 +227,43 @@ def main():
         for _ in range(5):
             run_pq(queries)
         pq_ms = (time.time() - t0) / 5 / Q * 1000.0
-        log(f"pq/adc batched: {pq_ms:.4f} ms/query, recall@{K}={pq_rec:.4f} "
-            f"(reference PQ single-op: 0.194 ms)")
+        log(f"pq/adc graph-beam batched: {pq_ms:.4f} ms/query, "
+            f"recall@{K}={pq_rec:.4f} (reference PQ single-op: 0.194 ms)")
         extra["pq_ms_per_query_batched"] = round(pq_ms, 4)
         extra["pq_recall_at_k"] = round(float(pq_rec), 4)
+
+        # Fused-ADC full scan + exact rerank — the production on_disk path
+        # for <=256k-code segments (reader.SCAN_TIER_MAX_CODES): one Pallas
+        # one-hot-matmul kernel on the MXU beats graph traversal at this
+        # scale. TPU-first: brute-force the MXU when it wins.
+        from opensearch_jvector_tpu.models.pq import PQVectors
+
+        pqv = PQVectors(pq=pq, codes=pq_codes)
+
+        @jax.jit
+        def scan_search(qs, vs):
+            scan = pqv.score_scan(qs, simf)
+            top_s, top_i = jax.lax.top_k(scan, K * 5)
+            cand = vs[jnp.clip(top_i, 0)]
+            from opensearch_jvector_tpu.ops.distances import (
+                batched_candidate_scores,
+            )
+
+            exact = batched_candidate_scores(qs, cand, simf)
+            s, idx = jax.lax.top_k(exact, K)
+            return jnp.take_along_axis(top_i, idx, axis=1), s
+
+        ids_scan, _ = scan_search(queries, vectors)
+        jax.block_until_ready(ids_scan)
+        t0 = time.time()
+        for _ in range(5):
+            jax.block_until_ready(scan_search(queries, vectors)[0])
+        scan_ms = (time.time() - t0) / 5 / Q * 1000.0
+        scan_rec = recall_at_k(np.asarray(ids_scan), truth, K)
+        log(f"pq/adc full-scan+rerank batched: {scan_ms:.4f} ms/query, "
+            f"recall@{K}={scan_rec:.4f}")
+        extra["pq_scan_ms_per_query_batched"] = round(scan_ms, 4)
+        extra["pq_scan_recall_at_k"] = round(float(scan_rec), 4)
 
         # incremental (leading-segment) vs full-rebuild merge: delta-insert
         # the last 10% into a graph of the first 90% — same [N] program

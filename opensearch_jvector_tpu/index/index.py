@@ -48,13 +48,24 @@ class VectorIndex:
             state = json.loads(commits.read_text())
             self.config = DiskAnnConfig.from_meta(state["config"])
             self._segments = list(state["segments"])
-            self._deleted_docs = set(state.get("deleted_docs", []))
+            # deletes are SCOPED to the segments that existed when delete()
+            # was called (Lucene liveDocs semantics): a later re-add of the
+            # same doc id lands in a new segment and is NOT masked.
+            self._segment_deletes: dict[str, set[int]] = {
+                name: set(docs)
+                for name, docs in state.get("segment_deletes", {}).items()
+            }
+            # legacy (pre-scoping) commits stored one global doc set: apply
+            # it to every then-existing segment
+            for d in state.get("deleted_docs", []):
+                for name in self._segments:
+                    self._segment_deletes.setdefault(name, set()).add(int(d))
         else:
             if config is None:
                 raise ValueError("new index requires a config")
             self.config = config
             self._segments = []
-            self._deleted_docs = set()
+            self._segment_deletes = {}
         self.writer = IndexWriter(self.root, self.config, stats)
         self._readers: dict[str, SegmentReader] = {}
         # ForceMergesOnly is the deterministic default (the reference's
@@ -62,7 +73,7 @@ class VectorIndex:
         # compaction concurrent with ingest.
         self.merge_policy = merge_policy or ForceMergesOnlyMergePolicy()
         self.merge_scheduler = MergeScheduler()
-        self._lock = threading.RLock()  # guards _segments/_deleted_docs
+        self._lock = threading.RLock()  # guards _segments/_segment_deletes
         self._merging: set[str] = set()  # segments owned by in-flight merges
 
     # -- commit model --------------------------------------------------------
@@ -74,7 +85,11 @@ class VectorIndex:
                 {
                     "config": self.config.to_meta(),
                     "segments": self._segments,
-                    "deleted_docs": sorted(self._deleted_docs),
+                    "segment_deletes": {
+                        name: sorted(docs)
+                        for name, docs in self._segment_deletes.items()
+                        if docs
+                    },
                 }
             )
         )
@@ -92,11 +107,31 @@ class VectorIndex:
         self.writer.add_document(doc_id, vector, parent_id=parent_id)
 
     def delete(self, doc_ids) -> None:
-        """Tombstone docs; folded into graphs at the next merge."""
+        """Tombstone docs in the segments that currently contain them
+        (Lucene deleteDocuments semantics: buffered copies are dropped, a
+        LATER re-add of the same doc id is a fresh live doc). Folded into
+        graphs at the next merge."""
+        arr = np.atleast_1d(np.asarray(doc_ids, np.int64))
         with self._lock:
-            for d in np.atleast_1d(np.asarray(doc_ids, np.int64)):
-                self._deleted_docs.add(int(d))
+            self.writer.delete_buffered(arr)
+            for name in self._segments:
+                seg = self._reader(name).seg
+                present = arr[seg.ords_for_docs(arr) >= 0]
+                if present.size:
+                    self._segment_deletes.setdefault(name, set()).update(
+                        int(d) for d in present
+                    )
             self._commit()
+
+    def deleted_docs_for(self, name: str) -> set[int]:
+        """Tombstoned doc ids scoped to segment `name` (may be empty)."""
+        with self._lock:
+            return self._segment_deletes.get(name, set())
+
+    @property
+    def has_deletes(self) -> bool:
+        with self._lock:
+            return any(self._segment_deletes.values())
 
     def flush(self) -> str | None:
         path = self.writer.flush()
@@ -145,17 +180,14 @@ class VectorIndex:
 
     def doc_count(self) -> int:
         total = 0
-        dead = (
-            np.fromiter(self._deleted_docs, np.int64)
-            if self._deleted_docs else None
-        )
         for name in self._segments:
             r = self._reader(name)
             docs = r.seg.docmap.ord_to_doc
             live = np.asarray(r.seg.graph.live)
             ok = live[: docs.shape[0]] & (docs >= 0)
-            if dead is not None:
-                ok &= ~np.isin(docs, dead)
+            dead = self.deleted_docs_for(name)
+            if dead:
+                ok &= ~np.isin(docs, np.fromiter(dead, np.int64))
             total += int(ok.sum())
         return total
 
@@ -191,16 +223,13 @@ class VectorIndex:
         doc_ids = np.asarray(doc_ids, np.int64).reshape(-1)
         out = np.zeros((doc_ids.shape[0], self.config.dim), np.float32)
         found = np.zeros(doc_ids.shape[0], bool)
-        if self._deleted_docs:
-            alive = ~np.isin(
-                doc_ids, np.fromiter(self._deleted_docs, np.int64)
-            )
-        else:
-            alive = np.ones(doc_ids.shape[0], bool)
         for name in self.segment_names:
-            want = alive & ~found & (doc_ids >= 0)
+            want = ~found & (doc_ids >= 0)
+            dead = self.deleted_docs_for(name)
+            if dead:  # deletes scoped to THIS segment's copies
+                want &= ~np.isin(doc_ids, np.fromiter(dead, np.int64))
             if not want.any():
-                break
+                continue
             seg = self._reader(name).seg
             ords = seg.ords_for_docs(doc_ids)
             live = np.asarray(seg.graph.live)
@@ -239,7 +268,7 @@ class VectorIndex:
             # tombstones ride the accept mask INTO the search (liveDocs
             # parity) so dead docs never consume the k result slots
             res = r.search(queries, sc, accept_docs=accept_docs,
-                           deleted_docs=self._deleted_docs)
+                           deleted_docs=self.deleted_docs_for(name))
             all_ids = np.concatenate([all_ids, res.doc_ids], axis=1)
             all_scores = np.concatenate([all_scores, res.scores], axis=1)
             visited += res.visited
@@ -307,20 +336,20 @@ class VectorIndex:
         bits until the next merge).
         """
         with self._lock:
-            deleted = (
-                np.fromiter(self._deleted_docs, np.int64)
-                if self._deleted_docs else np.empty(0, np.int64)
-            )
+            per_seg = {
+                n: np.fromiter(self._segment_deletes.get(n, ()), np.int64)
+                for n in names
+            }
         if out_name is None:
             with self._lock:
                 self._merge_counter = getattr(self, "_merge_counter", 0) + 1
                 out_name = f"merged_{len(names)}segs_m{self._merge_counter}"
-        segs, folded_all = [], []
+        segs = []
         for name in names:
             seg = read_segment(self.root / name)
+            deleted = per_seg.get(name, np.empty(0, np.int64))
             if deleted.size:
-                seg, folded = self._fold_tombstones(seg, deleted)
-                folded_all.append(folded)
+                seg, _ = self._fold_tombstones(seg, deleted)
             segs.append(seg)
         path = merge_segments(self.root, segs, out_name, stats=self.stats)
         with self._lock:
@@ -328,8 +357,18 @@ class VectorIndex:
             kept = [n for n in self._segments if n not in names]
             kept.insert(min(idx, len(kept)), path.name)
             self._segments = kept
-            for f in folded_all:
-                self._deleted_docs.difference_update(int(d) for d in f)
+            # the snapshot's deletes are folded into the output; deletes that
+            # arrived MID-merge for the merged segments migrate onto the new
+            # segment so they keep masking until the next merge
+            leftover: set[int] = set()
+            for n in names:
+                remaining = self._segment_deletes.pop(n, set())
+                snap = set(int(d) for d in per_seg.get(n, ()))
+                leftover |= remaining - snap
+            if leftover:
+                self._segment_deletes.setdefault(path.name, set()).update(
+                    leftover
+                )
             for n in names:
                 self._readers.pop(n, None)
             self._commit()

@@ -223,6 +223,12 @@ class SegmentReader:
             reranked=reranked,
         )
 
+    # Below this many codes, a fused-ADC FULL SCAN (Pallas one-hot-matmul on
+    # the MXU) beats graph traversal on TPU: the scan is one dense kernel at
+    # ~0.5 ms/query per 1M codes, while beam search pays per-iteration
+    # gathers. TPU-first policy: brute-force the MXU when it wins.
+    SCAN_TIER_MAX_CODES = 1 << 18
+
     def _tiered_search(self, queries, real_q, params: SearchParams, accept,
                        filtered: bool) -> QueryResult:
         """on_disk mode: ADC approximate phase on device, fp32 rows paged
@@ -237,17 +243,46 @@ class SegmentReader:
         assert seg.pqv is not None, "on_disk segments require PQ codes"
         r = max(params.k * params.overquery_factor, params.k)
         t0 = time.monotonic()
-        res = searcher_mod.search(
-            seg.graph.adjacency, seg.graph.live, seg.graph.entry, queries,
-            dataclasses.replace(params, k=r),
-            seg.config.similarity,
-            pq_codes=seg.pqv.codes,
-            pq_codebooks=seg.pqv.pq.codebooks,
-            pq_center=seg.pqv.pq.center,
-            accept=accept,
-        )
-        cand_ids = np.asarray(res.ids)[:real_q]
-        approx = np.asarray(res.scores)[:real_q]
+        if seg.capacity() <= self.SCAN_TIER_MAX_CODES:
+            scan = seg.pqv.score_scan(queries, seg.config.similarity)
+            if accept is None:
+                o2d = seg.docmap.ord_to_doc
+                m = np.asarray(seg.graph.live).copy()
+                m[: o2d.shape[0]] &= o2d >= 0
+                m[o2d.shape[0]:] = False
+                valid = jnp.asarray(m)
+            else:
+                valid = accept
+            scan = jnp.where(valid[None, :], scan, -jnp.inf)
+            top_s, top_i = jax.lax.top_k(scan, min(r, scan.shape[1]))
+            cand_ids = np.asarray(top_i)[:real_q]
+            approx = np.asarray(top_s)[:real_q]
+            cand_ids = np.where(approx > -np.inf, cand_ids, -1)
+            if cand_ids.shape[1] < r:  # tiny segment: pad to r
+                padw = r - cand_ids.shape[1]
+                cand_ids = np.pad(cand_ids, ((0, 0), (0, padw)),
+                                  constant_values=-1)
+                approx = np.pad(approx, ((0, 0), (0, padw)),
+                                constant_values=-np.inf)
+            scanned = int(jnp.sum(valid))
+            res = searcher_mod.SearchResult(
+                ids=None, scores=None,
+                visited_count=np.full(queries.shape[0], scanned, np.int64),
+                expanded_count=np.zeros(queries.shape[0], np.int64),
+                reranked_count=None,
+            )
+        else:
+            res = searcher_mod.search(
+                seg.graph.adjacency, seg.graph.live, seg.graph.entry, queries,
+                dataclasses.replace(params, k=r),
+                seg.config.similarity,
+                pq_codes=seg.pqv.codes,
+                pq_codebooks=seg.pqv.pq.codebooks,
+                pq_center=seg.pqv.pq.center,
+                accept=accept,
+            )
+            cand_ids = np.asarray(res.ids)[:real_q]
+            approx = np.asarray(res.scores)[:real_q]
         qn = real_q
         qualify = cand_ids >= 0
         if params.rerank_floor > 0.0:

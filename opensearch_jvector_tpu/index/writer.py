@@ -50,7 +50,15 @@ class IndexWriter:
         self._doc_ids: list[int] = []
         self._parent_ids: list[int] = []
         self._vectors: list[np.ndarray] = []
-        self._flush_counter = 0
+        # resume the counter past any existing segments: a reopened index
+        # must never reuse a segment name (same-name flush silently
+        # OVERWRITES the old segment directory)
+        counter = -1
+        for p in self.root.glob("seg_*"):
+            parts = p.name.split("_")
+            if len(parts) >= 2 and parts[1].isdigit():
+                counter = max(counter, int(parts[1]))
+        self._flush_counter = counter + 1
 
     def add_document(self, doc_id: int, vector, parent_id: int | None = None
                      ) -> None:
@@ -74,6 +82,19 @@ class IndexWriter:
 
     def num_buffered(self) -> int:
         return len(self._doc_ids)
+
+    def delete_buffered(self, doc_ids) -> int:
+        """Drop buffered (un-flushed) docs matching `doc_ids` — the part of
+        Lucene deleteDocuments that hits the in-memory buffer. Returns the
+        number of buffered entries removed."""
+        dead = set(int(d) for d in np.atleast_1d(np.asarray(doc_ids)))
+        keep = [i for i, d in enumerate(self._doc_ids) if d not in dead]
+        removed = len(self._doc_ids) - len(keep)
+        if removed:
+            self._doc_ids = [self._doc_ids[i] for i in keep]
+            self._parent_ids = [self._parent_ids[i] for i in keep]
+            self._vectors = [self._vectors[i] for i in keep]
+        return removed
 
     def _quantize_for_flush(self, vectors: jnp.ndarray):
         """Train quantizers when n >= min batch.

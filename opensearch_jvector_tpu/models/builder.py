@@ -105,7 +105,10 @@ def robust_prune_batch(
         d_star = jnp.take_along_axis(
             d_cc, i[:, None, None], axis=1
         )[:, 0, :]  # [B, C] distances from c* to all candidates
-        pruned = alpha * d_star <= d_p
+        # STRICT inequality: differs from <= only on exact ties, i.e.
+        # duplicate vectors (d_star == d_p == 0), which must stay selectable
+        # or an all-duplicates corpus collapses to degree-1 chains
+        pruned = alpha * d_star < d_p
         alive = alive & ~pruned & ok[:, None]
         alive = alive.at[jnp.arange(b), i].set(False)
         return alive, selected
@@ -732,13 +735,17 @@ class GraphIndexBuilder:
         self._prune_overflow(st, over, vectors, simf)
 
         # entry repair: if the entry died, pick the live node closest to mean
+        # (mask-based: full-capacity shapes only, no data-dependent compiles)
         entry = int(graph.entry)
         if not live[entry] and live.any():
-            live_ids = jnp.asarray(np.nonzero(live)[0])
-            lv = vectors[live_ids]
-            mean = jnp.mean(lv, axis=0, keepdims=True)
-            s = pairwise_scores(mean, lv, simf)[0]
-            entry = int(live_ids[int(jnp.argmax(s))])
+            live_j = jnp.asarray(live)
+            lm = live_j[:, None].astype(jnp.float32)
+            mean = jnp.sum(vectors * lm, axis=0, keepdims=True) / jnp.maximum(
+                jnp.sum(lm), 1.0
+            )
+            s = pairwise_scores(mean, vectors, simf)[0]
+            s = jnp.where(live_j, s, NEG_INF)
+            entry = int(jnp.argmax(s))
 
         # reachability repair: overflow pruning can drop a node's only
         # in-path, leaving it unreachable from the entry (observed ~3% of
@@ -794,9 +801,20 @@ class GraphIndexBuilder:
         hostable = live & reach
         for s in range(0, orphans.size, 512):
             ob = orphans[s : s + 512]
+            real = ob.size
+            # pad the chunk to a pow2 bucket: every distinct chunk size is a
+            # fresh XLA compile (remote compiles cost ~15s each — data sets
+            # with many orphans were paying minutes here)
+            bucket = 64
+            while bucket < real:
+                bucket *= 2
+            pad = bucket - real
+            if pad:
+                ob = np.pad(ob, (0, pad), constant_values=ob[0])
             sc = np.array(
                 pairwise_scores(vectors[jnp_.asarray(ob)], vectors, simf)
-            )
+            )[:real]
+            ob = ob[:real]
             sc[:, ~hostable] = NEG_INF
             hosts = sc.argmax(axis=1)  # nearest reachable node per orphan
             for h, o in zip(hosts, ob):

@@ -125,11 +125,13 @@ class ShardedVectorIndex:
         # per-shard ordinal accept masks (user filter ∧ ¬tombstones)
         accept = None
         if accept_docs is not None or any(
-            shard._deleted_docs for shard in self.shards
+            shard.has_deletes for shard in self.shards
         ):
             rows = []
             for seg, shard in zip(segs, self.shards):
-                m = ordinal_accept_mask(seg, accept_docs, shard._deleted_docs)
+                m = ordinal_accept_mask(
+                    seg, accept_docs, shard.deleted_docs_for(seg.name)
+                )
                 if m is None:
                     used = seg.docmap.num_ordinals
                     m = np.asarray(seg.graph.live).copy()

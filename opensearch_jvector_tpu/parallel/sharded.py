@@ -25,7 +25,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from opensearch_jvector_tpu.models import searcher as searcher_mod
 from opensearch_jvector_tpu.models.searcher import SearchParams
-from opensearch_jvector_tpu.ops import adc as adc_ops
 from opensearch_jvector_tpu.ops.distances import (
     SimilarityFunction,
     batched_candidate_scores,
@@ -240,15 +239,13 @@ def _full_local_search(adj, live, entry, o2d, accept, queries,
     """
     qn = queries.shape[0]
     if use_pq:
-        nsub, _, dsub = codebooks.shape
         centered = queries - center[None, :]
         if simf is SimilarityFunction.COSINE:
             centered = centered * jax.lax.rsqrt(
                 jnp.sum(centered * centered, -1, keepdims=True) + 1e-30
             )
-        qsub = centered.reshape(qn, nsub, dsub)
-        luts = adc_ops.build_luts(qsub, codebooks, simf.is_euclidean)
-        qstate, ctx = luts, {"codes": codes}
+        qstate = centered
+        ctx = {"codes": codes, "codebooks": codebooks}
         provider = searcher_mod.make_pq_provider(simf.value)
     else:
         qstate, ctx = queries, {"vectors": vectors}

@@ -141,9 +141,9 @@ def execute_script_score(
         ok = live & (docs >= 0)
         if accept_docs is not None:
             ok = ok & _accept_ords(seg, accept_docs)[: ok.shape[0]]
-        if index._deleted_docs:
-            ok = ok & ~np.isin(docs, np.fromiter(index._deleted_docs,
-                                                 np.int64))
+        dead = index.deleted_docs_for(name)
+        if dead:
+            ok = ok & ~np.isin(docs, np.fromiter(dead, np.int64))
         scores = np.where(ok, scores, -np.inf)
         kk = min(k, scores.shape[0])
         idx_top = np.argpartition(-scores, kk - 1)[:kk]
@@ -182,12 +182,13 @@ def _exact_over_segments(index: VectorIndex, query: KnnQuery,
         ids, scores = exact_mod.exact_search_segment(
             seg, q, k, accept_ords=accept
         )
+        dead = index.deleted_docs_for(name)
+        if dead and ids.size:  # deletes scoped to THIS segment's copies
+            dd = np.isin(ids, np.fromiter(dead, np.int64))
+            scores = np.where(dd, -np.inf, scores)
+            ids = np.where(dd, -1, ids)
         all_ids = np.concatenate([all_ids, ids], axis=1)
         all_scores = np.concatenate([all_scores, scores], axis=1)
-    if index._deleted_docs and all_ids.size:
-        dead = np.isin(all_ids, np.fromiter(index._deleted_docs, np.int64))
-        all_scores = np.where(dead, -np.inf, all_scores)
-        all_ids = np.where(dead, -1, all_ids)
     order = np.argsort(-all_scores, axis=1, kind="stable")[:, :k]
     ids = np.take_along_axis(all_ids, order, axis=1)
     scores = np.take_along_axis(all_scores, order, axis=1)
@@ -284,12 +285,13 @@ def _radial(index: VectorIndex, query: KnnQuery) -> QueryResult:
         ids, scores = exact_mod.radial_search_segment(
             seg, q, floor, accept_ords=accept
         )
+        dead = index.deleted_docs_for(name)
+        if dead and ids.size:  # deletes scoped to THIS segment's copies
+            dd = np.isin(ids, np.fromiter(dead, np.int64))
+            scores = np.where(dd, -np.inf, scores)
+            ids = np.where(dd, -1, ids)
         all_ids = np.concatenate([all_ids, ids], axis=1)
         all_scores = np.concatenate([all_scores, scores], axis=1)
-    if index._deleted_docs and all_ids.size:
-        dead = np.isin(all_ids, np.fromiter(index._deleted_docs, np.int64))
-        all_scores = np.where(dead, -np.inf, all_scores)
-        all_ids = np.where(dead, -1, all_ids)
     order = np.argsort(-all_scores, axis=1, kind="stable")
     ids = np.take_along_axis(all_ids, order, axis=1)
     scores = np.take_along_axis(all_scores, order, axis=1)
