@@ -799,6 +799,7 @@ class GraphIndexBuilder:
         touched: dict[int, np.ndarray] = {}
         overwrite_ptr: dict[int, int] = {}  # full hosts: distinct slots
         hostable = live & reach
+        hostable_dev = jnp_.asarray(hostable)
         for s in range(0, orphans.size, 512):
             ob = orphans[s : s + 512]
             real = ob.size
@@ -811,12 +812,12 @@ class GraphIndexBuilder:
             pad = bucket - real
             if pad:
                 ob = np.pad(ob, (0, pad), constant_values=ob[0])
-            sc = np.array(
-                pairwise_scores(vectors[jnp_.asarray(ob)], vectors, simf)
-            )[:real]
+            # argmax ON DEVICE: downloading the [chunk, N] score matrix costs
+            # ~270MB/chunk over the host link — only the host ids come back
+            sc = pairwise_scores(vectors[jnp_.asarray(ob)], vectors, simf)
+            sc = jnp_.where(hostable_dev[None, :], sc, NEG_INF)
+            hosts = np.asarray(jnp_.argmax(sc, axis=1))[:real]
             ob = ob[:real]
-            sc[:, ~hostable] = NEG_INF
-            hosts = sc.argmax(axis=1)  # nearest reachable node per orphan
             for h, o in zip(hosts, ob):
                 h = int(h)
                 row = touched.get(h)

@@ -69,6 +69,33 @@ def test_on_disk_flush_search_merge(tmp_path):
     assert not np.isin(res2.doc_ids, [1, 2]).any()
 
 
+def test_on_disk_graph_tier_beyond_scan_threshold(tmp_path, monkeypatch):
+    """Segments larger than SCAN_TIER_MAX_CODES use PQ/ADC GRAPH traversal
+    (forced here by shrinking the threshold): same recall contract as the
+    scan tier, counters reflect beam expansion."""
+    from opensearch_jvector_tpu.index.reader import SegmentReader
+
+    monkeypatch.setattr(SegmentReader, "SCAN_TIER_MAX_CODES", 0)
+    cfg = DiskAnnConfig(
+        dim=DIM, similarity=SimilarityFunction.EUCLIDEAN, m=8,
+        ef_construction=32, quantization_type="pq",
+        min_batch_size_for_quantization=128, num_pq_subspaces=4,
+        mode="on_disk",
+    )
+    idx = VectorIndex(tmp_path, cfg)
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((600, DIM)).astype(np.float32)
+    for i in range(600):
+        idx.add(i, v[i])
+    idx.flush()
+    q = rng.standard_normal((8, DIM)).astype(np.float32)
+    res = idx.search(q, SearchConfig(k=10, ef_search=64))
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+    assert recall_at_k(res.doc_ids, truth, 10) >= 0.8
+    assert res.expanded > 0  # beam actually traversed the graph
+    assert res.reranked > 0
+
+
 def test_compression_level_mapping():
     cfg, extras = parse_knn_vector_mapping({
         "type": "knn_vector", "dimension": 128,
