@@ -534,8 +534,12 @@ class GraphIndexBuilder:
         # component ends up disconnected.
         mpos = int(np.nonzero(order == entry)[0][0])
         order[[0, mpos]] = order[[mpos, 0]]
-        # bootstrap block: all-pairs + prune (no graph to search yet)
-        b0 = min(n, max(self.max_degree + 1, 64))
+        # bootstrap block: all-pairs + prune (no graph to search yet).
+        # 1024 (not 64): every pow2 ramp round below batch_size is its own
+        # compiled program family, and on big builds those compiles cost
+        # more than the bootstrap's O(b0^2) scoring — starting the ramp at
+        # 1024 leaves at most ceil(log2(batch_size/1024))+1 round families.
+        b0 = min(n, max(self.max_degree + 1, min(1024, self.batch_size)))
         boot = order[:b0]
         self._bootstrap(st, boot, vectors, simf)
         live[boot] = True
@@ -633,20 +637,29 @@ class GraphIndexBuilder:
     def _bootstrap(self, st: _DeviceAdj, ids, vectors, simf):
         if len(ids) < 2:  # a single node has no candidates to prune
             return
-        v = vectors[jnp.asarray(ids)]
+        real = len(ids)
+        # pad to a pow2 bucket (duplicates of ids[0]: identical rows, so the
+        # duplicate-scatter write order cannot matter) — the bootstrap size
+        # tracks corpus size below 1024 and would otherwise compile per n
+        bucket = self._bucket(real)
+        ids_p = np.pad(np.asarray(ids), (0, bucket - real),
+                       constant_values=ids[0])
+        v = vectors[jnp.asarray(ids_p)]
         scores = pairwise_scores(v, v, simf)
-        scores = jnp.where(jnp.eye(len(ids), dtype=bool), NEG_INF, scores)
+        scores = jnp.where(jnp.eye(bucket, dtype=bool), NEG_INF, scores)
         cand_scores, idx = jax.lax.top_k(
-            scores, min(len(ids) - 1, self.beam_width)
+            scores, min(bucket - 1, self.beam_width)
         )
-        cand_ids = jnp.asarray(ids, jnp.int32)[idx]
+        cand_ids = jnp.asarray(ids_p, jnp.int32)[idx]
         cand_vecs = v[idx]
         sel = np.asarray(
             robust_prune_batch(
                 v, cand_ids, cand_vecs, cand_scores,
                 self.alpha, self.max_degree, simf.value,
+                point_ids=jnp.asarray(ids_p, jnp.int32),
             )
-        )
+        )[:real]
+        ids = np.asarray(ids)
         st.dev = st.dev.at[jnp.asarray(ids)].set(jnp.asarray(st.pad_rows(sel)))
         st.deg[ids] = (sel >= 0).sum(axis=1)
 
