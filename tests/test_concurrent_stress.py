@@ -1,0 +1,84 @@
+"""Concurrent ingest + search + delete + background merge stress.
+
+Parity target: JVectorConcurrentQueryTests (many readers, one writer) plus
+the reference's implicit contract that Lucene searches serve a stable
+snapshot while flushes/merges proceed. Single chip: the JAX dispatch path
+is thread-safe; VectorIndex guards its segment list with a lock.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from opensearch_jvector_tpu.api.config import DiskAnnConfig, SearchConfig
+from opensearch_jvector_tpu.index.index import VectorIndex
+from opensearch_jvector_tpu.index.scheduler import TieredMergePolicy
+from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
+DIM = 16
+
+
+def test_readers_stable_while_writer_churns(tmp_path):
+    cfg = DiskAnnConfig(dim=DIM, similarity=SimilarityFunction.EUCLIDEAN,
+                        m=8, ef_construction=32, quantization_type="none")
+    idx = VectorIndex(tmp_path, cfg,
+                      merge_policy=TieredMergePolicy(max_segments=2,
+                                                     merge_factor=3))
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((800, DIM)).astype(np.float32)
+    for i in range(200):
+        idx.add(i, v[i])
+    idx.flush()
+
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def reader():
+        q = v[:4]
+        while not stop.is_set():
+            try:
+                res = idx.search(q, SearchConfig(k=5, ef_search=32))
+                ids = res.doc_ids
+                # every returned id is a real doc; the top hit for v[i]
+                # is never a deleted doc (deletes target 100..119 only)
+                assert ids.shape == (4, 5)
+                live_top = ids[np.arange(4), 0]
+                assert (live_top >= 0).all()
+                assert not np.isin(live_top, np.arange(100, 120)).any() or (
+                    not deleted_done.is_set()
+                )
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    deleted_done = threading.Event()
+    readers = [threading.Thread(target=reader) for _ in range(3)]
+    for t in readers:
+        t.start()
+
+    try:
+        # writer churn: 6 flushes racing the background merges
+        for chunk in range(6):
+            base = 200 + chunk * 100
+            for i in range(base, base + 100):
+                idx.add(i, v[i % 800])
+            idx.flush()
+        idx.delete(list(range(100, 120)))
+        deleted_done.set()
+        for i in range(800, 850):
+            idx.add(i, v[i % 800] + 0.5)
+        idx.flush()
+        idx.await_merges()
+    finally:
+        stop.set()
+        for t in readers:
+            t.join()
+
+    assert not errors, errors[:1]
+    assert idx.doc_count() == 830  # 200 + 600 + 50 - 20 deleted
+    # deleted docs stay masked through every surviving segment
+    res = idx.search(v[100:104], SearchConfig(k=5, ef_search=48))
+    assert not np.isin(res.doc_ids, np.arange(100, 120)).any()
+    idx.force_merge()
+    assert idx.doc_count() == 830
