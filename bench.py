@@ -164,12 +164,13 @@ def main():
             def body(i, carry):
                 acc, _ = carry
                 qq = q1 + 0.0 * acc  # serialize on the previous result
-                # iters=7 measured on v5e: same 0.996 recall as 8, one fewer
-                # serial hop (~8% lower single-op latency)
+                # floor 7 (not 8) measured on v5e: same 0.996 recall at the
+                # default EF/K, one fewer serial hop; still scales up for
+                # larger EF/K so the reported latency keeps its recall
                 ids, scores, visited, expanded = searcher.beam_search(
                     adjacency, live, entry, qq, {"vectors": vs}, accept,
                     provider, L=max(EF, K * 5), E=16, R=K * 5,
-                    max_iters=7,
+                    max_iters=max(7, -(-max(EF, K * 5) // 16)),
                 )
                 top_s, idx = _jax.lax.top_k(scores, K)
                 return (top_s[0, 0], ids)

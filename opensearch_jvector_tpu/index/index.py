@@ -75,6 +75,9 @@ class VectorIndex:
         self.merge_scheduler = MergeScheduler()
         self._lock = threading.RLock()  # guards _segments/_segment_deletes
         self._merging: set[str] = set()  # segments owned by in-flight merges
+        # deletes arriving while a flush has already snapshotted the buffer
+        # (set by flush(), consumed at its commit)
+        self._flush_pending: set[int] | None = None
 
     # -- commit model --------------------------------------------------------
 
@@ -114,19 +117,36 @@ class VectorIndex:
         arr = np.atleast_1d(np.asarray(doc_ids, np.int64))
         with self._lock:
             self.writer.delete_buffered(arr)
+            if self._flush_pending is not None:
+                # an in-flight flush already snapshotted the buffer: its
+                # segment must mask these docs once it commits
+                self._flush_pending.update(int(d) for d in arr)
             for name in self._segments:
-                seg = self._reader(name).seg
-                present = arr[seg.ords_for_docs(arr) >= 0]
+                present = arr[np.isin(arr, self._segment_docs(name))]
                 if present.size:
                     self._segment_deletes.setdefault(name, set()).update(
                         int(d) for d in present
                     )
             self._commit()
 
+    def _segment_docs(self, name: str) -> np.ndarray:
+        """ord_to_doc for a segment WITHOUT loading its device arrays
+        (delete-time membership tests only need the docmap)."""
+        r = self._readers.get(name)
+        if r is not None:
+            return r.seg.docmap.ord_to_doc
+        from opensearch_jvector_tpu.index import store
+
+        _, darr = store.read_container(
+            self.root / name / "docmap.jvtpu", verify=False
+        )
+        return darr["ord_to_doc"]
+
     def deleted_docs_for(self, name: str) -> set[int]:
-        """Tombstoned doc ids scoped to segment `name` (may be empty)."""
+        """Tombstoned doc ids scoped to segment `name` (a snapshot copy —
+        readers iterate it without the lock while delete() mutates)."""
         with self._lock:
-            return self._segment_deletes.get(name, set())
+            return set(self._segment_deletes.get(name, ()))
 
     @property
     def has_deletes(self) -> bool:
@@ -134,11 +154,27 @@ class VectorIndex:
             return any(self._segment_deletes.values())
 
     def flush(self) -> str | None:
-        path = self.writer.flush()
+        with self._lock:
+            pending: set[int] = set()
+            self._flush_pending = pending
+        try:
+            path = self.writer.flush()
+        finally:
+            with self._lock:
+                self._flush_pending = None
         if path is None:
             return None
         with self._lock:
             self._segments.append(path.name)
+            if pending:
+                # deletes that raced this flush AFTER its buffer snapshot:
+                # scope them to the new segment (only the docs it holds)
+                arr = np.fromiter(pending, np.int64)
+                present = arr[np.isin(arr, self._segment_docs(path.name))]
+                if present.size:
+                    self._segment_deletes.setdefault(
+                        path.name, set()
+                    ).update(int(d) for d in present)
             self._commit()
         self.maybe_merge()
         return path.name

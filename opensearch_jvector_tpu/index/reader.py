@@ -103,10 +103,10 @@ class SegmentReader:
             )
         # Bucket the batch size to a power of two (min 8): each distinct
         # shape is a separate XLA compile, and callers send arbitrary counts.
+        from opensearch_jvector_tpu.models.graph import bucket_capacity
+
         real_q = queries.shape[0]
-        bucket = 8
-        while bucket < real_q:
-            bucket *= 2
+        bucket = bucket_capacity(real_q, minimum=8)
         if bucket != real_q:
             queries = jnp.concatenate(
                 [queries,

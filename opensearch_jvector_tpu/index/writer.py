@@ -50,6 +50,10 @@ class IndexWriter:
         self._doc_ids: list[int] = []
         self._parent_ids: list[int] = []
         self._vectors: list[np.ndarray] = []
+        # guards the buffer lists: add/delete_buffered may race a flush's
+        # buffer snapshot from another thread (misaligned doc_ids/vectors
+        # written to disk otherwise)
+        self._buf_lock = __import__("threading").Lock()
         # resume the counter past any existing segments: a reopened index
         # must never reuse a segment name (same-name flush silently
         # OVERWRITES the old segment directory)
@@ -76,9 +80,12 @@ class IndexWriter:
             raise ValueError(
                 f"vector shape {v.shape} != (dim={self.config.dim},)"
             )
-        self._doc_ids.append(int(doc_id))
-        self._parent_ids.append(-1 if parent_id is None else int(parent_id))
-        self._vectors.append(v.astype(np.float32))
+        with self._buf_lock:
+            self._doc_ids.append(int(doc_id))
+            self._parent_ids.append(
+                -1 if parent_id is None else int(parent_id)
+            )
+            self._vectors.append(v.astype(np.float32))
 
     def num_buffered(self) -> int:
         return len(self._doc_ids)
@@ -86,14 +93,17 @@ class IndexWriter:
     def delete_buffered(self, doc_ids) -> int:
         """Drop buffered (un-flushed) docs matching `doc_ids` — the part of
         Lucene deleteDocuments that hits the in-memory buffer. Returns the
-        number of buffered entries removed."""
+        number of buffered entries removed. Docs already snapshotted by an
+        in-flight flush are NOT here anymore; VectorIndex.delete covers
+        those via its in-flight pending set."""
         dead = set(int(d) for d in np.atleast_1d(np.asarray(doc_ids)))
-        keep = [i for i, d in enumerate(self._doc_ids) if d not in dead]
-        removed = len(self._doc_ids) - len(keep)
-        if removed:
-            self._doc_ids = [self._doc_ids[i] for i in keep]
-            self._parent_ids = [self._parent_ids[i] for i in keep]
-            self._vectors = [self._vectors[i] for i in keep]
+        with self._buf_lock:
+            keep = [i for i, d in enumerate(self._doc_ids) if d not in dead]
+            removed = len(self._doc_ids) - len(keep)
+            if removed:
+                self._doc_ids = [self._doc_ids[i] for i in keep]
+                self._parent_ids = [self._parent_ids[i] for i in keep]
+                self._vectors = [self._vectors[i] for i in keep]
         return removed
 
     def _quantize_for_flush(self, vectors: jnp.ndarray):
@@ -163,7 +173,18 @@ class IndexWriter:
             return self._flush_locked(name, sort_map)
 
     def _flush_locked(self, name: str | None, sort_map) -> Path | None:
-        name = name or f"seg_{self._flush_counter:06d}_{len(self._doc_ids)}"
+        # atomic buffer snapshot: adds/deletes racing the (long) build below
+        # see a clean empty buffer instead of a half-consumed one
+        with self._buf_lock:
+            buf_docs = self._doc_ids
+            buf_parents = self._parent_ids
+            buf_vectors = self._vectors
+            self._doc_ids = []
+            self._parent_ids = []
+            self._vectors = []
+        if not buf_docs:
+            return None
+        name = name or f"seg_{self._flush_counter:06d}_{len(buf_docs)}"
         self._flush_counter += 1
 
         # memory circuit breaker: refuse a build that would blow HBM
@@ -171,16 +192,16 @@ class IndexWriter:
 
         BREAKER.check(
             BREAKER.estimate_segment_bytes(
-                len(self._doc_ids), self.config.dim, self.config.m,
+                len(buf_docs), self.config.dim, self.config.m,
                 self.config.neighbor_overflow,
                 self.config.num_pq_subspaces
                 if self.config.quantization_type != QUANT_NONE else None,
             )
         )
 
-        vectors = jnp.asarray(np.stack(self._vectors))
-        doc_ids = np.asarray(self._doc_ids, np.int64)
-        parent_ids = np.asarray(self._parent_ids, np.int64)
+        vectors = jnp.asarray(np.stack(buf_vectors))
+        doc_ids = np.asarray(buf_docs, np.int64)
+        parent_ids = np.asarray(buf_parents, np.int64)
         has_nested = bool((parent_ids >= 0).any())
 
         cfg = self.config
@@ -239,7 +260,4 @@ class IndexWriter:
         )
         path = write_segment(self.root, seg)
         self.stats.increment(Counter.KNN_FLUSH_COUNT)
-        self._doc_ids.clear()
-        self._parent_ids.clear()
-        self._vectors.clear()
         return path

@@ -640,13 +640,21 @@ class GraphIndexBuilder:
         real = len(ids)
         # pad to a pow2 bucket (duplicates of ids[0]: identical rows, so the
         # duplicate-scatter write order cannot matter) — the bootstrap size
-        # tracks corpus size below 1024 and would otherwise compile per n
-        bucket = self._bucket(real)
+        # tracks corpus size below 1024 and would otherwise compile per n.
+        # NOT self._bucket: that caps at batch_size, and the bootstrap block
+        # (>= max_degree+1) may legitimately exceed a small batch_size.
+        bucket = bucket_capacity(real)
         ids_p = np.pad(np.asarray(ids), (0, bucket - real),
                        constant_values=ids[0])
         v = vectors[jnp.asarray(ids_p)]
         scores = pairwise_scores(v, v, simf)
         scores = jnp.where(jnp.eye(bucket, dtype=bool), NEG_INF, scores)
+        # mask the pad COLUMNS too: 'bucket - real' duplicates of ids[0]
+        # would otherwise crowd real candidates out of the top-k before
+        # robust_prune's id-dedupe runs (low-diversity graphs for every
+        # non-pow2 bootstrap block)
+        col_real = jnp.asarray(np.arange(bucket) < real)
+        scores = jnp.where(col_real[None, :], scores, NEG_INF)
         cand_scores, idx = jax.lax.top_k(
             scores, min(bucket - 1, self.beam_width)
         )
@@ -819,10 +827,7 @@ class GraphIndexBuilder:
             # pad the chunk to a pow2 bucket: every distinct chunk size is a
             # fresh XLA compile (remote compiles cost ~15s each — data sets
             # with many orphans were paying minutes here)
-            bucket = 64
-            while bucket < real:
-                bucket *= 2
-            pad = bucket - real
+            pad = bucket_capacity(real) - real
             if pad:
                 ob = np.pad(ob, (0, pad), constant_values=ob[0])
             # argmax ON DEVICE: downloading the [chunk, N] score matrix costs

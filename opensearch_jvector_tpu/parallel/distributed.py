@@ -143,10 +143,10 @@ class ShardedVectorIndex:
 
             accept = jnp.asarray(np.stack(rows))
 
+        from opensearch_jvector_tpu.models.graph import bucket_capacity
+
         qn = queries.shape[0]
-        bucket = 8
-        while bucket < qn:
-            bucket *= 2
+        bucket = bucket_capacity(qn, minimum=8)
         padded = queries
         if bucket != qn:
             padded = np.concatenate(

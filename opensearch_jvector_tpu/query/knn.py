@@ -201,20 +201,12 @@ def _exact_over_segments(index: VectorIndex, query: KnnQuery,
 
 
 def _accept_ords(seg, filter_docs) -> np.ndarray:
-    """Doc filter -> ordinal mask over the FULL graph capacity (bucket
-    padding rows beyond the docmap are never accepted)."""
-    f = np.asarray(filter_docs)
-    o2d = seg.docmap.ord_to_doc
-    if f.dtype == bool:
-        ok = (o2d >= 0) & (o2d < f.shape[0])
-        mask = np.zeros(o2d.shape[0], bool)
-        mask[ok] = f[o2d[ok]]
-    else:
-        mask = np.isin(o2d, f) & (o2d >= 0)
-    cap = seg.graph.capacity
-    if mask.shape[0] < cap:
-        mask = np.pad(mask, (0, cap - mask.shape[0]))
-    return mask
+    """Doc filter -> ordinal mask over the FULL graph capacity (one
+    implementation: reader.ordinal_accept_mask handles bool masks, id
+    arrays, and the capacity-bucket padding)."""
+    from opensearch_jvector_tpu.index.reader import ordinal_accept_mask
+
+    return ordinal_accept_mask(seg, filter_docs)
 
 
 def _rescore(index: VectorIndex, query: KnnQuery, res: QueryResult,

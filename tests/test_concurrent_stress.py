@@ -19,6 +19,45 @@ from opensearch_jvector_tpu.ops.distances import SimilarityFunction
 DIM = 16
 
 
+def test_delete_racing_inflight_flush_still_masks(tmp_path, monkeypatch):
+    """A delete arriving AFTER a flush snapshotted the buffer but BEFORE it
+    commits must still mask the doc in the new segment (the in-flight
+    pending set). Deterministic: the builder blocks on an event so the
+    delete lands inside the window."""
+    from opensearch_jvector_tpu.models.builder import GraphIndexBuilder
+
+    cfg = DiskAnnConfig(dim=DIM, similarity=SimilarityFunction.EUCLIDEAN,
+                        m=8, ef_construction=32, quantization_type="none")
+    idx = VectorIndex(tmp_path, cfg)
+    v = np.random.default_rng(1).standard_normal((80, DIM)).astype(
+        np.float32)
+    for i in range(80):
+        idx.add(i, v[i])
+
+    in_build = threading.Event()
+    release = threading.Event()
+    orig_build = GraphIndexBuilder.build
+
+    def slow_build(self, *a, **k):
+        in_build.set()
+        assert release.wait(30)
+        return orig_build(self, *a, **k)
+
+    monkeypatch.setattr(GraphIndexBuilder, "build", slow_build)
+    flusher = threading.Thread(target=idx.flush)
+    flusher.start()
+    assert in_build.wait(30)  # buffer snapshotted, build in progress
+    idx.delete([7])  # buffer already empty: must ride the pending set
+    release.set()
+    flusher.join(60)
+
+    assert idx.doc_count() == 79
+    res = idx.search(v[7], SearchConfig(k=3, ef_search=32))
+    assert 7 not in res.doc_ids[0].tolist()
+    idx.force_merge()
+    assert idx.doc_count() == 79
+
+
 def test_readers_stable_while_writer_churns(tmp_path):
     cfg = DiskAnnConfig(dim=DIM, similarity=SimilarityFunction.EUCLIDEAN,
                         m=8, ef_construction=32, quantization_type="none")
