@@ -204,3 +204,33 @@ def test_compute_pools():
     assert f1.result(timeout=10) == 42
     assert f2.result(timeout=10) == "merged"
     assert pools is ComputePools.instance()  # singleton
+
+
+def test_mesh_falls_back_to_host_loop_for_nvq_shards(tmp_path):
+    """NVQ shards cannot stack onto the mesh (no device-resident fp32):
+    ShardedVectorIndex must silently serve through the host scatter-gather
+    with identical result semantics."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    n = 600
+    v = _vectors(n, seed=9)
+    cfg = _cfg(quantization_type="nvq+pq", num_pq_subspaces=8,
+               min_batch_size_for_quantization=64, nvq_num_subvectors=2)
+    mesh = sharded.make_mesh(jax.devices()[:2])
+    idx = ShardedVectorIndex(tmp_path, cfg, n_shards=2, mesh=mesh)
+    for i in range(n):
+        idx.add(i, v[i])
+    idx.flush()
+    for shard in idx.shards:  # really NVQ segments
+        assert shard._reader(shard._segments[0]).seg.nvq is not None
+
+    q = _vectors(8, seed=10)
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+    res = idx.search(q, SearchConfig(k=10, ef_search=96, overquery_factor=8))
+    assert idx._mesh_state is None  # mesh path declined, host loop served
+    assert recall_at_k(res.doc_ids, truth, 10) >= 0.85
+    idx.delete([int(res.doc_ids[0, 0])])
+    res2 = idx.search(q, SearchConfig(k=10, ef_search=96))
+    assert res.doc_ids[0, 0] not in res2.doc_ids[0].tolist()
