@@ -78,6 +78,17 @@ class VectorIndex:
         # deletes arriving while a flush has already snapshotted the buffer
         # (set by flush(), consumed at its commit)
         self._flush_pending: set[int] | None = None
+        self._flush_serial = threading.Lock()  # one flush at a time
+        self._docmap_cache: dict[str, np.ndarray] = {}  # name -> ord_to_doc
+        # merge output names must be unique across SESSIONS: a reopened
+        # index that reuses a committed merge name would overwrite that
+        # segment's files in place (data loss)
+        counter = 0
+        for p in self.root.glob("merged_*"):
+            tail = p.name.rsplit("_m", 1)
+            if len(tail) == 2 and tail[1].isdigit():
+                counter = max(counter, int(tail[1]))
+        self._merge_counter = counter
 
     # -- commit model --------------------------------------------------------
 
@@ -131,16 +142,21 @@ class VectorIndex:
 
     def _segment_docs(self, name: str) -> np.ndarray:
         """ord_to_doc for a segment WITHOUT loading its device arrays
-        (delete-time membership tests only need the docmap)."""
+        (delete-time membership and merge sizing only need the docmap).
+        Cached per name — segments are immutable until a merge drops them."""
         r = self._readers.get(name)
         if r is not None:
             return r.seg.docmap.ord_to_doc
+        cached = self._docmap_cache.get(name)
+        if cached is not None:
+            return cached
         from opensearch_jvector_tpu.index import store
 
         _, darr = store.read_container(
             self.root / name / "docmap.jvtpu", verify=False
         )
-        return darr["ord_to_doc"]
+        self._docmap_cache[name] = darr["ord_to_doc"]
+        return self._docmap_cache[name]
 
     def deleted_docs_for(self, name: str) -> set[int]:
         """Tombstoned doc ids scoped to segment `name` (a snapshot copy —
@@ -154,28 +170,39 @@ class VectorIndex:
             return any(self._segment_deletes.values())
 
     def flush(self) -> str | None:
-        with self._lock:
-            pending: set[int] = set()
-            self._flush_pending = pending
-        try:
-            path = self.writer.flush()
-        finally:
+        # one flush at a time: a second concurrent flush would replace
+        # _flush_pending and lose deletes raced against the first
+        with self._flush_serial:
+            with self._lock:
+                pending: set[int] = set()
+                self._flush_pending = pending
+            try:
+                path = self.writer.flush()
+            except BaseException:
+                with self._lock:
+                    self._flush_pending = None
+                raise
+            # _flush_pending stays armed until the SAME lock block that
+            # appends the segment: a delete() in between either lands in
+            # `pending` (resolved below) or sees the committed segment —
+            # never the unprotected gap
             with self._lock:
                 self._flush_pending = None
-        if path is None:
-            return None
-        with self._lock:
-            self._segments.append(path.name)
-            if pending:
-                # deletes that raced this flush AFTER its buffer snapshot:
-                # scope them to the new segment (only the docs it holds)
-                arr = np.fromiter(pending, np.int64)
-                present = arr[np.isin(arr, self._segment_docs(path.name))]
-                if present.size:
-                    self._segment_deletes.setdefault(
-                        path.name, set()
-                    ).update(int(d) for d in present)
-            self._commit()
+                if path is None:
+                    return None
+                self._segments.append(path.name)
+                if pending:
+                    # deletes that raced this flush AFTER its buffer
+                    # snapshot: scope them to the new segment
+                    arr = np.fromiter(pending, np.int64)
+                    present = arr[
+                        np.isin(arr, self._segment_docs(path.name))
+                    ]
+                    if present.size:
+                        self._segment_deletes.setdefault(
+                            path.name, set()
+                        ).update(int(d) for d in present)
+                self._commit()
         self.maybe_merge()
         return path.name
 
@@ -185,9 +212,13 @@ class VectorIndex:
         """Consult the merge policy; schedule a background merge if it
         selects segments. Returns the Future or None. Runs on the niced
         merge pool, concurrent with further ingest (scheduler parity)."""
+        if not getattr(self.merge_policy, "auto", True):
+            return None  # ForceMergesOnly: skip segment sizing entirely
         with self._lock:
             free = [n for n in self._segments if n not in self._merging]
-            sizes = [(n, self._reader(n).seg.live_count()) for n in free]
+            # size from the docmap (cheap, cached) — NOT the full reader:
+            # sizing must not upload every segment to HBM under the lock
+            sizes = [(n, int(self._segment_docs(n).shape[0])) for n in free]
             pick = self.merge_policy.select(sizes)
             if not pick:
                 return None
@@ -378,8 +409,16 @@ class VectorIndex:
             }
         if out_name is None:
             with self._lock:
-                self._merge_counter = getattr(self, "_merge_counter", 0) + 1
+                self._merge_counter += 1
                 out_name = f"merged_{len(names)}segs_m{self._merge_counter}"
+        if (self.root / out_name).exists():
+            # never write a merge into ANY existing directory: in-place
+            # container writes would corrupt a committed segment (including
+            # a merge input) if the merge crashes midway
+            raise ValueError(
+                f"merge output name {out_name!r} collides with an existing "
+                "segment directory"
+            )
         segs = []
         for name in names:
             seg = read_segment(self.root / name)
@@ -407,15 +446,25 @@ class VectorIndex:
                 )
             for n in names:
                 self._readers.pop(n, None)
+                self._docmap_cache.pop(n, None)
             self._commit()
         return path.name
 
     def force_merge(self, out_name: str | None = None) -> str:
-        """Merge ALL segments into one (deterministic, test-friendly)."""
+        """Merge ALL segments into one (deterministic, test-friendly).
+
+        Owns its segments via `_merging` like background merges do, so a
+        flush-triggered merge cannot concurrently grab the same set. The
+        default output name is counter-unique (a fixed name would be reused
+        across successive force_merges and overwrite a committed segment's
+        files in place)."""
         self.await_merges()
         with self._lock:
-            names = list(self._segments)
-        assert names, "nothing to merge"
-        return self._merge_now(
-            names, out_name or f"merged_{len(names)}segs"
-        )
+            names = [n for n in self._segments if n not in self._merging]
+            assert names, "nothing to merge"
+            self._merging.update(names)
+        try:
+            return self._merge_now(names, out_name)
+        finally:
+            with self._lock:
+                self._merging.difference_update(names)

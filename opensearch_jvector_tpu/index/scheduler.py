@@ -17,6 +17,7 @@ override used by tests/benchmarks. This module provides the same pair:
 from __future__ import annotations
 
 import dataclasses
+import threading
 from concurrent.futures import Future
 
 
@@ -29,6 +30,8 @@ class MergePolicy:
 
 class ForceMergesOnlyMergePolicy(MergePolicy):
     """Only honors explicit force_merge (reference test/bench override)."""
+
+    auto = False  # maybe_merge() skips segment sizing entirely
 
     def select(self, segments):
         return None
@@ -51,25 +54,49 @@ class TieredMergePolicy(MergePolicy):
 
 
 class MergeScheduler:
-    """Submits merges to the background merge pool; tracks in-flight work."""
+    """Submits merges to the background merge pool; tracks in-flight work.
+
+    Failed merges are never silently discarded: pruning a completed future
+    stashes its exception, and the next await_all() re-raises it (the
+    executor otherwise swallows unretrieved exceptions forever)."""
 
     def __init__(self):
         self._pending: list[Future] = []
+        self._failures: list[BaseException] = []
+        self._lock = threading.Lock()
 
     def submit(self, fn, *args) -> Future:
         from opensearch_jvector_tpu.parallel.pools import ComputePools
 
         fut = ComputePools.instance().submit_merge(fn, *args)
-        self._pending.append(fut)
-        self._pending = [f for f in self._pending if not f.done()]
+        with self._lock:
+            self._pending.append(fut)
+            live = []
+            for f in self._pending:
+                if f.done():
+                    exc = f.exception()
+                    if exc is not None:
+                        self._failures.append(exc)
+                else:
+                    live.append(f)
+            self._pending = live
         return fut
 
     def await_all(self, timeout: float | None = None) -> None:
-        """Join every in-flight merge (re-raises merge exceptions)."""
-        pending, self._pending = self._pending, []
+        """Join every in-flight merge (re-raises merge exceptions,
+        including ones from merges that completed between calls)."""
+        with self._lock:
+            pending, self._pending = self._pending, []
+            failures, self._failures = self._failures, []
         for f in pending:
-            f.result(timeout=timeout)
+            try:
+                f.result(timeout=timeout)
+            except BaseException as e:  # noqa: BLE001 — collect, then raise
+                failures.append(e)
+        if failures:
+            raise failures[0]
 
     @property
     def in_flight(self) -> int:
-        return sum(1 for f in self._pending if not f.done())
+        with self._lock:
+            return sum(1 for f in self._pending if not f.done())

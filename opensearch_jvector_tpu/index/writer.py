@@ -184,8 +184,12 @@ class IndexWriter:
             self._vectors = []
         if not buf_docs:
             return None
-        name = name or f"seg_{self._flush_counter:06d}_{len(buf_docs)}"
-        self._flush_counter += 1
+        # counter read+increment under the buffer lock: two racing flushes
+        # must never pick the same segment name (in-place overwrite)
+        with self._buf_lock:
+            counter = self._flush_counter
+            self._flush_counter += 1
+        name = name or f"seg_{counter:06d}_{len(buf_docs)}"
 
         # memory circuit breaker: refuse a build that would blow HBM
         from opensearch_jvector_tpu.utils.circuit_breaker import BREAKER
