@@ -20,6 +20,17 @@ def _physical_cores() -> int:
     env = os.environ.get("JVECTOR_TPU_PHYSICAL_CORE_COUNT")
     if env:
         return max(1, int(env))
+    # knn.algo_param.index_thread_qty (KNNSettings.java): the reference
+    # sizes per-field merge workers from this cluster setting; honored when
+    # an operator raised it above the default of 1
+    try:
+        from opensearch_jvector_tpu.api.settings import GLOBAL_SETTINGS
+
+        qty = int(GLOBAL_SETTINGS.get("knn.algo_param.index_thread_qty"))
+        if qty > 1:
+            return qty
+    except Exception:  # noqa: BLE001 — settings registry optional here
+        pass
     return max(1, (os.cpu_count() or 2) // 2)
 
 
