@@ -132,3 +132,55 @@ def test_ignore_unmapped_field(service):
         }}}})
     assert status == 200
     assert data["hits"]["total"]["value"] == 0
+
+
+def test_rest_radial_rescore_filter(service):
+    """Radial (max_distance / min_score), rescore, and doc-id filters over
+    the REST surface (KNNQueryBuilder DSL parity at the service layer)."""
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((200, DIM)).astype(np.float32)
+    _req(service, "PUT", "/rrf", {
+        "mappings": {"properties": {"vec": {
+            "type": "knn_vector", "dimension": DIM,
+            "method": {"name": "disk_ann",
+                       "parameters": {"m": 8, "ef_construction": 32}},
+        }}}})
+    docs = [{"_id": i, "vec": v[i].tolist()} for i in range(200)]
+    _req(service, "POST", "/rrf/_bulk", {"docs": docs})
+    _req(service, "POST", "/rrf/_flush")
+
+    # radial: every returned doc satisfies the distance bound
+    status, out = _req(service, "POST", "/rrf/_search", {
+        "query": {"knn": {"vec": {"vector": v[3].tolist(),
+                                  "max_distance": 4.0}}}})
+    assert status == 200
+    hits = out["hits"]["hits"]
+    assert any(h["_id"] == 3 for h in hits)
+    for h in hits:
+        d = float(np.linalg.norm(v[int(h["_id"])] - v[3]))
+        assert d <= 4.0 + 1e-4
+
+    # min_score radial form parses and returns the identical doc first
+    status, out = _req(service, "POST", "/rrf/_search", {
+        "query": {"knn": {"vec": {"vector": v[3].tolist(),
+                                  "min_score": 0.99}}}})
+    assert status == 200 and out["hits"]["hits"][0]["_id"] == 3
+
+    # doc-id filter restricts results; rescore keeps exact ordering
+    status, out = _req(service, "POST", "/rrf/_search", {
+        "size": 5,
+        "query": {"knn": {"vec": {
+            "vector": v[10].tolist(), "k": 5,
+            "filter": list(range(100)),
+            "rescore": {"oversample_factor": 3.0},
+        }}}})
+    assert status == 200
+    ids = [h["_id"] for h in out["hits"]["hits"]]
+    assert ids and all(i < 100 for i in ids)
+    assert ids[0] == 10
+
+    # radial + k together is a 400 (mutual exclusivity)
+    status, _ = _req(service, "POST", "/rrf/_search", {
+        "query": {"knn": {"vec": {"vector": v[0].tolist(), "k": 3,
+                                  "max_distance": 1.0}}}})
+    assert status == 400
