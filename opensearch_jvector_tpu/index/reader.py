@@ -127,6 +127,20 @@ class SegmentReader:
             return self._tiered_search(
                 queries, real_q, params, accept, accept_docs is not None
             )
+        if (
+            seg.pqv is not None
+            and seg.nvq is None
+            and seg.scalar_state is None
+            and seg.vectors is not None
+            and seg.capacity() <= self.SCAN_TIER_MAX_CODES
+        ):
+            # in-memory PQ segments also take the fused-ADC full scan below
+            # the tier bound: measured FASTER than fp32 graph traversal
+            # (0.089 vs 0.119 ms/query at 100k x 128d) and slightly more
+            # accurate (exhaustive approximate phase + exact rerank)
+            return self._scan_search(
+                queries, real_q, params, accept, accept_docs is not None
+            )
 
         kwargs: dict = {}
         if seg.graph.upper_adjacency is not None:  # hierarchy layer
@@ -228,6 +242,75 @@ class SegmentReader:
     # ~0.5 ms/query per 1M codes, while beam search pays per-iteration
     # gathers. TPU-first policy: brute-force the MXU when it wins.
     SCAN_TIER_MAX_CODES = 1 << 18
+
+    def _scan_search(self, queries, real_q, params: SearchParams, accept,
+                     filtered: bool) -> QueryResult:
+        """Fused-ADC full scan + DEVICE-side exact rerank for in-memory PQ
+        segments below the scan-tier bound (the production fast path for
+        the default PQ config at <=256k codes)."""
+        from opensearch_jvector_tpu.ops.distances import (
+            batched_candidate_scores,
+        )
+
+        seg = self.seg
+        r = max(params.k * params.overquery_factor, params.k)
+        t0 = time.monotonic()
+        scan = seg.pqv.score_scan(queries, seg.config.similarity)
+        if accept is None:
+            o2d = seg.docmap.ord_to_doc
+            m = np.asarray(seg.graph.live).copy()
+            m[: o2d.shape[0]] &= o2d >= 0
+            m[o2d.shape[0]:] = False
+            valid = jnp.asarray(m)
+        else:
+            valid = accept
+        scan = jnp.where(valid[None, :], scan, -jnp.inf)
+        rr = min(r, scan.shape[1])
+        approx, cand_ids = jax.lax.top_k(scan, rr)
+        qualify = approx > -jnp.inf
+        if params.rerank_floor > 0.0:
+            qualify &= approx >= params.rerank_floor
+        cand = seg.vectors[jnp.clip(cand_ids, 0)]
+        exact = batched_candidate_scores(queries, cand,
+                                         seg.config.similarity)
+        exact = jnp.where(qualify, exact, -jnp.inf)
+        kk = min(params.k, rr)
+        top_s, idx = jax.lax.top_k(exact, kk)
+        top_i = jnp.take_along_axis(cand_ids, idx, axis=1)
+        keep = top_s > -jnp.inf
+        if params.threshold > 0.0:
+            keep &= top_s >= params.threshold
+        top_i = jnp.where(keep, top_i, -1)
+        top_s = jnp.where(keep, top_s, -jnp.inf)
+        jax.block_until_ready(top_i)
+        self.stats.increment(
+            Counter.KNN_GRAPH_SEARCH_TIME, int((time.monotonic() - t0) * 1000)
+        )
+
+        top_i = np.asarray(top_i)[:real_q]
+        top_s = np.asarray(top_s)[:real_q]
+        if kk < params.k:
+            padw = params.k - kk
+            top_i = np.pad(top_i, ((0, 0), (0, padw)), constant_values=-1)
+            top_s = np.pad(top_s, ((0, 0), (0, padw)),
+                           constant_values=-np.inf)
+        qn = real_q
+        scanned = int(jnp.sum(valid))
+        reranked = int(np.asarray(jnp.sum(qualify, axis=1))[:real_q].sum())
+        self.stats.increment(Counter.KNN_QUERY_COUNT, qn)
+        if filtered:
+            self.stats.increment(Counter.KNN_QUERY_WITH_FILTER_COUNT, qn)
+        self.stats.increment(Counter.KNN_QUERY_VISITED_NODES, scanned * qn)
+        self.stats.increment(Counter.KNN_QUERY_EXPANDED_NODES, 0)
+        self.stats.increment(Counter.KNN_QUERY_EXPANDED_BASE_LAYER_NODES, 0)
+        self.stats.increment(Counter.KNN_QUERY_RERANKED_COUNT, reranked)
+
+        doc_ids = seg.docmap.lookup_docs(top_i)
+        scores = np.where(doc_ids >= 0, top_s, -np.inf)
+        return QueryResult(
+            doc_ids=doc_ids, scores=scores,
+            visited=scanned * qn, expanded=0, reranked=reranked,
+        )
 
     def _tiered_search(self, queries, real_q, params: SearchParams, accept,
                        filtered: bool) -> QueryResult:
