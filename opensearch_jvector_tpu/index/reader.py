@@ -188,7 +188,19 @@ class SegmentReader:
                 accept=accept,
                 **kwargs,
             )
-            jax.block_until_ready(res.ids)
+            # ONE host transfer for results + every counter (each separate
+            # fetch through a host tunnel is a full round trip)
+            res = dataclasses.replace(
+                res, **dict(zip(
+                    ("ids", "scores", "visited_count", "expanded_count",
+                     "reranked_count", "expanded_base_count"),
+                    jax.device_get((
+                        res.ids, res.scores, res.visited_count,
+                        res.expanded_count, res.reranked_count,
+                        res.expanded_base_count,
+                    )),
+                ))
+            )
         self.stats.increment(
             Counter.KNN_GRAPH_SEARCH_TIME, int((time.monotonic() - t0) * 1000)
         )
@@ -282,21 +294,25 @@ class SegmentReader:
             keep &= top_s >= params.threshold
         top_i = jnp.where(keep, top_i, -1)
         top_s = jnp.where(keep, top_s, -jnp.inf)
-        jax.block_until_ready(top_i)
+        # ONE host transfer for results + counters: through a host tunnel
+        # every separate fetch is a full round trip
+        top_i, top_s, scanned, rer_q = jax.device_get(
+            (top_i, top_s, jnp.sum(valid), jnp.sum(qualify, axis=1))
+        )
         self.stats.increment(
             Counter.KNN_GRAPH_SEARCH_TIME, int((time.monotonic() - t0) * 1000)
         )
 
-        top_i = np.asarray(top_i)[:real_q]
-        top_s = np.asarray(top_s)[:real_q]
+        top_i = top_i[:real_q]
+        top_s = top_s[:real_q]
         if kk < params.k:
             padw = params.k - kk
             top_i = np.pad(top_i, ((0, 0), (0, padw)), constant_values=-1)
             top_s = np.pad(top_s, ((0, 0), (0, padw)),
                            constant_values=-np.inf)
         qn = real_q
-        scanned = int(jnp.sum(valid))
-        reranked = int(np.asarray(jnp.sum(qualify, axis=1))[:real_q].sum())
+        scanned = int(scanned)
+        reranked = int(rer_q[:real_q].sum())
         self.stats.increment(Counter.KNN_QUERY_COUNT, qn)
         if filtered:
             self.stats.increment(Counter.KNN_QUERY_WITH_FILTER_COUNT, qn)
