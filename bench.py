@@ -229,11 +229,18 @@ def main():
             f"{time.time() - t0:.1f}s")
         extra["pq_train_encode_s"] = round(time.time() - t0, 2)
 
+        # In-graph ADC tier (the production >256k on_disk beam path): beam
+        # candidates scored from the decoded-bf16 cache (row gathers + MXU
+        # einsum; PQVectors.decode_bf16), fp32 rerank of the survivors.
+        t0 = time.time()
+        pq_dec = pq_mod.PQVectors(pq=pq, codes=pq_codes).decode_bf16()
+        jax.block_until_ready(pq_dec)
+        extra["pq_decode_cache_s"] = round(time.time() - t0, 2)
+
         def run_pq(qs):
             res = searcher.search(
                 graph.adjacency, graph.live, graph.entry, qs, params, simf,
-                vectors=vectors, pq_codes=pq_codes,
-                pq_codebooks=pq.codebooks, pq_center=pq.center,
+                vectors=vectors, pq_decoded=pq_dec,
             )
             jax.block_until_ready(res.ids)
             return res

@@ -33,6 +33,11 @@ class Counter(Enum):
     KNN_QUANTIZATION_TRAINING_TIME = "knn_quantization_training_time"
     KNN_FLUSH_COUNT = "knn_flush_count"
     KNN_MERGE_COUNT = "knn_merge_count"
+    # mesh-path state uploads (ShardedVectorIndex): each re-stack re-uploads
+    # shard state to the mesh after the segment set changes; the time
+    # counter records the stall so operators can see churn cost
+    KNN_MESH_RESTACK_COUNT = "knn_mesh_restack_count"
+    KNN_MESH_RESTACK_TIME = "knn_mesh_restack_time"
 
 
 class StatsRegistry:

@@ -24,9 +24,9 @@ from opensearch_jvector_tpu.api.stats import STATS, StatsRegistry
 from opensearch_jvector_tpu.index.merge import merge_segments
 from opensearch_jvector_tpu.index.reader import QueryResult, SegmentReader
 from opensearch_jvector_tpu.index.scheduler import (
-    ForceMergesOnlyMergePolicy,
     MergePolicy,
     MergeScheduler,
+    TieredMergePolicy,
 )
 from opensearch_jvector_tpu.index.segment import read_segment
 from opensearch_jvector_tpu.index.writer import IndexWriter
@@ -68,10 +68,11 @@ class VectorIndex:
             self._segment_deletes = {}
         self.writer = IndexWriter(self.root, self.config, stats)
         self._readers: dict[str, SegmentReader] = {}
-        # ForceMergesOnly is the deterministic default (the reference's
-        # test/bench override); pass TieredMergePolicy for background
-        # compaction concurrent with ingest.
-        self.merge_policy = merge_policy or ForceMergesOnlyMergePolicy()
+        # TieredMergePolicy is the production default (the reference rides
+        # Lucene's tiered scheduler by default; ForceMergesOnlyMergePolicy
+        # is explicitly the test/bench override —
+        # codec/jvector/ForceMergesOnlyMergePolicy.java:20-23).
+        self.merge_policy = merge_policy or TieredMergePolicy()
         self.merge_scheduler = MergeScheduler()
         self._lock = threading.RLock()  # guards _segments/_segment_deletes
         self._merging: set[str] = set()  # segments owned by in-flight merges
@@ -217,8 +218,20 @@ class VectorIndex:
         with self._lock:
             free = [n for n in self._segments if n not in self._merging]
             # size from the docmap (cheap, cached) — NOT the full reader:
-            # sizing must not upload every segment to HBM under the lock
-            sizes = [(n, int(self._segment_docs(n).shape[0])) for n in free]
+            # sizing must not upload every segment to HBM under the lock.
+            # LIVE doc sizing (reference parity): folded docs are -1 in the
+            # docmap; un-folded tombstones are subtracted per segment.
+            sizes = [
+                (
+                    n,
+                    max(
+                        0,
+                        int((self._segment_docs(n) >= 0).sum())
+                        - len(self._segment_deletes.get(n, ())),
+                    ),
+                )
+                for n in free
+            ]
             pick = self.merge_policy.select(sizes)
             if not pick:
                 return None
@@ -246,12 +259,14 @@ class VectorIndex:
         return self._readers[name]
 
     def doc_count(self) -> int:
+        """Live doc count served from the cached docmaps + tombstone sets —
+        never uploads segment device arrays (the REST `_count` route must
+        not trigger a segment load). Folded docs are -1 in the docmap and
+        written with live=False, so `docs >= 0` is the stored live set."""
         total = 0
-        for name in self._segments:
-            r = self._reader(name)
-            docs = r.seg.docmap.ord_to_doc
-            live = np.asarray(r.seg.graph.live)
-            ok = live[: docs.shape[0]] & (docs >= 0)
+        for name in self.segment_names:
+            docs = self._segment_docs(name)
+            ok = docs >= 0
             dead = self.deleted_docs_for(name)
             if dead:
                 ok &= ~np.isin(docs, np.fromiter(dead, np.int64))
@@ -330,12 +345,27 @@ class VectorIndex:
         all_ids = np.full((qn, 0), -1, np.int64)
         all_scores = np.zeros((qn, 0), np.float32)
         visited = expanded = reranked = 0
-        for name in self.segment_names:  # snapshot: merges swap underneath
+        names = self.segment_names  # snapshot: merges swap underneath
+
+        def _one(name: str) -> QueryResult:
             r = self._reader(name)
             # tombstones ride the accept mask INTO the search (liveDocs
             # parity) so dead docs never consume the k result slots
-            res = r.search(queries, sc, accept_docs=accept_docs,
-                           deleted_docs=self.deleted_docs_for(name))
+            return r.search(queries, sc, accept_docs=accept_docs,
+                            deleted_docs=self.deleted_docs_for(name))
+
+        if len(names) > 1:
+            # per-segment searches fan out on the flush pool: host-side prep
+            # (accept-mask builds, fetch staging) overlaps while the device
+            # stream serializes the compiled programs — a multi-segment
+            # index no longer pays a strictly sequential host loop
+            from opensearch_jvector_tpu.parallel.pools import ComputePools
+
+            pool = ComputePools.instance()
+            results = list(pool.flush_pool.map(_one, names))
+        else:
+            results = [_one(n) for n in names]
+        for res in results:
             all_ids = np.concatenate([all_ids, res.doc_ids], axis=1)
             all_scores = np.concatenate([all_scores, res.scores], axis=1)
             visited += res.visited

@@ -70,6 +70,18 @@ class SegmentReader:
     def __init__(self, seg: Segment, stats: StatsRegistry = STATS):
         self.seg = seg
         self.stats = stats
+        self._pq_decoded: jax.Array | None = None  # lazy bf16 ADC cache
+
+    def _decoded_cache(self) -> jax.Array:
+        """Decoded-bf16 candidate cache for the in-graph ADC tier (built
+        once per open segment; 2*d bytes/vector HBM, breaker-accounted)."""
+        if self._pq_decoded is None:
+            from opensearch_jvector_tpu.utils.circuit_breaker import BREAKER
+
+            n, d = self.seg.capacity(), self.seg.config.dim
+            BREAKER.check(n * d * 2)
+            self._pq_decoded = self.seg.pqv.decode_bf16()
+        return self._pq_decoded
 
     @classmethod
     def open(cls, path: str | Path, verify: bool = True,
@@ -354,8 +366,16 @@ class SegmentReader:
                 valid = accept
             scan = jnp.where(valid[None, :], scan, -jnp.inf)
             top_s, top_i = jax.lax.top_k(scan, min(r, scan.shape[1]))
-            cand_ids = np.asarray(top_i)[:real_q]
-            approx = np.asarray(top_s)[:real_q]
+            # ONE device fetch for candidates + the visited counter.
+            # Counter semantics at the tier boundary: the scan tier reports
+            # visited = scanned codes per query (ef_search/use_pruning do
+            # not apply to an exhaustive scan) — documented divergence from
+            # the beam tier's visited-during-traversal count.
+            top_i, top_s, scanned = jax.device_get(
+                (top_i, top_s, jnp.sum(valid))
+            )
+            cand_ids = top_i[:real_q]
+            approx = top_s[:real_q]
             cand_ids = np.where(approx > -np.inf, cand_ids, -1)
             if cand_ids.shape[1] < r:  # tiny segment: pad to r
                 padw = r - cand_ids.shape[1]
@@ -363,7 +383,7 @@ class SegmentReader:
                                   constant_values=-1)
                 approx = np.pad(approx, ((0, 0), (0, padw)),
                                 constant_values=-np.inf)
-            scanned = int(jnp.sum(valid))
+            scanned = int(scanned)
             res = searcher_mod.SearchResult(
                 ids=None, scores=None,
                 visited_count=np.full(queries.shape[0], scanned, np.int64),
@@ -371,14 +391,20 @@ class SegmentReader:
                 reranked_count=None,
             )
         else:
+            # in-graph ADC tier (>SCAN_TIER_MAX_CODES): beam candidates are
+            # scored from the decoded-bf16 cache (row gathers + MXU einsum)
+            # — the TPU-native fused-ADC equivalent; see
+            # PQVectors.decode_bf16 for the economics
+            kwargs: dict = {}
+            if seg.graph.upper_adjacency is not None:
+                kwargs["upper_adjacency"] = seg.graph.upper_adjacency
             res = searcher_mod.search(
                 seg.graph.adjacency, seg.graph.live, seg.graph.entry, queries,
                 dataclasses.replace(params, k=r),
                 seg.config.similarity,
-                pq_codes=seg.pqv.codes,
-                pq_codebooks=seg.pqv.pq.codebooks,
-                pq_center=seg.pqv.pq.center,
+                pq_decoded=self._decoded_cache(),
                 accept=accept,
+                **kwargs,
             )
             cand_ids = np.asarray(res.ids)[:real_q]
             approx = np.asarray(res.scores)[:real_q]

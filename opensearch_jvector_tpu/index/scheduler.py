@@ -24,6 +24,8 @@ from concurrent.futures import Future
 class MergePolicy:
     """Selects which segments to merge after a flush (None = no merge)."""
 
+    auto = True  # False -> maybe_merge() skips sizing entirely
+
     def select(self, segments: list[tuple[str, int]]) -> list[str] | None:
         raise NotImplementedError
 

@@ -184,6 +184,22 @@ class IndexWriter:
             self._vectors = []
         if not buf_docs:
             return None
+        try:
+            return self._build_and_write(buf_docs, buf_parents, buf_vectors,
+                                         name, sort_map)
+        except BaseException:
+            # a refused build (CircuitBreakerException) or any build/write
+            # failure must NOT drop the buffered docs: restore the snapshot
+            # (prepended, preserving ingest order) so the flush can be
+            # retried after the condition clears
+            with self._buf_lock:
+                self._doc_ids = buf_docs + self._doc_ids
+                self._parent_ids = buf_parents + self._parent_ids
+                self._vectors = buf_vectors + self._vectors
+            raise
+
+    def _build_and_write(self, buf_docs, buf_parents, buf_vectors,
+                         name: str | None, sort_map) -> Path:
         # counter read+increment under the buffer lock: two racing flushes
         # must never pick the same segment name (in-place overwrite)
         with self._buf_lock:

@@ -424,6 +424,52 @@ class GraphIndexBuilder:
                 sel = sel[: ids.size]
             st.deg[ids] = (sel >= 0).sum(axis=1)
 
+    # -- compile pre-warm ----------------------------------------------------
+
+    def _prewarm_programs(self, st: _DeviceAdj, live_dev, entry, vectors,
+                          simf, pq, buckets) -> None:
+        """Compile the per-bucket round program family CONCURRENTLY.
+
+        XLA compiles of the round programs dominate cold builds (tens of
+        seconds per shape; the ramp loop otherwise serializes them). Each
+        warm thread runs one THROWAWAY insert round at a distinct bucket
+        size against a scratch adjacency (jax arrays are immutable, so the
+        real adjacency cannot be affected); compiles overlap, so cold cost
+        ~= max(compile) instead of sum(compile). Threads are joined before
+        the real loop starts so the main thread never races a warm thread
+        into compiling the same program twice.
+        """
+        import threading
+
+        buckets = sorted(set(buckets))
+        if len(buckets) < 2:
+            return  # a single program family: nothing to overlap
+
+        def warm(bucket: int) -> None:
+            try:
+                scratch = _DeviceAdj(st.dev, st.deg.copy())
+                batch = np.full(bucket, int(entry), np.int64)
+                self._insert_round(scratch, live_dev, entry, batch, vectors,
+                                   simf, pq)
+            except Exception:  # noqa: BLE001 — warm-up must never fail a build
+                pass
+
+        threads = [threading.Thread(target=warm, args=(b,), daemon=True)
+                   for b in buckets]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    def _ramp_buckets(self, start: int, n: int) -> list[int]:
+        """The pow2 round-bucket family the build loop will touch."""
+        out, pos = set(), start
+        while pos < n:
+            cur = min(self.batch_size, max(pos, 64))
+            out.add(self._bucket(cur))
+            pos += cur
+        return sorted(out)
+
     # -- insert round --------------------------------------------------------
 
     def _insert_round(self, st: _DeviceAdj, live_dev, entry, batch, vectors,
@@ -548,6 +594,10 @@ class GraphIndexBuilder:
         # Ramp the round size with graph size: inserting a huge batch into a
         # tiny graph yields poor search candidates (the batch outnumbers the
         # graph), so cap each round at the current graph size (doubling).
+        self._prewarm_programs(
+            st, live_dev, entry, vectors, simf, pq,
+            self._ramp_buckets(b0, n),
+        )
         pos = b0
         while pos < n:
             cur = min(self.batch_size, max(pos, 64))
@@ -699,6 +749,11 @@ class GraphIndexBuilder:
         )
         self._has_tombstones = not bool(ref_ok)
 
+        self._prewarm_programs(
+            st, live_dev, entry, vectors, simf, pq,
+            [self._bucket(min(self.batch_size, len(new_ids) - s))
+             for s in range(0, len(new_ids), self.batch_size)],
+        )
         for s in range(0, len(new_ids), self.batch_size):
             batch = np.asarray(new_ids[s : s + self.batch_size])
             self._insert_round(st, live_dev, entry, batch, vectors, simf, pq)

@@ -208,6 +208,22 @@ class PQVectors:
         flat = jnp.transpose(gathered, (1, 0, 2)).reshape(self.codes.shape[0], -1)
         return flat + self.pq.center[None, :]
 
+    def decode_bf16(self) -> jax.Array:
+        """Decoded-candidate cache [n, d] bf16 for the in-graph ADC tier.
+
+        TPU-first replacement for fused-ADC beam scoring (the reference
+        scores beam candidates through per-query LUT gathers —
+        `pqVectors.precomputedScoreFunctionFor`, JVectorReader.java:355).
+        On TPU, per-element LUT gathers run ~1e8 elem/s while row gathers +
+        an MXU contraction run at memory/compute speed-of-light, so the
+        codes are decoded ONCE per segment load into a bf16 array; beam
+        candidates are then scored exactly like fp32 (gather rows + einsum).
+        Identical math: d(q, decode(c)) == sum_m LUT[m, code_m].
+        Costs 2*d bytes/vector HBM (vs 4*d fp32; the fp32 rows stay in the
+        host-side native store for rerank).
+        """
+        return self.decode().astype(jnp.bfloat16)
+
     def score_scan(
         self, queries: jax.Array, simf: SimilarityFunction
     ) -> jax.Array:

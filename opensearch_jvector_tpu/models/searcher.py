@@ -342,6 +342,10 @@ def _make_search_fn(
     simf = SimilarityFunction(simf_id)
     provider = {
         "pq": make_pq_provider(simf_id),
+        # decoded-bf16 ADC: candidates scored from a per-segment decoded
+        # cache (PQVectors.decode_bf16) via row gathers + MXU einsum — the
+        # TPU-native fused-ADC equivalent for the in-graph (beam) tier
+        "pq_decoded": make_exact_provider(simf_id),
         "scalar": make_hamming_provider(),
         "exact": make_exact_provider(simf_id),
     }[approx]
@@ -349,9 +353,14 @@ def _make_search_fn(
     @jax.jit
     def run(adjacency, live, entry, queries, accept,
             vectors, pq_codes, pq_codebooks, pq_center, rerank_vectors, nvq,
-            upper_adjacency, scalar_codes, scalar_thresholds):
+            upper_adjacency, scalar_codes, scalar_thresholds, pq_decoded):
         qn = queries.shape[0]
-        if approx == "pq":
+        if approx == "pq_decoded":
+            # decoded cache includes the center; raw queries, cast to the
+            # cache dtype so the einsum runs in bf16 on the MXU (f32 accum)
+            qstate = queries.astype(pq_decoded.dtype)
+            ctx = {"vectors": pq_decoded}
+        elif approx == "pq":
             centered = (
                 queries if pq_center is None else queries - pq_center[None, :]
             )
@@ -385,7 +394,7 @@ def _make_search_fn(
         expanded = expanded + upper_expanded
 
         # ---- rerank phase -------------------------------------------------
-        if approx != "exact" and rerank_src != "none":
+        if approx not in ("exact",) and rerank_src != "none":
             qualify = res_ids >= 0
             if rerank_floor > 0.0:  # 0.0 == disabled (reference default)
                 qualify &= res_scores >= rerank_floor
@@ -435,6 +444,8 @@ def search(
     upper_adjacency: jax.Array | None = None,  # hierarchy layer (optional)
     scalar_codes: jax.Array | None = None,  # [N, B] uint8 bit-packed codes
     scalar_thresholds: jax.Array | None = None,  # [levels, d] f32
+    pq_decoded: jax.Array | None = None,  # [N, d] bf16 decoded-PQ cache
+    # (in-graph ADC tier: beats per-candidate LUT/codebook gathers on TPU)
 ) -> SearchResult:
     """Two-phase search over one graph segment (ONE compiled program).
 
@@ -450,7 +461,15 @@ def search(
     ef = max(params.ef_search, r)
     iters = params.max_iters or max(8, (ef + params.expansions_per_iter - 1)
                                     // params.expansions_per_iter)
-    if pq_codes is not None:
+    if pq_decoded is not None:
+        approx = "pq_decoded"
+        if rerank_vectors is not None:
+            rerank_src = "rerank_vectors"
+        elif vectors is not None:
+            rerank_src = "vectors"
+        else:
+            rerank_src = "none"
+    elif pq_codes is not None:
         approx = "pq"
         assert pq_codebooks is not None
         if nvq is not None:
@@ -479,7 +498,7 @@ def search(
     final_ids, final_scores, visited, expanded, base_expanded, reranked = fn(
         adjacency, live, entry, queries, accept,
         vectors, pq_codes, pq_codebooks, pq_center, rerank_vectors, nvq,
-        upper_adjacency, scalar_codes, scalar_thresholds,
+        upper_adjacency, scalar_codes, scalar_thresholds, pq_decoded,
     )
     return SearchResult(
         ids=final_ids,

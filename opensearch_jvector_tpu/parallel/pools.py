@@ -20,18 +20,22 @@ def _physical_cores() -> int:
     env = os.environ.get("JVECTOR_TPU_PHYSICAL_CORE_COUNT")
     if env:
         return max(1, int(env))
+    heuristic = max(1, (os.cpu_count() or 2) // 2)
     # knn.algo_param.index_thread_qty (KNNSettings.java): the reference
-    # sizes per-field merge workers from this cluster setting; honored when
-    # an operator raised it above the default of 1
+    # sizes per-field merge workers from this cluster setting. Honored as a
+    # RAISE only — max(qty, heuristic) — so a modest bump above the default
+    # of 1 on a many-core host widens the pools instead of shrinking them.
+    # Note ComputePools is a cached singleton: the setting must be in place
+    # before the first pool use (see ComputePools.reset_for_settings).
     try:
         from opensearch_jvector_tpu.api.settings import GLOBAL_SETTINGS
 
         qty = int(GLOBAL_SETTINGS.get("knn.algo_param.index_thread_qty"))
         if qty > 1:
-            return qty
+            return max(qty, heuristic)
     except Exception:  # noqa: BLE001 — settings registry optional here
         pass
-    return max(1, (os.cpu_count() or 2) // 2)
+    return heuristic
 
 
 class _NicedExecutor(ThreadPoolExecutor):
@@ -61,6 +65,11 @@ class ComputePools:
         self.flush_pool = _NicedExecutor(cores, "jvt-flush")
         self.merge_pool = _NicedExecutor(max(1, cores // 2), "jvt-merge",
                                          nice_increment=2)
+        # shard-level search fan-out (ShardedVectorIndex host fallback).
+        # Distinct from flush_pool: shard searches submit their per-segment
+        # work to flush_pool, and a single shared pool would deadlock once
+        # outer tasks occupy every worker while waiting on inner tasks.
+        self.search_pool = _NicedExecutor(cores, "jvt-search")
 
     @classmethod
     def instance(cls) -> "ComputePools":
@@ -68,6 +77,19 @@ class ComputePools:
             if cls._instance is None:
                 cls._instance = ComputePools()
             return cls._instance
+
+    @classmethod
+    def reset_for_settings(cls) -> None:
+        """Rebuild the singleton so a late `index_thread_qty` change takes
+        effect (the pools are otherwise sized once, at first use). Old pools
+        finish their in-flight work and are garbage-collected."""
+        with cls._lock:
+            old = cls._instance
+            cls._instance = None
+        if old is not None:
+            old.flush_pool.shutdown(wait=False)
+            old.merge_pool.shutdown(wait=False)
+            old.search_pool.shutdown(wait=False)
 
     def submit_flush(self, fn, *args, **kwargs) -> Future:
         return self.flush_pool.submit(fn, *args, **kwargs)

@@ -144,27 +144,35 @@ def _make_sharded_fn(mesh: Mesh, params: SearchParams,
 class ShardedEngineState:
     """Shard-stacked device arrays for the full-engine mesh search.
 
-    All arrays carry a leading shard axis D. Shards are padded to a common
-    capacity `n` with live=False / doc=-1 rows. `pq_*` are None for
-    fp32-exact shards; doc ids are shard-global (no rebasing needed).
+    All arrays carry a leading shard axis D and a segment axis G (shards
+    are whole indexes, exactly like OpenSearch shards — a shard may hold
+    several segments; each device searches its segments via vmap and
+    merges locally before the cross-shard merge). Shards with fewer than G
+    segments are padded with empty slots (live=False / doc=-1). Segments
+    are padded to a common capacity `n`. `pq_*` are None for fp32-exact
+    shards; doc ids are shard-global (no rebasing needed).
     """
 
-    adjacency: jax.Array  # [D, n, M] int32
-    live: jax.Array  # [D, n] bool
-    entries: jax.Array  # [D] int32
-    ord_to_doc: jax.Array  # [D, n] int32 (-1 = hole/deleted)
-    vectors: jax.Array  # [D, n, d] f32 (rerank + exact source)
-    pq_codes: jax.Array | None = None  # [D, n, Msub] int32
-    pq_codebooks: jax.Array | None = None  # [D, Msub, K, dsub] f32
-    pq_center: jax.Array | None = None  # [D, d] f32
+    adjacency: jax.Array  # [D, G, n, M] int32
+    live: jax.Array  # [D, G, n] bool
+    entries: jax.Array  # [D, G] int32
+    ord_to_doc: jax.Array  # [D, G, n] int32 (-1 = hole/deleted)
+    vectors: jax.Array  # [D, G, n, d] f32 (rerank + exact source)
+    pq_codes: jax.Array | None = None  # [D, G, n, Msub] int32
+    pq_codebooks: jax.Array | None = None  # [D, G, Msub, K, dsub] f32
+    pq_center: jax.Array | None = None  # [D, G, d] f32
 
     @property
     def n_shards(self) -> int:
         return self.adjacency.shape[0]
 
     @property
-    def n_local(self) -> int:
+    def n_segments(self) -> int:
         return self.adjacency.shape[1]
+
+    @property
+    def n_local(self) -> int:
+        return self.adjacency.shape[2]
 
     @property
     def use_pq(self) -> bool:
@@ -172,58 +180,106 @@ class ShardedEngineState:
 
 
 def stack_engine_state(segments) -> ShardedEngineState:
-    """Stack one segment per shard into mesh-ready arrays.
+    """Stack per-shard segment lists into mesh-ready [D, G, ...] arrays.
+
+    `segments`: one Segment per shard, or a list of Segments per shard
+    (multi-segment shards — steady-state ingest with un-merged flushes).
 
     Requirements (caller falls back to the host scatter-gather otherwise):
     every segment has device-resident fp32 rows (no on_disk row store, no
     NVQ), and either all or none carry PQ codes with identical codebook
     shapes. Doc ids must fit int32 (device-side mapping).
     """
-    caps = [s.capacity() for s in segments]
-    n = max(caps)
-    use_pq = segments[0].pqv is not None
-    adjs, lives, ents, o2ds, vecs = [], [], [], [], []
-    codes, books, centers = [], [], []
-    for s in segments:
+    if segments and not isinstance(segments[0], (list, tuple)):
+        shard_lists = [[s] for s in segments]
+    else:
+        shard_lists = [list(x) for x in segments]
+    all_segs = [s for lst in shard_lists for s in lst]
+    if not all_segs:
+        raise ValueError("mesh path requires at least one segment")
+    g_max = max(len(lst) for lst in shard_lists)
+    n = max(s.capacity() for s in all_segs)
+    use_pq = all_segs[0].pqv is not None
+    for s in all_segs:
         if s.vectors is None or s.row_store is not None or s.nvq is not None:
             raise ValueError("mesh path requires device-resident fp32 rows")
         if (s.pqv is not None) != use_pq:
             raise ValueError("mesh path requires uniform quantization")
+    if use_pq:
+        shapes = {tuple(np.asarray(s.pqv.pq.codebooks).shape)
+                  for s in all_segs}
+        if len(shapes) != 1:
+            raise ValueError("mesh path requires identical codebook shapes")
+        cb_shape = next(iter(shapes))
+    dim = all_segs[0].config.dim
+
+    def seg_rows(s):
         cap = s.capacity()
         pad = n - cap
         adj = np.asarray(s.graph.adjacency)
-        adjs.append(np.pad(adj, ((0, pad), (0, 0))) if pad else adj)
+        adj = np.pad(adj, ((0, pad), (0, 0)), constant_values=-1) if pad \
+            else adj
         live = np.asarray(s.graph.live)
-        lives.append(np.pad(live, (0, pad)) if pad else live)
-        ents.append(int(s.graph.entry))
+        live = np.pad(live, (0, pad)) if pad else live
         o2d = np.asarray(s.docmap.ord_to_doc)
         if o2d.size and o2d.max(initial=-1) > np.iinfo(np.int32).max:
             raise ValueError("doc ids exceed int32 (mesh path)")
         o2d = o2d.astype(np.int32)
-        # the docmap covers used ordinals only (< capacity bucket): pad from
-        # its OWN length to the common width
+        # the docmap covers used ordinals only (< capacity bucket): pad
+        # from its OWN length to the common width
         dpad = n - o2d.shape[0]
-        o2ds.append(
-            np.pad(o2d, (0, dpad), constant_values=-1) if dpad else o2d
-        )
+        o2d = np.pad(o2d, (0, dpad), constant_values=-1) if dpad else o2d
         v = np.asarray(s.vectors, np.float32)
-        vecs.append(np.pad(v, ((0, pad), (0, 0))) if pad else v)
+        v = np.pad(v, ((0, pad), (0, 0))) if pad else v
+        row = dict(adj=adj, live=live, ent=int(s.graph.entry), o2d=o2d, v=v)
         if use_pq:
             c = np.asarray(s.pqv.codes, np.int32)
-            codes.append(np.pad(c, ((0, pad), (0, 0))) if pad else c)
-            books.append(np.asarray(s.pqv.pq.codebooks, np.float32))
-            centers.append(np.asarray(s.pqv.pq.center, np.float32))
-    if use_pq and len({b.shape for b in books}) != 1:
-        raise ValueError("mesh path requires identical codebook shapes")
+            row["codes"] = np.pad(c, ((0, pad), (0, 0))) if pad else c
+            row["books"] = np.asarray(s.pqv.pq.codebooks, np.float32)
+            row["center"] = np.asarray(s.pqv.pq.center, np.float32)
+        return row
+
+    m_deg = np.asarray(all_segs[0].graph.adjacency).shape[1]
+
+    def empty_row():
+        row = dict(
+            adj=np.full((n, m_deg), -1, np.int32),
+            live=np.zeros((n,), bool),
+            ent=0,
+            o2d=np.full((n,), -1, np.int32),
+            v=np.zeros((n, dim), np.float32),
+        )
+        if use_pq:
+            msub = cb_shape[0]
+            row["codes"] = np.zeros((n, msub), np.int32)
+            row["books"] = np.zeros(cb_shape, np.float32)
+            row["center"] = np.zeros((dim,), np.float32)
+        return row
+
+    grids: dict[str, list] = {k: [] for k in
+                              ("adj", "live", "ent", "o2d", "v",
+                               "codes", "books", "center")}
+    for lst in shard_lists:
+        rows = [seg_rows(s) for s in lst]
+        rows += [empty_row() for _ in range(g_max - len(rows))]
+        for key in grids:
+            if rows[0].get(key) is None:
+                continue
+            grids[key].append(np.stack([r[key] for r in rows])
+                              if key != "ent"
+                              else np.asarray([r[key] for r in rows],
+                                              np.int32))
     return ShardedEngineState(
-        adjacency=jnp.asarray(np.stack(adjs)),
-        live=jnp.asarray(np.stack(lives)),
-        entries=jnp.asarray(np.asarray(ents, np.int32)),
-        ord_to_doc=jnp.asarray(np.stack(o2ds)),
-        vectors=jnp.asarray(np.stack(vecs)),
-        pq_codes=jnp.asarray(np.stack(codes)) if use_pq else None,
-        pq_codebooks=jnp.asarray(np.stack(books)) if use_pq else None,
-        pq_center=jnp.asarray(np.stack(centers)) if use_pq else None,
+        adjacency=jnp.asarray(np.stack(grids["adj"])),
+        live=jnp.asarray(np.stack(grids["live"])),
+        entries=jnp.asarray(np.stack(grids["ent"])),
+        ord_to_doc=jnp.asarray(np.stack(grids["o2d"])),
+        vectors=jnp.asarray(np.stack(grids["v"])),
+        pq_codes=jnp.asarray(np.stack(grids["codes"])) if use_pq else None,
+        pq_codebooks=(jnp.asarray(np.stack(grids["books"]))
+                      if use_pq else None),
+        pq_center=(jnp.asarray(np.stack(grids["center"]))
+                   if use_pq else None),
     )
 
 
@@ -300,12 +356,12 @@ def sharded_engine_search(
         accept = state.live
     use_pq = state.use_pq
     # dummy PQ operands keep one code path; XLA drops unused inputs
-    d_sh = state.n_shards
-    cod = state.pq_codes if use_pq else jnp.zeros((d_sh, 1, 1), jnp.int32)
+    d_sh, g = state.n_shards, state.n_segments
+    cod = state.pq_codes if use_pq else jnp.zeros((d_sh, g, 1, 1), jnp.int32)
     cb = (state.pq_codebooks if use_pq
-          else jnp.zeros((d_sh, 1, 1, 1), jnp.float32))
+          else jnp.zeros((d_sh, g, 1, 1, 1), jnp.float32))
     ctr = (state.pq_center if use_pq
-           else jnp.zeros((d_sh, 1), jnp.float32))
+           else jnp.zeros((d_sh, g, 1), jnp.float32))
     run = _make_engine_fn(mesh, params, simf, use_pq)
     return run(state.adjacency, state.live, state.entries, state.ord_to_doc,
                state.vectors, accept, cod, cb, ctr, queries)
@@ -317,14 +373,32 @@ def _make_engine_fn(mesh: Mesh, params: SearchParams,
     """Cached jitted program for sharded_engine_search."""
 
     def shard_fn(adj, liv, ent, o2d, vec, acc, cod, cb, ctr, q):
+        # leading shard axis sliced by shard_map -> [G, ...] per device;
+        # the shard's segments run via vmap (one fused program per device),
+        # then a LOCAL top-k merges the segment lists before the
+        # cross-shard merge — shards are whole (multi-segment) indexes.
         adj, liv, o2d, vec, acc = adj[0], liv[0], o2d[0], vec[0], acc[0]
-        cod2 = cod[0] if use_pq else None
-        cb2 = cb[0] if use_pq else None
-        ctr2 = ctr[0] if use_pq else None
-        docs, scores, visited, expanded, reranked = _full_local_search(
-            adj, liv, ent[0], o2d, acc, q, vec, cod2, cb2, ctr2,
-            params, simf, use_pq,
-        )
+        ent, cod, cb, ctr = ent[0], cod[0], cb[0], ctr[0]
+
+        def one_segment(adj_g, liv_g, ent_g, o2d_g, acc_g, vec_g,
+                        cod_g, cb_g, ctr_g):
+            return _full_local_search(
+                adj_g, liv_g, ent_g, o2d_g, acc_g, q, vec_g,
+                cod_g if use_pq else None,
+                cb_g if use_pq else None,
+                ctr_g if use_pq else None,
+                params, simf, use_pq,
+            )
+
+        docs_g, scores_g, visited, expanded, reranked = jax.vmap(
+            one_segment
+        )(adj, liv, ent, o2d, acc, vec, cod, cb, ctr)  # [G, Q, k]
+
+        qn = q.shape[0]
+        flat_docs = jnp.transpose(docs_g, (1, 0, 2)).reshape(qn, -1)
+        flat_scores = jnp.transpose(scores_g, (1, 0, 2)).reshape(qn, -1)
+        scores, docs = topk_scores(flat_scores, flat_docs, params.k)
+        docs = jnp.where(scores > -jnp.inf, docs, -1)
         counters = jnp.stack(
             [jnp.sum(visited), jnp.sum(expanded), jnp.sum(reranked)]
         ).astype(jnp.int32)
@@ -360,24 +434,26 @@ def _make_engine_fn(mesh: Mesh, params: SearchParams,
 
 def dryrun_engine(mesh: Mesh, n_devices: int) -> None:
     """Tiny end-to-end exercise of the full-engine mesh path (driver dryrun):
-    synthetic PQ shards, ADC beam + rerank + docmap + all_gather merge."""
+    synthetic PQ shards with TWO segments per shard (the steady-state
+    multi-segment case), ADC beam + rerank + docmap + all_gather merge."""
     rng = np.random.default_rng(1)
-    d_sh, n, m, dim, nsub, kq = n_devices, 128, 8, 32, 8, 5
+    d_sh, g, n, m, dim, nsub, kq = n_devices, 2, 128, 8, 32, 8, 5
     dsub = dim // nsub
-    vec = rng.standard_normal((d_sh, n, dim)).astype(np.float32)
+    vec = rng.standard_normal((d_sh, g, n, dim)).astype(np.float32)
     state = ShardedEngineState(
         adjacency=jnp.asarray(
-            rng.integers(0, n, size=(d_sh, n, m)).astype(np.int32)),
-        live=jnp.ones((d_sh, n), bool),
-        entries=jnp.zeros((d_sh,), jnp.int32),
+            rng.integers(0, n, size=(d_sh, g, n, m)).astype(np.int32)),
+        live=jnp.ones((d_sh, g, n), bool),
+        entries=jnp.zeros((d_sh, g), jnp.int32),
         ord_to_doc=jnp.asarray(
-            (np.arange(d_sh * n, dtype=np.int32)).reshape(d_sh, n)),
+            (np.arange(d_sh * g * n, dtype=np.int32)).reshape(d_sh, g, n)),
         vectors=jnp.asarray(vec),
         pq_codes=jnp.asarray(
-            rng.integers(0, 16, size=(d_sh, n, nsub)).astype(np.int32)),
+            rng.integers(0, 16, size=(d_sh, g, n, nsub)).astype(np.int32)),
         pq_codebooks=jnp.asarray(
-            rng.standard_normal((d_sh, nsub, 16, dsub)).astype(np.float32)),
-        pq_center=jnp.asarray(np.zeros((d_sh, dim), np.float32)),
+            rng.standard_normal((d_sh, g, nsub, 16, dsub)).astype(
+                np.float32)),
+        pq_center=jnp.asarray(np.zeros((d_sh, g, dim), np.float32)),
     )
     queries = jnp.asarray(rng.standard_normal((4, dim)).astype(np.float32))
     docs, scores, counters = sharded_engine_search(
@@ -386,7 +462,7 @@ def dryrun_engine(mesh: Mesh, n_devices: int) -> None:
     )
     jax.block_until_ready(docs)
     assert docs.shape == (4, kq) and counters.shape == (n_devices, 3)
-    assert int(jnp.max(docs)) < d_sh * n
+    assert int(jnp.max(docs)) < d_sh * g * n
 
 
 def build_sharded(

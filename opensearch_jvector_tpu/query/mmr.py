@@ -82,7 +82,14 @@ def mmr_search(
     params: MMRParams | None = None,
     sc: SearchConfig | None = None,
 ) -> QueryResult:
-    """Oversampled search + MMR rerank (the full pipeline in one call)."""
+    """Oversampled search + MMR rerank (the full pipeline in one call).
+
+    Batched: `query_vector` may be [d] or [Q, d]. The oversampled ANN
+    search runs as ONE device dispatch for the whole batch (the engine's
+    core TPU advantage — batch amortization), and the candidate vectors
+    come back in ONE bulk `get_vectors`; only the tiny greedy selection
+    loops per query on the host.
+    """
     params = params or MMRParams()
     candidates = params.candidates or DEFAULT_CANDIDATE_MULTIPLIER * size
     sc = sc or SearchConfig(k=candidates)
@@ -90,21 +97,28 @@ def mmr_search(
         sc = dataclasses.replace(sc, k=candidates)
     res = index.search(query_vector, sc)
 
-    ids = res.doc_ids[0]
-    valid = ids >= 0
-    if not valid.any():
+    qn, c = res.doc_ids.shape
+    flat_ids = res.doc_ids.reshape(-1)
+    if not (flat_ids >= 0).any():
         return res
 
     # pull candidate vectors from the segments (derived-source analog:
     # vectors are fetched from the index storage, not duplicated in _source)
     # via the per-segment doc->ordinal inverse — O(hits), not O(N)
-    vecs, found = index.get_vectors(ids)
+    vecs, found = index.get_vectors(flat_ids)
+    vecs = vecs.reshape(qn, c, -1)
+    found = found.reshape(qn, c)
 
-    rel = np.where(valid & found, res.scores[0], -np.inf)
-    order = mmr_rerank(vecs, rel, size, params.diversity,
-                       index.config.similarity)
-    out_ids = np.full((1, size), -1, np.int64)
-    out_scores = np.full((1, size), -np.inf, np.float32)
-    out_ids[0, : order.size] = ids[order]
-    out_scores[0, : order.size] = res.scores[0][order]
+    out_ids = np.full((qn, size), -1, np.int64)
+    out_scores = np.full((qn, size), -np.inf, np.float32)
+    for qi in range(qn):
+        ids = res.doc_ids[qi]
+        valid = ids >= 0
+        if not valid.any():
+            continue
+        rel = np.where(valid & found[qi], res.scores[qi], -np.inf)
+        order = mmr_rerank(vecs[qi], rel, size, params.diversity,
+                           index.config.similarity)
+        out_ids[qi, : order.size] = ids[order]
+        out_scores[qi, : order.size] = res.scores[qi][order]
     return dataclasses.replace(res, doc_ids=out_ids, scores=out_scores)

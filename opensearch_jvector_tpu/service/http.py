@@ -246,20 +246,38 @@ def _make_handler(mgr: IndexManager):
             else:
                 res = knn_mod.execute_knn_query(idx, query)
 
-            hits = []
-            for doc, score in zip(res.doc_ids[0], res.scores[0]):
-                if doc < 0:
-                    continue
-                hits.append({"_id": int(doc), "_score": float(score)})
-                if len(hits) >= size:
-                    break
+            def hits_for(row_ids, row_scores):
+                hits = []
+                for doc, score in zip(row_ids, row_scores):
+                    if doc < 0:
+                        continue
+                    hits.append({"_id": int(doc), "_score": float(score)})
+                    if len(hits) >= size:
+                        break
+                return hits
+
+            profile = {
+                "visited": res.visited,
+                "expanded": res.expanded,
+                "reranked": res.reranked,
+            }
+            if np.asarray(query.vector).ndim == 2:
+                # batched query surface (msearch-style): Q query vectors ran
+                # as ONE device dispatch; one response per vector
+                responses = [
+                    {"hits": {"total": {"value": len(h)}, "hits": h}}
+                    for h in (
+                        hits_for(res.doc_ids[i], res.scores[i])
+                        for i in range(res.doc_ids.shape[0])
+                    )
+                ]
+                return self._send(200, {
+                    "responses": responses, "profile": profile,
+                })
+            hits = hits_for(res.doc_ids[0], res.scores[0])
             return self._send(200, {
                 "hits": {"total": {"value": len(hits)}, "hits": hits},
-                "profile": {
-                    "visited": res.visited,
-                    "expanded": res.expanded,
-                    "reranked": res.reranked,
-                },
+                "profile": profile,
             })
 
     return Handler

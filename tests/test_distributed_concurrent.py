@@ -115,6 +115,60 @@ def test_mesh_full_engine_search_matches_host_path(tmp_path):
     assert ids.size and (ids < n // 2).all()
 
 
+def test_mesh_multi_segment_shards_match_host_path(tmp_path):
+    """Steady-state ingest: every shard holds TWO un-merged segments. The
+    mesh path must still serve (segments stacked on the [D, G, n] axis,
+    searched via vmap + local merge per device) and agree with the host
+    loop — including deletes landing in different segments."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    n = 1600
+    v = _vectors(n, seed=21)
+    cfg = _cfg(quantization_type="pq", num_pq_subspaces=8,
+               min_batch_size_for_quantization=64)
+    n_shards = 4
+    mesh = sharded.make_mesh(jax.devices()[:n_shards])
+    idx = ShardedVectorIndex(tmp_path, cfg, n_shards=n_shards, mesh=mesh)
+    for i in range(n // 2):
+        idx.add(i, v[i])
+    idx.flush()
+    for i in range(n // 2, n):
+        idx.add(i, v[i])
+    idx.flush()
+    for shard in idx.shards:
+        assert len(shard.segment_names) == 2  # really multi-segment
+
+    q = _vectors(16, seed=22)
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+    sc = SearchConfig(k=10, ef_search=64)
+    res_mesh = idx.search(q, sc)
+    assert idx._mesh_state is not None, "mesh path did not run"
+    assert idx._mesh_state.n_segments == 2
+    rec_mesh = recall_at_k(res_mesh.doc_ids, truth, 10)
+
+    idx_host = ShardedVectorIndex(tmp_path)  # reopened: no mesh
+    res_host = idx_host.search(q, sc)
+    rec_host = recall_at_k(res_host.doc_ids, truth, 10)
+    assert rec_mesh >= 0.9, rec_mesh
+    assert abs(rec_mesh - rec_host) <= 0.05, (rec_mesh, rec_host)
+
+    # deletes in BOTH segment generations stay masked on the mesh
+    early = int(res_mesh.doc_ids[0, 0])
+    late_candidates = res_mesh.doc_ids[res_mesh.doc_ids >= n // 2]
+    idx.delete([early] + ([int(late_candidates[0])]
+                          if late_candidates.size else []))
+    res2 = idx.search(q, sc)
+    assert early not in res2.doc_ids[0].tolist()
+    if late_candidates.size:
+        assert int(late_candidates[0]) not in res2.doc_ids.flatten().tolist()
+
+    # restack churn is measured
+    stats = idx.stats()
+    assert stats["knn_mesh_restack_count"] >= n_shards
+
+
 def test_sharded_index_reopen(tmp_path):
     v = _vectors(200, seed=2)
     idx = ShardedVectorIndex(tmp_path, _cfg(), n_shards=2)

@@ -12,8 +12,13 @@ from opensearch_jvector_tpu.api.config import (
     SearchConfig,
 )
 from opensearch_jvector_tpu.index.index import VectorIndex
+from opensearch_jvector_tpu.index.scheduler import ForceMergesOnlyMergePolicy
 from opensearch_jvector_tpu.index.segment import read_segment
 from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+from opensearch_jvector_tpu.utils.ground_truth import (
+    ground_truth_topk,
+    recall_at_k,
+)
 
 DIM = 16
 
@@ -173,7 +178,11 @@ def test_tiered_policy_background_merge_concurrent_with_ingest(tmp_path):
 
 
 def test_force_merges_only_policy_never_auto_merges(tmp_path):
-    idx = VectorIndex(tmp_path, _cfg())  # default policy
+    # the deterministic test/bench override (reference polarity:
+    # ForceMergesOnlyMergePolicy.java:20-23); passed EXPLICITLY since the
+    # production default is TieredMergePolicy
+    idx = VectorIndex(tmp_path, _cfg(),
+                      merge_policy=ForceMergesOnlyMergePolicy())
     v = _vectors(300, seed=13)
     for chunk in range(6):
         for i in range(chunk * 50, (chunk + 1) * 50):
@@ -183,3 +192,23 @@ def test_force_merges_only_policy_never_auto_merges(tmp_path):
     assert len(idx.segment_names) == 6  # untouched until force_merge
     idx.force_merge()
     assert len(idx.segment_names) == 1
+
+
+def test_default_policy_background_compaction(tmp_path):
+    """The production DEFAULT policy compacts segments in the background
+    (reference rides Lucene's tiered scheduler by default): a churn of
+    small flushes never accumulates segments without bound, and results
+    stay correct through the auto-merges."""
+    idx = VectorIndex(tmp_path, _cfg())  # default = TieredMergePolicy
+    assert getattr(idx.merge_policy, "auto", False)
+    v = _vectors(400, seed=17)
+    for chunk in range(8):
+        for i in range(chunk * 50, (chunk + 1) * 50):
+            idx.add(i, v[i])
+        idx.flush()
+    idx.await_merges()
+    assert len(idx.segment_names) <= idx.merge_policy.max_segments + 1
+    assert idx.doc_count() == 400
+    truth = ground_truth_topk(v[:8], v, 5, SimilarityFunction.EUCLIDEAN)
+    res = idx.search(v[:8], SearchConfig(k=5, ef_search=64))
+    assert recall_at_k(res.doc_ids, truth, 5) >= 0.85

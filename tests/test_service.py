@@ -102,6 +102,55 @@ def test_full_rest_lifecycle(service):
     assert status == 400
 
 
+def test_rest_batched_search_one_dispatch(service, monkeypatch):
+    """A [Q, d] query vector runs as ONE engine dispatch (the TPU batch
+    amortization surface) and returns one response per query."""
+    import opensearch_jvector_tpu.index.reader as reader_mod
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((120, DIM)).astype(np.float32)
+    _req(service, "PUT", "/batchidx", {
+        "mappings": {"properties": {"vec": {
+            "type": "knn_vector", "dimension": DIM,
+        }}}})
+    docs = [{"_id": i, "vec": v[i].tolist()} for i in range(120)]
+    _req(service, "POST", "/batchidx/_bulk", {"docs": docs})
+    _req(service, "POST", "/batchidx/_flush")
+
+    calls = []
+    orig = reader_mod.SegmentReader.search
+
+    def counting(self, queries, sc, **kw):
+        calls.append(np.atleast_2d(np.asarray(queries)).shape[0])
+        return orig(self, queries, sc, **kw)
+
+    monkeypatch.setattr(reader_mod.SegmentReader, "search", counting)
+    q = 6
+    status, out = _req(service, "POST", "/batchidx/_search", {
+        "size": 3,
+        "query": {"knn": {"vec": {
+            "vector": v[:q].tolist(), "k": 3,  # [Q, d] batched
+        }}},
+    })
+    assert status == 200
+    assert len(out["responses"]) == q
+    for i, resp in enumerate(out["responses"]):
+        assert resp["hits"]["hits"][0]["_id"] == i  # self-hit per query
+    # one segment -> ONE engine dispatch carrying all Q queries
+    assert calls == [q], calls
+
+    # batched MMR rides the same single dispatch
+    calls.clear()
+    status, out = _req(service, "POST", "/batchidx/_search", {
+        "size": 3,
+        "query": {"knn": {"vec": {"vector": v[:4].tolist(), "k": 12}}},
+        "ext": {"mmr": {"diversity": 0.4}},
+    })
+    assert status == 200 and len(out["responses"]) == 4
+    assert all(len(r["hits"]["hits"]) == 3 for r in out["responses"])
+    assert calls == [4], calls
+
+
 def test_rest_error_paths(service):
     status, _ = _req(service, "POST", "/nope/_search", {
         "query": {"knn": {"vec": {"vector": [0.0] * DIM, "k": 3}}}})
