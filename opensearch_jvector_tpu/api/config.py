@@ -67,11 +67,29 @@ class DiskAnnConfig:
     # on_disk keeps only graph + PQ codes in HBM and pages fp32 rows from
     # the native host-tier store for the rerank phase.
     mode: str = "in_memory"
+    # Index structure: "vamana" builds the DiskANN graph; "flat" skips the
+    # graph entirely and serves every query through the MXU scan tier
+    # (FlatVectorFieldMapper parity — the reference's no-index flat vector
+    # type, mapper/FlatVectorFieldMapper; on TPU the flat tier is a
+    # first-class production path because a dense bf16 scan at batch
+    # saturates the MXU and beats graph traversal well past 1M codes).
+    index_type: str = "vamana"
 
     def __post_init__(self):
         if self.mode not in ("in_memory", "on_disk"):
             raise ValidationError(
                 f"mode must be in_memory|on_disk: {self.mode}"
+            )
+        if self.index_type not in ("vamana", "flat"):
+            raise ValidationError(
+                f"index_type must be vamana|flat: {self.index_type}"
+            )
+        if self.index_type == "flat" and self.quantization_type not in (
+            QUANT_NONE, QUANT_PQ,
+        ):
+            raise ValidationError(
+                "flat index_type supports none|pq quantization (the scan "
+                f"tier scores ADC or exact): {self.quantization_type}"
             )
         if self.mode == "on_disk" and self.quantization_type == QUANT_NONE:
             raise ValidationError(

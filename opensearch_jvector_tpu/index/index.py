@@ -121,6 +121,12 @@ class VectorIndex:
         """Add a document vector; `parent_id` marks a nested child vector."""
         self.writer.add_document(doc_id, vector, parent_id=parent_id)
 
+    def add_batch(self, doc_ids, vectors, parent_ids=None) -> int:
+        """Bulk ingest: buffer a whole block of (doc_id, vector) rows in one
+        call (_bulk parity; the fast path for big corpora)."""
+        return self.writer.add_batch(doc_ids, vectors,
+                                     parent_ids=parent_ids)
+
     def delete(self, doc_ids) -> None:
         """Tombstone docs in the segments that currently contain them
         (Lucene deleteDocuments semantics: buffered copies are dropped, a

@@ -121,6 +121,7 @@ def _merge_segments_timed(
     use_incremental = (
         not cfg.leading_segment_merge_disabled
         and cfg.quantization_type != QUANT_NVQ  # NVQ always rebuilds (parity)
+        and cfg.index_type != "flat"  # flat merges are concat-only rebuilds
         and lead_used + sum(s.live_count() for s in others) < MAX_ORDINALS
         and lead_density >= MIN_LEADING_DENSITY
         and lead.live_count() > 0
@@ -238,12 +239,9 @@ def _incremental_merge(
     build_pq = None
     if pqv is not None and cfg.mode == "on_disk":
         # PQ build scoring only for the memory-constrained tier (fp32 is
-        # resident during in-memory merges; exact MXU scoring is faster)
-        build_pq = {
-            "codes": pqv.codes,
-            "codebooks": pqv.pq.codebooks,
-            "center": pqv.pq.center,
-        }
+        # resident during in-memory merges; exact MXU scoring is faster).
+        # Decoded-bf16 formulation: same scores as ADC LUTs at TPU speed.
+        build_pq = {"decoded": pqv.decode_bf16()}
 
     if n_new:
         new_ids = np.arange(lead_used, used)
@@ -322,32 +320,32 @@ def _full_rebuild_merge(
     build_pq = None
     if pqv is not None and cfg.mode == "on_disk":
         # PQ build scoring only for the memory-constrained tier (fp32 is
-        # resident during in-memory merges; exact MXU scoring is faster)
-        build_pq = {
-            "codes": pqv.codes,
-            "codebooks": pqv.pq.codebooks,
-            "center": pqv.pq.center,
-        }
+        # resident during in-memory merges; exact MXU scoring is faster).
+        # Decoded-bf16 formulation: same scores as ADC LUTs at TPU speed.
+        build_pq = {"decoded": pqv.decode_bf16()}
 
-    builder = GraphIndexBuilder(
-        dim=cfg.dim,
-        max_degree=cfg.m,
-        beam_width=cfg.ef_construction,
-        alpha=cfg.alpha,
-        neighbor_overflow=cfg.neighbor_overflow,
-        hierarchy_enabled=cfg.hierarchy_enabled,
-        batch_size=batch_size,
-    )
     from opensearch_jvector_tpu.models.graph import bucket_capacity, pad_rows
 
     cap = bucket_capacity(n)
-    if build_pq is not None:
-        build_pq = {
-            k: (pad_rows(v, cap) if k == "codes" else v)
-            for k, v in build_pq.items()
-        }
-    graph = builder.build(all_vectors, cfg.similarity, pq=build_pq,
-                          capacity=cap)
+    if cfg.index_type == "flat":
+        graph = VamanaGraph.flat(cap, n)  # concat-only merge (no graph)
+    else:
+        builder = GraphIndexBuilder(
+            dim=cfg.dim,
+            max_degree=cfg.m,
+            beam_width=cfg.ef_construction,
+            alpha=cfg.alpha,
+            neighbor_overflow=cfg.neighbor_overflow,
+            hierarchy_enabled=cfg.hierarchy_enabled,
+            batch_size=batch_size,
+        )
+        if build_pq is not None:
+            build_pq = {
+                k: (pad_rows(v, cap) if k == "codes" else v)
+                for k, v in build_pq.items()
+            }
+        graph = builder.build(all_vectors, cfg.similarity, pq=build_pq,
+                              capacity=cap)
     cap = graph.capacity
     if pqv is not None:
         pqv = pq_mod.PQVectors(pq=pqv.pq, codes=pad_rows(pqv.codes, cap))

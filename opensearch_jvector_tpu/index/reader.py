@@ -35,6 +35,38 @@ class QueryResult:
     reranked: int
 
 
+def _topk_scan(scores: jax.Array, r: int):
+    """top-(r) over a [Q, N] scan — `approx_max_k` for wide N (the TPU
+    top-k for million-row scans; exact top_k sorts the full row)."""
+    rr = min(r, scores.shape[1])
+    if scores.shape[1] > (1 << 18):
+        return jax.lax.approx_max_k(scores, rr)
+    return jax.lax.top_k(scores, rr)
+
+
+def _decoded_scan_scores(queries: jax.Array, decoded: jax.Array,
+                         dec_sq: jax.Array, simf) -> jax.Array:
+    """[Q, N] approximate scores from the decoded-bf16 cache: one MXU
+    matmul (f32 accumulation). Same score space as the ADC scan — the
+    decoded cache IS the PQ reconstruction, so d(q, decode(c)) matches the
+    LUT decomposition; bf16 rounding is absorbed by the exact rerank."""
+    from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
+    if simf is SimilarityFunction.COSINE:
+        queries = queries * jax.lax.rsqrt(
+            jnp.sum(queries * queries, -1, keepdims=True) + 1e-30
+        )
+    dot = jax.lax.dot_general(
+        queries.astype(decoded.dtype), decoded,
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    if simf is SimilarityFunction.EUCLIDEAN:
+        q2 = jnp.sum(queries * queries, -1)[:, None]
+        d2 = jnp.maximum(q2 + dec_sq[None, :] - 2.0 * dot, 0.0)
+        return 1.0 / (1.0 + d2)
+    return (1.0 + dot) / 2.0  # DOT_PRODUCT / COSINE (pre-normalized)
+
+
 def ordinal_accept_mask(seg: Segment, accept_docs,
                         deleted_docs=None) -> np.ndarray | None:
     """Accepted docs -> graph-ordinal bitmap (Bits adapter parity).
@@ -71,6 +103,7 @@ class SegmentReader:
         self.seg = seg
         self.stats = stats
         self._pq_decoded: jax.Array | None = None  # lazy bf16 ADC cache
+        self._pq_decoded_sq: jax.Array | None = None  # row norms (f32)
 
     def _decoded_cache(self) -> jax.Array:
         """Decoded-bf16 candidate cache for the in-graph ADC tier (built
@@ -81,6 +114,10 @@ class SegmentReader:
             n, d = self.seg.capacity(), self.seg.config.dim
             BREAKER.check(n * d * 2)
             self._pq_decoded = self.seg.pqv.decode_bf16()
+            self._pq_decoded_sq = jnp.einsum(
+                "nd,nd->n", self._pq_decoded, self._pq_decoded,
+                preferred_element_type=jnp.float32,
+            )
         return self._pq_decoded
 
     @classmethod
@@ -135,8 +172,15 @@ class SegmentReader:
         )
         accept = self._accept_mask(accept_docs, deleted_docs)
 
+        flat = seg.config.index_type == "flat"
         if seg.row_store is not None:  # on_disk mode: host-tier rerank
             return self._tiered_search(
+                queries, real_q, params, accept, accept_docs is not None,
+                force_scan=flat,
+            )
+        if flat and seg.pqv is None:
+            # flat + no quantization: exact MXU brute-force scan
+            return self._scan_search(
                 queries, real_q, params, accept, accept_docs is not None
             )
         if (
@@ -144,7 +188,7 @@ class SegmentReader:
             and seg.nvq is None
             and seg.scalar_state is None
             and seg.vectors is not None
-            and seg.capacity() <= self.SCAN_TIER_MAX_CODES
+            and (flat or seg.capacity() <= self.SCAN_TIER_MAX_CODES)
         ):
             # in-memory PQ segments also take the fused-ADC full scan below
             # the tier bound: measured FASTER than fp32 graph traversal
@@ -279,7 +323,13 @@ class SegmentReader:
         seg = self.seg
         r = max(params.k * params.overquery_factor, params.k)
         t0 = time.monotonic()
-        scan = seg.pqv.score_scan(queries, seg.config.similarity)
+        if seg.pqv is not None:
+            scan = seg.pqv.score_scan(queries, seg.config.similarity)
+        else:  # flat + unquantized: exact scores straight off the MXU
+            from opensearch_jvector_tpu.ops.distances import pairwise_scores
+
+            scan = pairwise_scores(queries, seg.vectors,
+                                   seg.config.similarity)
         if accept is None:
             o2d = seg.docmap.ord_to_doc
             m = np.asarray(seg.graph.live).copy()
@@ -289,8 +339,8 @@ class SegmentReader:
         else:
             valid = accept
         scan = jnp.where(valid[None, :], scan, -jnp.inf)
-        rr = min(r, scan.shape[1])
-        approx, cand_ids = jax.lax.top_k(scan, rr)
+        approx, cand_ids = _topk_scan(scan, r)
+        rr = approx.shape[1]
         qualify = approx > -jnp.inf
         if params.rerank_floor > 0.0:
             qualify &= approx >= params.rerank_floor
@@ -341,11 +391,20 @@ class SegmentReader:
         )
 
     def _tiered_search(self, queries, real_q, params: SearchParams, accept,
-                       filtered: bool) -> QueryResult:
+                       filtered: bool, force_scan: bool = False
+                       ) -> QueryResult:
         """on_disk mode: ADC approximate phase on device, fp32 rows paged
         from the native host store for the rerank. HBM cost per vector is
         M bytes (codes) + max_degree*4 (adjacency) vs dim*4 for a fully
-        resident segment — the BigANN-scale tier (BASELINE.json config 5)."""
+        resident segment — the BigANN-scale tier (BASELINE.json config 5).
+
+        Scan tier scoring prefers the decoded-bf16 cache (one MXU matmul,
+        ~128x less compute than the one-hot ADC kernel) when the memory
+        circuit breaker allows the 2*d bytes/vector cache; it degrades to
+        the Pallas fused-ADC kernel over raw codes when memory is tight.
+        `force_scan` pins flat (graph-less) segments to the scan tier at
+        any capacity.
+        """
         from opensearch_jvector_tpu.ops.distances import (
             batched_candidate_scores,
         )
@@ -354,8 +413,19 @@ class SegmentReader:
         assert seg.pqv is not None, "on_disk segments require PQ codes"
         r = max(params.k * params.overquery_factor, params.k)
         t0 = time.monotonic()
-        if seg.capacity() <= self.SCAN_TIER_MAX_CODES:
-            scan = seg.pqv.score_scan(queries, seg.config.similarity)
+        if force_scan or seg.capacity() <= self.SCAN_TIER_MAX_CODES:
+            from opensearch_jvector_tpu.utils.circuit_breaker import (
+                CircuitBreakerException,
+            )
+
+            try:
+                decoded = self._decoded_cache()
+                scan = _decoded_scan_scores(
+                    queries, decoded, self._pq_decoded_sq,
+                    seg.config.similarity,
+                )
+            except CircuitBreakerException:  # memory-tight: ADC over codes
+                scan = seg.pqv.score_scan(queries, seg.config.similarity)
             if accept is None:
                 o2d = seg.docmap.ord_to_doc
                 m = np.asarray(seg.graph.live).copy()
@@ -365,7 +435,7 @@ class SegmentReader:
             else:
                 valid = accept
             scan = jnp.where(valid[None, :], scan, -jnp.inf)
-            top_s, top_i = jax.lax.top_k(scan, min(r, scan.shape[1]))
+            top_s, top_i = _topk_scan(scan, r)
             # ONE device fetch for candidates + the visited counter.
             # Counter semantics at the tier boundary: the scan tier reports
             # visited = scanned codes per query (ef_search/use_pruning do

@@ -47,10 +47,13 @@ class IndexWriter:
         self.config = config
         self.stats = stats
         self.build_batch_size = build_batch_size
-        self._doc_ids: list[int] = []
-        self._parent_ids: list[int] = []
-        self._vectors: list[np.ndarray] = []
-        # guards the buffer lists: add/delete_buffered may race a flush's
+        # The ingest buffer holds BLOCKS of (doc_ids, parent_ids, vectors)
+        # arrays: single adds are 1-row blocks; `add_batch` appends whole
+        # arrays without per-row Python overhead (the reference's _bulk
+        # surface; a 10M-row ingest is one block, not 10M list appends).
+        self._blocks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._buffered = 0
+        # guards the buffer blocks: add/delete_buffered may race a flush's
         # buffer snapshot from another thread (misaligned doc_ids/vectors
         # written to disk otherwise)
         self._buf_lock = __import__("threading").Lock()
@@ -81,14 +84,44 @@ class IndexWriter:
                 f"vector shape {v.shape} != (dim={self.config.dim},)"
             )
         with self._buf_lock:
-            self._doc_ids.append(int(doc_id))
-            self._parent_ids.append(
-                -1 if parent_id is None else int(parent_id)
+            self._blocks.append((
+                np.asarray([int(doc_id)], np.int64),
+                np.asarray(
+                    [-1 if parent_id is None else int(parent_id)], np.int64
+                ),
+                v.astype(np.float32)[None, :],
+            ))
+            self._buffered += 1
+
+    def add_batch(self, doc_ids, vectors, parent_ids=None) -> int:
+        """Bulk-buffer a block of documents (one array append — the fast
+        ingest path for big corpora; _bulk surface parity). Returns the
+        number of docs buffered."""
+        ids = np.asarray(doc_ids, np.int64).reshape(-1)
+        v = np.asarray(vectors)
+        if v.dtype.kind not in "f":
+            raise TypeError(
+                "only float vectors are supported by the disk_ann engine "
+                f"(got dtype {v.dtype})"
             )
-            self._vectors.append(v.astype(np.float32))
+        if v.ndim != 2 or v.shape != (ids.shape[0], self.config.dim):
+            raise ValueError(
+                f"vectors shape {v.shape} != ({ids.shape[0]}, "
+                f"{self.config.dim})"
+            )
+        parents = (
+            np.full(ids.shape[0], -1, np.int64) if parent_ids is None
+            else np.asarray(parent_ids, np.int64).reshape(-1)
+        )
+        if parents.shape != ids.shape:
+            raise ValueError("parent_ids must align with doc_ids")
+        with self._buf_lock:
+            self._blocks.append((ids, parents, v.astype(np.float32)))
+            self._buffered += ids.shape[0]
+        return ids.shape[0]
 
     def num_buffered(self) -> int:
-        return len(self._doc_ids)
+        return self._buffered
 
     def delete_buffered(self, doc_ids) -> int:
         """Drop buffered (un-flushed) docs matching `doc_ids` — the part of
@@ -96,14 +129,24 @@ class IndexWriter:
         number of buffered entries removed. Docs already snapshotted by an
         in-flight flush are NOT here anymore; VectorIndex.delete covers
         those via its in-flight pending set."""
-        dead = set(int(d) for d in np.atleast_1d(np.asarray(doc_ids)))
+        dead = np.atleast_1d(np.asarray(doc_ids, np.int64))
+        removed = 0
         with self._buf_lock:
-            keep = [i for i, d in enumerate(self._doc_ids) if d not in dead]
-            removed = len(self._doc_ids) - len(keep)
+            new_blocks = []
+            for ids, parents, vecs in self._blocks:
+                keep = ~np.isin(ids, dead)
+                n_drop = int((~keep).sum())
+                if n_drop:
+                    removed += n_drop
+                    if keep.any():
+                        new_blocks.append(
+                            (ids[keep], parents[keep], vecs[keep])
+                        )
+                else:
+                    new_blocks.append((ids, parents, vecs))
             if removed:
-                self._doc_ids = [self._doc_ids[i] for i in keep]
-                self._parent_ids = [self._parent_ids[i] for i in keep]
-                self._vectors = [self._vectors[i] for i in keep]
+                self._blocks = new_blocks
+                self._buffered -= removed
         return removed
 
     def _quantize_for_flush(self, vectors: jnp.ndarray):
@@ -149,14 +192,12 @@ class IndexWriter:
         # Quantized construction (PQ build-score provider) only where it
         # buys something on TPU: the fp32 array is resident during flush, so
         # exact MXU scoring is faster than ADC gathers; on_disk mode keeps
-        # the PQ-build path (memory-constrained tier, reference behavior).
+        # the PQ-build path (memory-constrained tier, reference behavior),
+        # scored from the decoded-bf16 cache (row gathers + MXU einsum —
+        # the same in-graph ADC formulation the query tier uses).
         build_pq = None
         if cfg.mode == "on_disk":
-            build_pq = {
-                "codes": pqv.codes,
-                "codebooks": pqv.pq.codebooks,
-                "center": pqv.pq.center,
-            }
+            build_pq = {"decoded": pqv.decode_bf16()}
         return pqv, nvq, None, build_pq
 
     def flush(self, name: str | None = None, sort_map=None) -> Path | None:
@@ -165,7 +206,7 @@ class IndexWriter:
         `sort_map` (old_doc -> new_doc) applies index sorting to the doc map
         at flush, as the reference does (JVectorWriter.java:233-236).
         """
-        if not self._doc_ids:
+        if not self._buffered:
             return None
         from opensearch_jvector_tpu.utils.profiling import phase
 
@@ -176,78 +217,94 @@ class IndexWriter:
         # atomic buffer snapshot: adds/deletes racing the (long) build below
         # see a clean empty buffer instead of a half-consumed one
         with self._buf_lock:
-            buf_docs = self._doc_ids
-            buf_parents = self._parent_ids
-            buf_vectors = self._vectors
-            self._doc_ids = []
-            self._parent_ids = []
-            self._vectors = []
-        if not buf_docs:
+            blocks = self._blocks
+            count = self._buffered
+            self._blocks = []
+            self._buffered = 0
+        if not count:
             return None
         try:
-            return self._build_and_write(buf_docs, buf_parents, buf_vectors,
-                                         name, sort_map)
+            return self._build_and_write(blocks, count, name, sort_map)
         except BaseException:
             # a refused build (CircuitBreakerException) or any build/write
             # failure must NOT drop the buffered docs: restore the snapshot
             # (prepended, preserving ingest order) so the flush can be
             # retried after the condition clears
             with self._buf_lock:
-                self._doc_ids = buf_docs + self._doc_ids
-                self._parent_ids = buf_parents + self._parent_ids
-                self._vectors = buf_vectors + self._vectors
+                self._blocks = blocks + self._blocks
+                self._buffered += count
             raise
 
-    def _build_and_write(self, buf_docs, buf_parents, buf_vectors,
+    def _build_and_write(self, blocks, count: int,
                          name: str | None, sort_map) -> Path:
         # counter read+increment under the buffer lock: two racing flushes
         # must never pick the same segment name (in-place overwrite)
         with self._buf_lock:
             counter = self._flush_counter
             self._flush_counter += 1
-        name = name or f"seg_{counter:06d}_{len(buf_docs)}"
+        name = name or f"seg_{counter:06d}_{count}"
 
-        # memory circuit breaker: refuse a build that would blow HBM
+        # memory circuit breaker: refuse a build that would blow HBM.
+        # flat ingest keeps fp32 host-side and builds no adjacency — only
+        # the PQ codes ever reach the device during the flush.
         from opensearch_jvector_tpu.utils.circuit_breaker import BREAKER
 
+        is_flat = self.config.index_type == "flat"
         BREAKER.check(
             BREAKER.estimate_segment_bytes(
-                len(buf_docs), self.config.dim, self.config.m,
+                count, self.config.dim,
+                0 if is_flat else self.config.m,
                 self.config.neighbor_overflow,
                 self.config.num_pq_subspaces
                 if self.config.quantization_type != QUANT_NONE else None,
+                keep_fp32=not (is_flat and self.config.mode == "on_disk"),
             )
         )
 
-        vectors = jnp.asarray(np.stack(buf_vectors))
-        doc_ids = np.asarray(buf_docs, np.int64)
-        parent_ids = np.asarray(buf_parents, np.int64)
+        flat = self.config.index_type == "flat"
+        vectors = (
+            blocks[0][2] if len(blocks) == 1
+            else np.concatenate([b[2] for b in blocks])
+        )
+        if not flat:
+            # graph build needs device-resident rows; flat ingest keeps the
+            # corpus HOST-side (train samples on host, encode streams
+            # chunks, rows go straight to the native store)
+            vectors = jnp.asarray(vectors)
+        doc_ids = np.concatenate([b[0] for b in blocks])
+        parent_ids = np.concatenate([b[1] for b in blocks])
         has_nested = bool((parent_ids >= 0).any())
 
         cfg = self.config
         pqv, nvq, scalar, build_pq = self._quantize_for_flush(vectors)
 
         t0 = time.monotonic()
-        builder = GraphIndexBuilder(
-            dim=cfg.dim,
-            max_degree=cfg.m,
-            beam_width=cfg.ef_construction,
-            alpha=cfg.alpha,
-            neighbor_overflow=cfg.neighbor_overflow,
-            hierarchy_enabled=cfg.hierarchy_enabled,
-            batch_size=self.build_batch_size,
-        )
         # device arrays are padded to the graph's pow2 capacity bucket so
         # every segment size shares XLA program families (disk files store
         # only the used prefix — see write_segment)
         cap = bucket_capacity(vectors.shape[0])
-        if build_pq is not None:
-            build_pq = {
-                k: (pad_rows(v, cap) if k == "codes" else v)
-                for k, v in build_pq.items()
-            }
-        graph = builder.build(vectors, cfg.similarity, pq=build_pq,
-                              capacity=cap)
+        if cfg.index_type == "flat":
+            # flat index_type (FlatVectorFieldMapper parity): no graph —
+            # every query serves through the MXU scan tier, and ingest is
+            # quantize + store only (the big-N fast-ingest path)
+            from opensearch_jvector_tpu.models.graph import VamanaGraph
+
+            graph = VamanaGraph.flat(cap, vectors.shape[0])
+        else:
+            builder = GraphIndexBuilder(
+                dim=cfg.dim,
+                max_degree=cfg.m,
+                beam_width=cfg.ef_construction,
+                alpha=cfg.alpha,
+                neighbor_overflow=cfg.neighbor_overflow,
+                hierarchy_enabled=cfg.hierarchy_enabled,
+                batch_size=self.build_batch_size,
+            )
+            if build_pq is not None:
+                build_pq = {k: pad_rows(v, cap)
+                            for k, v in build_pq.items()}
+            graph = builder.build(vectors, cfg.similarity, pq=build_pq,
+                                  capacity=cap)
         self.stats.increment(
             Counter.KNN_GRAPH_BUILD_TIME, int((time.monotonic() - t0) * 1000)
         )
@@ -257,7 +314,7 @@ class IndexWriter:
             docmap = docmap.apply_sort(np.asarray(sort_map))
 
         cap = graph.capacity
-        if pqv is not None:
+        if pqv is not None and cfg.index_type != "flat":
             pqv = pq_mod.PQVectors(pq=pqv.pq, codes=pad_rows(pqv.codes, cap))
         if nvq is not None:
             nvq = nvq_mod.NVQVectors(
@@ -272,7 +329,13 @@ class IndexWriter:
             docmap=docmap,
             # NVQ replaces inline fp32 storage (the reference's NVQ feature
             # replaces InlineVectors); PQ keeps fp32 inline for rerank.
-            vectors=None if nvq is not None else pad_rows(vectors, cap),
+            # Flat segments keep the HOST array (write_segment slices the
+            # used prefix; pad_rows would upload the full fp32 corpus).
+            vectors=(
+                None if nvq is not None
+                else vectors if cfg.index_type == "flat"
+                else pad_rows(vectors, cap)
+            ),
             nvq=nvq,
             pqv=pqv,
             scalar_state=scalar[0] if scalar else None,

@@ -335,7 +335,13 @@ class GraphIndexBuilder:
             # same recall; E=16 pays off only on latency-bound queries.
             k=r, ef_search=r, overquery_factor=1, expansions_per_iter=8
         )
-        if pq is not None:
+        if pq is not None and "decoded" in pq:
+            # quantized construction, decoded-bf16 formulation: candidate
+            # scoring gathers rows from the decoded cache (MXU einsum) —
+            # same scores as ADC LUTs, TPU-native economics (see
+            # PQVectors.decode_bf16). No rerank during construction.
+            kwargs = dict(pq_decoded=pq["decoded"])
+        elif pq is not None:
             kwargs = dict(
                 pq_codes=pq["codes"],
                 pq_codebooks=pq["codebooks"],

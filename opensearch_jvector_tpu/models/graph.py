@@ -85,6 +85,21 @@ class VamanaGraph:
         return int(nz[-1]) + 1 if nz.size else 0
 
     @staticmethod
+    def flat(capacity: int, n_live: int) -> "VamanaGraph":
+        """Graph-less ('flat' index_type) placeholder: no adjacency, every
+        ordinal live. Flat segments always serve through the scan tier, so
+        the graph structure is vestigial — degree-1 all-(-1) rows keep
+        every shape invariant of the segment codec intact."""
+        live = np.zeros((capacity,), bool)
+        live[:n_live] = True
+        return VamanaGraph(
+            adjacency=jnp.full((capacity, 1), -1, jnp.int32),
+            degrees=jnp.zeros((capacity,), jnp.int32),
+            live=jnp.asarray(live),
+            entry=jnp.int32(0),
+        )
+
+    @staticmethod
     def empty(capacity: int, max_degree: int) -> "VamanaGraph":
         return VamanaGraph(
             adjacency=jnp.full((capacity, max_degree), -1, jnp.int32),

@@ -113,6 +113,15 @@ def train_pq(
     if d % m != 0:
         raise ValueError(f"num_subspaces {m} must divide dim {d}")
     k = num_clusters or min(256, n)
+    if isinstance(vectors, np.ndarray) and n > max_train:
+        # big host-resident corpus (bulk/flat ingest): sample BEFORE the
+        # device upload — training never needs more than max_train rows,
+        # and a 10M-row corpus would otherwise ship 5GB over the host link
+        # just to be subsampled. The sample mean stands in for the global
+        # center (131k rows: same estimate to ~3 decimals).
+        sel = np.random.default_rng(seed).choice(n, max_train, replace=False)
+        vectors = vectors[np.sort(sel)]
+        n = vectors.shape[0]
     x, center = _preprocess(jnp.asarray(vectors, jnp.float32), simf, None)
     if n > max_train:
         sel = np.random.default_rng(seed).choice(n, max_train, replace=False)
@@ -153,12 +162,37 @@ def encode_for_cosine(pq: ProductQuantization, vectors: jax.Array) -> jax.Array:
     return encode_pq(pq, v)
 
 
+ENCODE_CHUNK = 1 << 16  # bounds the [M, chunk, K] argmin intermediate
+
+
 def encode(
     pq: ProductQuantization, vectors: jax.Array, simf: SimilarityFunction
 ) -> jax.Array:
-    if simf is SimilarityFunction.COSINE:
-        return encode_for_cosine(pq, vectors)
-    return encode_pq(pq, vectors)
+    """Encode a corpus, chunked over rows.
+
+    The per-subspace argmin materializes an [M, n, K] f32 intermediate —
+    ~65KB/vector at M=64, K=256 — so one-shot encoding of a 10M corpus
+    would need ~650GB. Fixed pow2 chunks keep the intermediate ~4GB and
+    the program family at one compiled shape.
+    """
+    n = vectors.shape[0]
+    enc_one = encode_for_cosine if simf is SimilarityFunction.COSINE \
+        else encode_pq
+    if n <= ENCODE_CHUNK:
+        return enc_one(pq, vectors)
+    out = []
+    for s in range(0, n, ENCODE_CHUNK):
+        chunk = vectors[s: s + ENCODE_CHUNK]
+        if chunk.shape[0] < ENCODE_CHUNK:  # pad the tail: one program shape
+            chunk = jnp.concatenate([
+                chunk,
+                jnp.zeros((ENCODE_CHUNK - chunk.shape[0], chunk.shape[1]),
+                          chunk.dtype),
+            ])
+            out.append(enc_one(pq, chunk)[: n - s])
+        else:
+            out.append(enc_one(pq, chunk))
+    return jnp.concatenate(out)
 
 
 def refine_pq(
@@ -199,14 +233,40 @@ class PQVectors:
     pq: ProductQuantization
     codes: jax.Array  # [n, M] uint8
 
-    def decode(self) -> jax.Array:
-        """Approximate reconstruction [n, d] (centroid lookup + un-center)."""
-        m, k, dsub = self.pq.codebooks.shape
-        gathered = jax.vmap(
-            lambda cb, c: cb[c], in_axes=(0, 1)
-        )(self.pq.codebooks, self.codes.astype(jnp.int32))  # [M, n, dsub]
-        flat = jnp.transpose(gathered, (1, 0, 2)).reshape(self.codes.shape[0], -1)
-        return flat + self.pq.center[None, :]
+    def decode(self, dtype=jnp.float32) -> jax.Array:
+        """Approximate reconstruction [n, d] (centroid lookup + un-center).
+
+        Chunked over rows: the [M, n, dsub] gather intermediate is
+        4*d bytes/vector, so a one-shot 10M-row decode would transiently
+        triple the corpus footprint.
+        """
+        n = self.codes.shape[0]
+        chunk = ENCODE_CHUNK * 4
+
+        def dec(codes):
+            gathered = jax.vmap(
+                lambda cb, c: cb[c], in_axes=(0, 1)
+            )(self.pq.codebooks, codes.astype(jnp.int32))  # [M, c, dsub]
+            flat = jnp.transpose(gathered, (1, 0, 2)).reshape(
+                codes.shape[0], -1
+            )
+            return (flat + self.pq.center[None, :]).astype(dtype)
+
+        if n <= chunk:
+            return dec(self.codes)
+        out = []
+        for s in range(0, n, chunk):
+            blk = self.codes[s: s + chunk]
+            if blk.shape[0] < chunk:  # pad the tail: one program shape
+                blk = jnp.concatenate([
+                    blk,
+                    jnp.zeros((chunk - blk.shape[0], blk.shape[1]),
+                              blk.dtype),
+                ])
+                out.append(dec(blk)[: n - s])
+            else:
+                out.append(dec(blk))
+        return jnp.concatenate(out)
 
     def decode_bf16(self) -> jax.Array:
         """Decoded-candidate cache [n, d] bf16 for the in-graph ADC tier.
@@ -222,7 +282,7 @@ class PQVectors:
         Costs 2*d bytes/vector HBM (vs 4*d fp32; the fp32 rows stay in the
         host-side native store for rerank).
         """
-        return self.decode().astype(jnp.bfloat16)
+        return self.decode(dtype=jnp.bfloat16)
 
     def score_scan(
         self, queries: jax.Array, simf: SimilarityFunction

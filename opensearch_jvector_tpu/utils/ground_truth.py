@@ -14,12 +14,36 @@ from opensearch_jvector_tpu.ops.distances import SimilarityFunction, pairwise_sc
 
 
 def ground_truth_topk(
-    queries: jax.Array, vectors: jax.Array, k: int, simf: SimilarityFunction
+    queries: jax.Array, vectors: jax.Array, k: int, simf: SimilarityFunction,
+    block: int = 1 << 21,
 ) -> np.ndarray:
-    """Exact top-k ids per query by full scan, [Q, k]."""
-    scores = pairwise_scores(jnp.asarray(queries), jnp.asarray(vectors), simf)
-    _, ids = jax.lax.top_k(scores, k)
-    return np.asarray(ids)
+    """Exact top-k ids per query by full scan, [Q, k].
+
+    Blocked over the corpus (running top-k merge) so the [Q, N] score
+    matrix never materializes — a 10M-corpus ground truth would otherwise
+    need 20GB for the scores alone.
+    """
+    queries = jnp.asarray(queries)
+    n = vectors.shape[0]
+    if n <= block:
+        scores = pairwise_scores(queries, jnp.asarray(vectors), simf)
+        _, ids = jax.lax.top_k(scores, min(k, n))
+        return np.asarray(ids)
+    best_s = None
+    best_i = None
+    for s in range(0, n, block):
+        blk = jnp.asarray(np.asarray(vectors[s: s + block]))
+        scores = pairwise_scores(queries, blk, simf)
+        top_s, top_i = jax.lax.top_k(scores, min(k, blk.shape[0]))
+        top_i = top_i + s
+        if best_s is None:
+            best_s, best_i = top_s, top_i
+        else:
+            cat_s = jnp.concatenate([best_s, top_s], axis=1)
+            cat_i = jnp.concatenate([best_i, top_i], axis=1)
+            best_s, sel = jax.lax.top_k(cat_s, k)
+            best_i = jnp.take_along_axis(cat_i, sel, axis=1)
+    return np.asarray(best_i)
 
 
 def recall_at_k(result_ids: np.ndarray, truth_ids: np.ndarray, k: int) -> float:
