@@ -40,8 +40,82 @@ def _topk_scan(scores: jax.Array, r: int):
     top-k for million-row scans; exact top_k sorts the full row)."""
     rr = min(r, scores.shape[1])
     if scores.shape[1] > (1 << 18):
-        return jax.lax.approx_max_k(scores, rr)
+        return jax.lax.approx_max_k(scores, rr, recall_target=0.99)
     return jax.lax.top_k(scores, rr)
+
+
+SCAN_BLOCK = 1 << 20  # bounds the [Q, block] score slab (~2GB at Q=512)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("simf_id", "r"))
+def _decoded_block_topr(queries, dec, sq, valid, simf_id: int, r: int):
+    """One scan block, fully fused under jit: bf16 matmul -> score -> mask
+    -> top-r. Fusion keeps ONE [Q, block] slab live (eager evaluation
+    materialized every elementwise intermediate — 4x the slab — which is
+    what OOM'd the 10M scan)."""
+    from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
+    scores = _decoded_scan_scores(queries, dec, sq,
+                                  SimilarityFunction(simf_id))
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    return _topk_scan(scores, r)
+
+
+@_functools.partial(jax.jit, static_argnames=("simf_id", "r"))
+def _exact_block_topr(queries, vec, valid, simf_id: int, r: int):
+    from opensearch_jvector_tpu.ops.distances import (
+        SimilarityFunction,
+        pairwise_scores,
+    )
+
+    scores = pairwise_scores(queries, vec, SimilarityFunction(simf_id))
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    return _topk_scan(scores, r)
+
+
+@_functools.partial(jax.jit, static_argnames=("simf_id", "r"))
+def _adc_block_topr(luts, codes, valid, simf_id: int, r: int):
+    from opensearch_jvector_tpu.ops import adc as adc_ops
+    from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
+    if jax.default_backend() == "tpu":
+        from opensearch_jvector_tpu.ops.pallas.adc_kernel import (
+            fused_adc_scan,
+        )
+
+        vals = fused_adc_scan(luts, codes)
+    else:
+        vals = adc_ops.lookup_scan(luts, codes.astype(jnp.int32))
+    scores = adc_ops.adc_value_to_score(vals, SimilarityFunction(simf_id))
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    return _topk_scan(scores, r)
+
+
+def _blocked_scan_topr(block_topr, n: int, r: int):
+    """Running top-r over a blocked corpus scan.
+
+    `block_topr(lo, hi) -> (top_s [Q, r'], top_i [Q, r'])` scores one
+    corpus slice under ONE jit; blocks of SCAN_BLOCK keep the score slab
+    bounded (a one-shot [Q, 16M] f32 matrix is 34GB). Returns (top_s,
+    top_i) with global ids. Capacities are pow2, so every block shares one
+    compiled shape.
+    """
+    best_s = best_i = None
+    for lo in range(0, n, SCAN_BLOCK):
+        hi = min(lo + SCAN_BLOCK, n)
+        top_s, top_i = block_topr(lo, hi)
+        top_i = top_i + lo
+        if best_s is None:
+            best_s, best_i = top_s, top_i
+        else:
+            cat_s = jnp.concatenate([best_s, top_s], axis=1)
+            cat_i = jnp.concatenate([best_i, top_i], axis=1)
+            best_s, sel = jax.lax.top_k(cat_s, min(r, cat_s.shape[1]))
+            best_i = jnp.take_along_axis(cat_i, sel, axis=1)
+    return best_s, best_i
 
 
 def _decoded_scan_scores(queries: jax.Array, decoded: jax.Array,
@@ -323,13 +397,6 @@ class SegmentReader:
         seg = self.seg
         r = max(params.k * params.overquery_factor, params.k)
         t0 = time.monotonic()
-        if seg.pqv is not None:
-            scan = seg.pqv.score_scan(queries, seg.config.similarity)
-        else:  # flat + unquantized: exact scores straight off the MXU
-            from opensearch_jvector_tpu.ops.distances import pairwise_scores
-
-            scan = pairwise_scores(queries, seg.vectors,
-                                   seg.config.similarity)
         if accept is None:
             o2d = seg.docmap.ord_to_doc
             m = np.asarray(seg.graph.live).copy()
@@ -338,8 +405,20 @@ class SegmentReader:
             valid = jnp.asarray(m)
         else:
             valid = accept
-        scan = jnp.where(valid[None, :], scan, -jnp.inf)
-        approx, cand_ids = _topk_scan(scan, r)
+        simf_id = seg.config.similarity.value
+        if seg.pqv is not None:
+            luts = seg.pqv.build_query_luts(queries, seg.config.similarity)
+
+            def block_topr(lo, hi):
+                return _adc_block_topr(
+                    luts, seg.pqv.codes[lo:hi], valid[lo:hi], simf_id, r
+                )
+        else:  # flat + unquantized: exact scores straight off the MXU
+            def block_topr(lo, hi):
+                return _exact_block_topr(
+                    queries, seg.vectors[lo:hi], valid[lo:hi], simf_id, r
+                )
+        approx, cand_ids = _blocked_scan_topr(block_topr, seg.capacity(), r)
         rr = approx.shape[1]
         qualify = approx > -jnp.inf
         if params.rerank_floor > 0.0:
@@ -418,14 +497,6 @@ class SegmentReader:
                 CircuitBreakerException,
             )
 
-            try:
-                decoded = self._decoded_cache()
-                scan = _decoded_scan_scores(
-                    queries, decoded, self._pq_decoded_sq,
-                    seg.config.similarity,
-                )
-            except CircuitBreakerException:  # memory-tight: ADC over codes
-                scan = seg.pqv.score_scan(queries, seg.config.similarity)
             if accept is None:
                 o2d = seg.docmap.ord_to_doc
                 m = np.asarray(seg.graph.live).copy()
@@ -434,8 +505,25 @@ class SegmentReader:
                 valid = jnp.asarray(m)
             else:
                 valid = accept
-            scan = jnp.where(valid[None, :], scan, -jnp.inf)
-            top_s, top_i = _topk_scan(scan, r)
+            simf_id = seg.config.similarity.value
+            try:
+                decoded = self._decoded_cache()
+                dec_sq = self._pq_decoded_sq
+
+                def block_topr(lo, hi):
+                    return _decoded_block_topr(
+                        queries, decoded[lo:hi], dec_sq[lo:hi],
+                        valid[lo:hi], simf_id, r,
+                    )
+            except CircuitBreakerException:  # memory-tight: ADC over codes
+                luts = seg.pqv.build_query_luts(queries,
+                                                seg.config.similarity)
+
+                def block_topr(lo, hi):
+                    return _adc_block_topr(
+                        luts, seg.pqv.codes[lo:hi], valid[lo:hi], simf_id, r
+                    )
+            top_s, top_i = _blocked_scan_topr(block_topr, seg.capacity(), r)
             # ONE device fetch for candidates + the visited counter.
             # Counter semantics at the tier boundary: the scan tier reports
             # visited = scanned codes per query (ef_search/use_pruning do

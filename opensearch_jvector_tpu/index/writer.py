@@ -196,7 +196,8 @@ class IndexWriter:
         # scored from the decoded-bf16 cache (row gathers + MXU einsum —
         # the same in-graph ADC formulation the query tier uses).
         build_pq = None
-        if cfg.mode == "on_disk":
+        if cfg.mode == "on_disk" and cfg.index_type != "flat":
+            # flat segments build no graph — don't pay the decode here
             build_pq = {"decoded": pqv.decode_bf16()}
         return pqv, nvq, None, build_pq
 

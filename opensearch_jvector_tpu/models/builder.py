@@ -448,8 +448,6 @@ class GraphIndexBuilder:
         import threading
 
         buckets = sorted(set(buckets))
-        if len(buckets) < 2:
-            return  # a single program family: nothing to overlap
 
         def warm(bucket: int) -> None:
             try:
@@ -460,8 +458,33 @@ class GraphIndexBuilder:
             except Exception:  # noqa: BLE001 — warm-up must never fail a build
                 pass
 
+        def warm_overflow(bucket: int) -> None:
+            # cleanup-time overflow prunes hit pow2 chunk shapes the insert
+            # rounds never touch; compiling them here (overlapped) instead
+            # of serially inside cleanup() shaves minutes off cold builds
+            try:
+                fn = _make_overflow_prune_fn(
+                    simf.value, self.max_degree, self.alpha
+                )
+                ids = jnp.full((bucket,), int(entry), jnp.int32)
+                ex = jnp.full((bucket, 2 * self.max_degree), -1, jnp.int32)
+                fn(ids, st.dev, ex, vectors)
+            except Exception:  # noqa: BLE001
+                pass
+
+        over_buckets = set()
+        b = 64
+        while b <= self.batch_size:
+            over_buckets.add(b)
+            b *= 2
         threads = [threading.Thread(target=warm, args=(b,), daemon=True)
                    for b in buckets]
+        threads += [
+            threading.Thread(target=warm_overflow, args=(b,), daemon=True)
+            for b in sorted(over_buckets)
+        ]
+        if len(threads) < 2:
+            return  # a single program family: nothing to overlap
         for t in threads:
             t.start()
         for t in threads:

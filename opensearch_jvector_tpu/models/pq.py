@@ -284,22 +284,34 @@ class PQVectors:
         """
         return self.decode(dtype=jnp.bfloat16)
 
-    def score_scan(
+    def build_query_luts(
         self, queries: jax.Array, simf: SimilarityFunction
     ) -> jax.Array:
-        """Full-scan ADC scores [Q, n] (MXU one-hot-matmul accumulation)."""
+        """Per-query ADC lookup tables [Q, M, K] (precomputedScoreFunctionFor
+        parity): center/normalize the queries, score every centroid."""
         q = queries - self.pq.center[None, :]
         if simf is SimilarityFunction.COSINE:
             q = q * jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-30)
         m, k, dsub = self.pq.codebooks.shape
         qsub = q.reshape(q.shape[0], m, dsub)
-        luts = adc_ops.build_luts(qsub, self.pq.codebooks, simf.is_euclidean)
+        return adc_ops.build_luts(qsub, self.pq.codebooks, simf.is_euclidean)
+
+    def score_scan(
+        self, queries: jax.Array, simf: SimilarityFunction,
+        lo: int = 0, hi: int | None = None,
+    ) -> jax.Array:
+        """Full-scan ADC scores [Q, n] (MXU one-hot-matmul accumulation).
+
+        `lo`/`hi` scan a code slice (blocked big-N scans: the [Q, n] score
+        slab must stay bounded)."""
+        luts = self.build_query_luts(queries, simf)
+        codes = self.codes if lo == 0 and hi is None else self.codes[lo:hi]
         if jax.default_backend() == "tpu":
             from opensearch_jvector_tpu.ops.pallas.adc_kernel import (
                 fused_adc_scan,
             )
 
-            vals = fused_adc_scan(luts, self.codes)
+            vals = fused_adc_scan(luts, codes)
         else:
-            vals = adc_ops.lookup_scan(luts, self.codes.astype(jnp.int32))
+            vals = adc_ops.lookup_scan(luts, codes.astype(jnp.int32))
         return adc_ops.adc_value_to_score(vals, simf)

@@ -79,11 +79,32 @@ class ShardedVectorIndex:
         for d in np.atleast_1d(np.asarray(doc_ids, np.int64)):
             self.shards[self._route(int(d))].delete(int(d))
 
+    def add_batch(self, doc_ids, vectors) -> int:
+        """Bulk ingest: route a block of docs to shards in one pass."""
+        doc_ids = np.asarray(doc_ids, np.int64).reshape(-1)
+        vectors = np.asarray(vectors)
+        total = 0
+        for s in range(self.n_shards):
+            sel = (doc_ids % self.n_shards) == s
+            if sel.any():
+                total += self.shards[s].add_batch(doc_ids[sel], vectors[sel])
+        return total
+
     def flush(self) -> list[str | None]:
-        return [s.flush() for s in self.shards]
+        # per-shard flushes overlap on the search pool (host-side quantize
+        # prep + IO overlap; device programs serialize on the stream)
+        from opensearch_jvector_tpu.parallel.pools import ComputePools
+
+        pool = ComputePools.instance()
+        return list(pool.search_pool.map(lambda s: s.flush(), self.shards))
 
     def force_merge(self) -> list[str]:
-        return [s.force_merge() for s in self.shards]
+        from opensearch_jvector_tpu.parallel.pools import ComputePools
+
+        pool = ComputePools.instance()
+        return list(pool.search_pool.map(
+            lambda s: s.force_merge(), self.shards
+        ))
 
     def doc_count(self) -> int:
         return sum(s.doc_count() for s in self.shards)
