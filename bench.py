@@ -198,9 +198,14 @@ def main():
             f"in docs/design.md: ~7 beam hops x op-dispatch overhead)")
         extra["search_ms_per_op_batch1_device_graph"] = round(dev_ms, 4)
 
-        # PRODUCTION batch=1 at this scale: the scan tier (in-memory PQ
-        # <= 256k codes routes through reader._scan_search) — a single
-        # fused matmul + rerank, no serial hop chain.
+        # PRODUCTION batch=1 at this scale: the scan tier — the reader's
+        # decoded-bf16 MXU scan (reader._decoded_block_topr) + exact
+        # rerank: a single matmul + top-k, no serial hop chain. (The ADC
+        # LUT kernel is the big-batch formulation; its per-query LUT build
+        # doesn't amortize at Q=1.)
+        from opensearch_jvector_tpu.index.reader import (
+            _decoded_scan_scores as _dscan,
+        )
         from opensearch_jvector_tpu.models import pq as pq_mod_b1
         from opensearch_jvector_tpu.ops.distances import (
             batched_candidate_scores as _bcs,
@@ -209,14 +214,17 @@ def main():
         pq_b1 = pq_mod_b1.train_pq(vectors, simf)
         codes_b1 = pq_mod_b1.encode(pq_b1, vectors, simf)
         pqv_b1 = pq_mod_b1.PQVectors(pq=pq_b1, codes=codes_b1)
+        dec_b1 = pqv_b1.decode_bf16()
+        dec_sq_b1 = _jnp.einsum("nd,nd->n", dec_b1, dec_b1,
+                                preferred_element_type=_jnp.float32)
         extra_pq_cache["pq"] = pq_b1
         extra_pq_cache["codes"] = codes_b1
 
-        def chained_scan(q1, vs):
+        def chained_scan(q1, vs, dec, dec_sq):
             def body(i, carry):
                 acc, _ = carry
                 qq = q1 + 0.0 * acc  # serialize on the previous result
-                scan = pqv_b1.score_scan(qq, simf)
+                scan = _dscan(qq, dec, dec_sq, simf)
                 top_s, top_i = _jax.lax.top_k(scan, K * 5)
                 cand = vs[_jnp.clip(top_i, 0)]
                 exact = _bcs(qq, cand, simf)
@@ -230,10 +238,11 @@ def main():
             )
 
         sfn = _jax.jit(chained_scan)
-        _jax.block_until_ready(sfn(queries[:1], vectors))
+        _jax.block_until_ready(sfn(queries[:1], vectors, dec_b1, dec_sq_b1))
         t0 = time.time()
         for _ in range(3):
-            _jax.block_until_ready(sfn(queries[:1], vectors))
+            _jax.block_until_ready(
+                sfn(queries[:1], vectors, dec_b1, dec_sq_b1))
         scan_b1_ms = (time.time() - t0) / 3 / reps * 1000.0
         log(f"batch=1 device-loop (production scan tier): "
             f"{scan_b1_ms:.4f} ms/op -> {BASELINE_MS / scan_b1_ms:.2f}x "
@@ -401,6 +410,67 @@ def main():
             f"{extra['merge_full_rebuild_s']}s "
             f"({extra['merge_full_rebuild_s'] / merge_inc:.1f}x)")
         extra["merge_incremental_s"] = round(merge_inc, 2)
+
+    if FULL and int(os.environ.get("BENCH_GIST", 1)) > 0 \
+            and not over_budget("gist-analog 960d angular section"):
+        # High-dim angular cell (BASELINE config 3: GIST1M 960-d PQ64 +
+        # fused ADC + fp32 rerank; scaled to 100k for the bench budget).
+        # Synthetic GIST-analog: latent-32 angular corpus, cosine space.
+        from opensearch_jvector_tpu.models import pq as pq_mod_g
+        from opensearch_jvector_tpu.ops.distances import (
+            SimilarityFunction as _SF,
+        )
+        from opensearch_jvector_tpu.ops.distances import (
+            batched_candidate_scores as _bcsg,
+        )
+
+        gdim, glat, gn = 960, 32, N
+        grng = np.random.default_rng(41)
+        ga = grng.standard_normal((glat, gdim)).astype(np.float32)
+        ga /= np.sqrt(glat)
+        gv = (grng.standard_normal((gn, glat)).astype(np.float32) @ ga
+              + 0.05 * grng.standard_normal((gn, gdim)).astype(np.float32))
+        gq = (grng.standard_normal((Q, glat)).astype(np.float32) @ ga
+              + 0.05 * grng.standard_normal((Q, gdim)).astype(np.float32))
+        gv_d, gq_d = jnp.asarray(gv), jnp.asarray(gq)
+        cos = _SF.COSINE
+        t0 = time.time()
+        gist_pq = pq_mod_g.train_pq(gv_d, cos, num_subspaces=64)
+        gist_codes = pq_mod_g.encode(gist_pq, gv_d, cos)
+        gist_pqv = pq_mod_g.PQVectors(pq=gist_pq, codes=gist_codes)
+        gist_dec = gist_pqv.decode_bf16()
+        gist_sq = jnp.einsum("nd,nd->n", gist_dec, gist_dec,
+                             preferred_element_type=jnp.float32)
+        jax.block_until_ready(gist_dec)
+        log(f"gist-analog pq64 train+encode+decode (960d): "
+            f"{time.time() - t0:.1f}s")
+
+        @jax.jit
+        def gist_scan(qs, vs):
+            from opensearch_jvector_tpu.index.reader import (
+                _decoded_scan_scores,
+            )
+
+            scan = _decoded_scan_scores(qs, gist_dec, gist_sq, cos)
+            top_s, top_i = jax.lax.top_k(scan, K * 5)
+            cand = vs[jnp.clip(top_i, 0)]
+            exact = _bcsg(qs, cand, cos)
+            s, idx = jax.lax.top_k(exact, K)
+            return jnp.take_along_axis(top_i, idx, axis=1), s
+
+        gist_ids, _ = gist_scan(gq_d, gv_d)
+        jax.block_until_ready(gist_ids)
+        t0 = time.time()
+        for _ in range(5):
+            jax.block_until_ready(gist_scan(gq_d, gv_d)[0])
+        gist_ms = (time.time() - t0) / 5 / Q * 1000.0
+        gist_truth = ground_truth_topk(gq_d, gv_d, K, cos)
+        gist_rec = recall_at_k(np.asarray(gist_ids), gist_truth, K)
+        log(f"gist-analog 960d angular pq64 scan+rerank: {gist_ms:.4f} "
+            f"ms/query batched, recall@{K}={gist_rec:.4f}")
+        extra["gist960_ms_per_query_batched"] = round(gist_ms, 4)
+        extra["gist960_recall_at_k"] = round(float(gist_rec), 4)
+        del gv_d, gq_d, gist_dec, gist_sq, gist_codes, gist_truth
 
     if FULL and int(os.environ.get("BENCH_N_TIER1", 1)) > 0 \
             and not over_budget("1M on_disk graph-tier section"):

@@ -48,6 +48,14 @@ from opensearch_jvector_tpu.ops.distances import (
 
 NEG_INF = float("-inf")
 
+# JVECTOR_TPU_BUILD_PROFILE=1 -> per-phase wall-clock breakdown of insert
+# rounds (search / prune / back-edges / apply / overflow), accumulated in
+# BuildCounters.phase_s. Blocks after each phase, so throughput drops while
+# profiling; diagnosis only.
+import os as _os
+
+BUILD_PROFILE = _os.environ.get("JVECTOR_TPU_BUILD_PROFILE", "0") == "1"
+
 
 def _score_to_dist(scores: jax.Array, simf: SimilarityFunction) -> jax.Array:
     """Map similarity scores to a pruning distance (lower = closer)."""
@@ -270,6 +278,10 @@ class BuildCounters:
     rounds: int = 0
     nodes_inserted: int = 0
     nodes_deleted: int = 0
+    phase_s: dict = dataclasses.field(default_factory=dict)
+
+    def _phase(self, name: str, dt: float) -> None:
+        self.phase_s[name] = self.phase_s.get(name, 0.0) + dt
 
 
 class GraphIndexBuilder:
@@ -513,11 +525,18 @@ class GraphIndexBuilder:
                 [batch, np.full(bucket - real_b, batch[0], batch.dtype)]
             )
         b = len(batch)
+        import time as _time
+
+        t0 = _time.time() if BUILD_PROFILE else 0.0
         batch_dev = jnp.asarray(batch, jnp.int32)
         queries = vectors[batch_dev]
         cand_ids, cand_scores = self._search_candidates(
             st.dev, live_dev, entry, vectors, queries, simf, pq
         )
+        if BUILD_PROFILE:
+            jax.block_until_ready(cand_ids)
+            self.counters._phase("search", _time.time() - t0)
+            t0 = _time.time()
         top_r = min(b - 1, self.max_degree) if b > 1 else 0
         prune_fn = _make_round_prune_fn(
             simf.value, self.max_degree, top_r, self.alpha
@@ -526,13 +545,26 @@ class GraphIndexBuilder:
             prune_fn(batch_dev, cand_ids, cand_scores, vectors)
         )[:real_b]
         new_ids = np.asarray(batch)[:real_b]
+        if BUILD_PROFILE:
+            self.counters._phase("prune+fetch", _time.time() - t0)
+            t0 = _time.time()
 
         st.deg[new_ids] = (sel >= 0).sum(axis=1)
         dst, slot, src, overflowed, extras = self._compute_back_edges(
             st.deg, new_ids, sel, self.overflow_degree
         )
+        if BUILD_PROFILE:
+            self.counters._phase("backedges_host", _time.time() - t0)
+            t0 = _time.time()
         st.dev = self._apply_edges(st, new_ids, sel, dst, slot, src)
+        if BUILD_PROFILE:
+            jax.block_until_ready(st.dev)
+            self.counters._phase("apply", _time.time() - t0)
+            t0 = _time.time()
         self._prune_overflow(st, overflowed, vectors, simf, extras=extras)
+        if BUILD_PROFILE:
+            jax.block_until_ready(st.dev)
+            self.counters._phase("overflow", _time.time() - t0)
 
     def _apply_edges(self, st, new_ids, sel, dst, slot, src):
         """Pad edge lists to a bucketed width and apply on device (bounded
