@@ -122,18 +122,79 @@ def main():
         return res
 
     def timed_ms_per_query(g, qs, vs, iters=5):
+        # Salt every dispatch (distinct argument buffers — repeated
+        # identical dispatches can be deduped by the remote-dispatch
+        # layer) and barrier on a REAL host fetch of the ids
+        # (block_until_ready alone resolves lazily through the tunnel).
         run(g, qs, vs)  # compile + warm
         t0 = time.time()
-        for _ in range(iters):
-            run(g, qs, vs)
+        for j in range(iters):
+            res = searcher.search(
+                g.adjacency, g.live, g.entry,
+                qs + jnp.float32(j + 1) * 1e-9, params, simf, vectors=vs,
+            )
+            np.asarray(res.ids)
         return (time.time() - t0) / iters / qs.shape[0] * 1000.0
+
+    # Fixed per-dispatch overhead of the dev tunnel (dispatch RTT + host
+    # fetch, ~100 ms here): measured once, subtracted from chained-batch
+    # walls. A production server adjacent to the chip does not pay this.
+    def _tunnel_overhead_s():
+        f = jax.jit(lambda s: s + 1)
+        np.asarray(f(jnp.float32(-1.0)))
+        t0 = time.time()
+        n = 8
+        for j in range(n):
+            np.asarray(f(jnp.float32(j)))
+        return (time.time() - t0) / n
+
+    _overhead_s = None
+
+    def timed_batched(fn, qs, *arrays, iters=8, reps=3):
+        """Steady-state device ms/query for a TRACEABLE batched search
+        `fn(qs, *arrays) -> ids [Q, k]`: `iters` chained batch searches
+        (each data-dependent on the last) inside ONE program, real host
+        fetch as the barrier, distinct salt per dispatch (the
+        remote-dispatch layer dedupes repeated identical dispatches),
+        minus the measured fixed tunnel overhead. Corpus arrays MUST come
+        in via `*arrays` (pytrees fine) — closure-captured arrays become
+        program CONSTANTS, which the tunnel re-ships per dispatch and
+        which blow up the remote-compile payload (HTTP 413 at ~400MB)."""
+        nonlocal _overhead_s
+        if _overhead_s is None:
+            _overhead_s = _tunnel_overhead_s()
+            log(f"tunnel dispatch+fetch overhead: {_overhead_s * 1000:.1f} "
+                f"ms (subtracted from chained-batch walls)")
+
+        @jax.jit
+        def outer(qs, salt, *arrays):
+            def step(carry, x):
+                qq = qs + salt + 1e-6 * carry.astype(jnp.float32)
+                ids = fn(qq, *arrays)
+                return ids[0, 0].astype(jnp.int32), ids[0, 0]
+            _, outs = jax.lax.scan(
+                step, jnp.int32(0), jnp.arange(iters)
+            )
+            return outs
+
+        np.asarray(outer(qs, jnp.float32(-1.0), *arrays))  # compile + warm
+        t0 = time.time()
+        for j in range(reps):
+            np.asarray(outer(qs, jnp.float32(j + 1) * 1e-9, *arrays))
+        wall = (time.time() - t0) / reps
+        return max(wall - _overhead_s, 0.0) / iters / qs.shape[0] * 1000.0
 
     res = run(graph, queries, vectors)
     truth = ground_truth_topk(queries, vectors, K, simf)
     rec = recall_at_k(np.asarray(res.ids), truth, K)
     log(f"recall@{K} ({DATA}): {rec:.4f}")
-    ms_batched = timed_ms_per_query(graph, queries, vectors)
-    log(f"batched (batch={Q}): {ms_batched:.4f} ms/query")
+    ms_batched = timed_batched(
+        lambda qs, adj, live, ent, vec: searcher.search(
+            adj, live, ent, qs, params, simf, vectors=vec,
+        ).ids,
+        queries, graph.adjacency, graph.live, graph.entry, vectors,
+    )
+    log(f"batched (batch={Q}): {ms_batched:.4f} ms/query (device)")
 
     if FULL and not over_budget("per-op section"):
         # Per-op wall latency (single dispatch per op). Through the axon
@@ -147,55 +208,72 @@ def main():
         extra["search_ms_per_op_batch8_wall"] = round(ms_b8, 4)
         extra["search_ms_per_op_batch1_wall"] = round(ms_b1, 4)
 
-        # Device-resident serving loop: REPS sequential single-query
-        # searches chained inside ONE program (each iteration's query is
-        # data-dependent on the previous result, so XLA cannot overlap
-        # them). Measures pure on-device per-op latency.
+        # Device-resident serving loop: sequential single-query searches
+        # chained inside ONE program via lax.scan (each iteration's query
+        # is data-dependent on the previous result, so XLA cannot overlap
+        # them). Per-op latency is the SLOPE of wall(iters) between two
+        # chain lengths: dispatch RTT, host fetch, and any client-side
+        # dispatch caching are iteration-count-independent and cancel,
+        # and each dispatch carries a distinct salt so no layer can serve
+        # a cached repeat. (The old fixed-length fori_loop + identical
+        # redispatch formulation under-counted through the axon tunnel —
+        # identical dispatches can be deduped — and its `0.0 * acc`
+        # serializer was algebraically folded, letting XLA hoist the
+        # loop body.)
         import functools as _ft
 
         import jax as _jax
         import jax.numpy as _jnp
 
-        reps = 50
+        def chained_slope(make_fn, args, lo, hi, reps=6):
+            walls = {}
+            for iters in (lo, hi):
+                fn = make_fn(iters)
+                np.asarray(fn(*args, _jnp.float32(-1.0)))  # compile + warm
+                t0 = time.time()
+                for j in range(reps):
+                    np.asarray(fn(*args, _jnp.float32(j + 1) * 1e-9))
+                walls[iters] = (time.time() - t0) / reps
+            return (walls[hi] - walls[lo]) / (hi - lo) * 1000.0
 
-        def chained(adjacency, live, entry, q1, vs):
+        def make_graph_loop(iters):
             provider = searcher.make_exact_provider(simf.value)
-            accept = live
 
-            def body(i, carry):
-                acc, _ = carry
-                qq = q1 + 0.0 * acc  # serialize on the previous result
-                # floor 7 (not 8) measured on v5e: same 0.996 recall at the
-                # default EF/K, one fewer serial hop; still scales up for
-                # larger EF/K so the reported latency keeps its recall
-                ids, scores, visited, expanded = searcher.beam_search(
-                    adjacency, live, entry, qq, {"vectors": vs}, accept,
-                    provider, L=max(EF, K * 5), E=16, R=K * 5,
-                    max_iters=max(7, -(-max(EF, K * 5) // 16)),
+            @_jax.jit
+            def outer(adjacency, live, entry, qpool, vs, salt):
+                def step(carry, x):
+                    # query = pool entry + salt + tiny perturbation from the
+                    # previous result (forces serialization; 1e-6 is below
+                    # any score-relevant scale)
+                    qq = (qpool[x % qpool.shape[0]][None] + salt
+                          + 1e-6 * carry[0].astype(_jnp.float32))
+                    # floor 7 (not 8) measured on v5e: same 0.996 recall at
+                    # the default EF/K, one fewer serial hop
+                    ids, scores, visited, expanded = searcher.beam_search(
+                        adjacency, live, entry, qq, {"vectors": vs}, live,
+                        provider, L=max(EF, K * 5), E=16, R=K * 5,
+                        max_iters=max(7, -(-max(EF, K * 5) // 16)),
+                    )
+                    top_s, idx = _jax.lax.top_k(scores, K)
+                    sel = _jnp.take_along_axis(ids, idx, axis=1)[0]
+                    return sel, sel[0]
+
+                _, outs = _jax.lax.scan(
+                    step, _jnp.zeros((K,), _jnp.int32), _jnp.arange(iters)
                 )
-                top_s, idx = _jax.lax.top_k(scores, K)
-                return (top_s[0, 0], ids)
+                return outs
 
-            return _jax.lax.fori_loop(
-                0, reps, body, (_jnp.float32(0.0), _jnp.zeros(
-                    (1, K * 5), _jnp.int32))
-            )
+            return outer
 
-        cfn = _jax.jit(chained)
-        out = cfn(graph.adjacency, graph.live, graph.entry, queries[:1],
-                  vectors)
-        _jax.block_until_ready(out)  # compile + warm
-        t0 = time.time()
-        for _ in range(3):
-            _jax.block_until_ready(
-                cfn(graph.adjacency, graph.live, graph.entry, queries[:1],
-                    vectors)
-            )
-        dev_ms = (time.time() - t0) / 3 / reps * 1000.0
+        dev_ms = chained_slope(
+            make_graph_loop,
+            (graph.adjacency, graph.live, graph.entry, queries[:64],
+             vectors),
+            64, 512,
+        )
         log(f"batch=1 device-loop (graph tier): {dev_ms:.4f} ms/op "
             f"(reference jvector fp32 single-op: {BASELINE_MS} ms -> "
-            f"{BASELINE_MS / dev_ms:.2f}x; serial-latency floor analysis "
-            f"in docs/design.md: ~7 beam hops x op-dispatch overhead)")
+            f"{BASELINE_MS / dev_ms:.2f}x)")
         extra["search_ms_per_op_batch1_device_graph"] = round(dev_ms, 4)
 
         # PRODUCTION batch=1 at this scale: the scan tier — the reader's
@@ -220,30 +298,32 @@ def main():
         extra_pq_cache["pq"] = pq_b1
         extra_pq_cache["codes"] = codes_b1
 
-        def chained_scan(q1, vs, dec, dec_sq):
-            def body(i, carry):
-                acc, _ = carry
-                qq = q1 + 0.0 * acc  # serialize on the previous result
-                scan = _dscan(qq, dec, dec_sq, simf)
-                top_s, top_i = _jax.lax.top_k(scan, K * 5)
-                cand = vs[_jnp.clip(top_i, 0)]
-                exact = _bcs(qq, cand, simf)
-                s, idx = _jax.lax.top_k(exact, K)
-                ids = _jnp.take_along_axis(top_i, idx, axis=1)
-                return (s[0, 0], ids)
+        def make_scan_loop(iters):
+            @_jax.jit
+            def outer(qpool, vs, dec, dec_sq, salt):
+                def step(carry, x):
+                    qq = (qpool[x % qpool.shape[0]][None] + salt
+                          + 1e-6 * carry[0].astype(_jnp.float32))
+                    scan = _dscan(qq, dec, dec_sq, simf)
+                    top_s, top_i = _jax.lax.top_k(scan, K * 5)
+                    cand = vs[_jnp.clip(top_i, 0)]
+                    exact = _bcs(qq, cand, simf)
+                    s, idx = _jax.lax.top_k(exact, K)
+                    ids = _jnp.take_along_axis(top_i, idx, axis=1)[0]
+                    return ids, ids[0]
 
-            return _jax.lax.fori_loop(
-                0, reps, body,
-                (_jnp.float32(0.0), _jnp.zeros((1, K), _jnp.int32)),
-            )
+                _, outs = _jax.lax.scan(
+                    step, _jnp.zeros((K,), _jnp.int32), _jnp.arange(iters)
+                )
+                return outs
 
-        sfn = _jax.jit(chained_scan)
-        _jax.block_until_ready(sfn(queries[:1], vectors, dec_b1, dec_sq_b1))
-        t0 = time.time()
-        for _ in range(3):
-            _jax.block_until_ready(
-                sfn(queries[:1], vectors, dec_b1, dec_sq_b1))
-        scan_b1_ms = (time.time() - t0) / 3 / reps * 1000.0
+            return outer
+
+        scan_b1_ms = chained_slope(
+            make_scan_loop,
+            (queries[:64], vectors, dec_b1, dec_sq_b1),
+            512, 4096,
+        )
         log(f"batch=1 device-loop (production scan tier): "
             f"{scan_b1_ms:.4f} ms/op -> {BASELINE_MS / scan_b1_ms:.2f}x "
             f"the reference single-op")
@@ -263,7 +343,13 @@ def main():
         g_res = run(g_graph, g_queries, g_vectors)
         g_truth = ground_truth_topk(g_queries, g_vectors, K, simf)
         g_rec = recall_at_k(np.asarray(g_res.ids), g_truth, K)
-        g_ms = timed_ms_per_query(g_graph, g_queries, g_vectors)
+        g_ms = timed_batched(
+            lambda qs, adj, live, ent, vec: searcher.search(
+                adj, live, ent, qs, params, simf, vectors=vec,
+            ).ids,
+            g_queries, g_graph.adjacency, g_graph.live, g_graph.entry,
+            g_vectors,
+        )
         log(f"gaussian graph tier: recall@{K}={g_rec:.4f}, "
             f"{g_ms:.4f} ms/query batched (distance concentration caps "
             f"graph recall on i.i.d. gaussian; production routes this "
@@ -281,24 +367,24 @@ def main():
         g_pqv = pq_mod.PQVectors(pq=g_pq, codes=g_codes)
 
         @jax.jit
-        def g_scan_search(qs, vs):
+        def g_scan_search(qs, vs, pqv):
             from opensearch_jvector_tpu.ops.distances import (
                 batched_candidate_scores,
             )
 
-            scan = g_pqv.score_scan(qs, simf)
+            scan = pqv.score_scan(qs, simf)
             top_s, top_i = jax.lax.top_k(scan, K * 5)
             cand = vs[jnp.clip(top_i, 0)]
             exact = batched_candidate_scores(qs, cand, simf)
             s, idx = jax.lax.top_k(exact, K)
             return jnp.take_along_axis(top_i, idx, axis=1), s
 
-        g_ids, _ = g_scan_search(g_queries, g_vectors)
-        jax.block_until_ready(g_ids)
-        t0 = time.time()
-        for _ in range(5):
-            jax.block_until_ready(g_scan_search(g_queries, g_vectors)[0])
-        gs_ms = (time.time() - t0) / 5 / Q * 1000.0
+        g_ids, _ = g_scan_search(g_queries, g_vectors, g_pqv)
+        np.asarray(g_ids)
+        gs_ms = timed_batched(
+            lambda qs, vs, pqv: g_scan_search(qs, vs, pqv)[0],
+            g_queries, g_vectors, g_pqv,
+        )
         gs_rec = recall_at_k(np.asarray(g_ids), g_truth, K)
         log(f"gaussian production (scan tier): recall@{K}={gs_rec:.4f}, "
             f"{gs_ms:.4f} ms/query batched")
@@ -336,15 +422,19 @@ def main():
                 graph.adjacency, graph.live, graph.entry, qs, params, simf,
                 vectors=vectors, pq_decoded=pq_dec,
             )
-            jax.block_until_ready(res.ids)
+            np.asarray(res.ids)
             return res
 
         pq_res = run_pq(queries)
         pq_rec = recall_at_k(np.asarray(pq_res.ids), truth, K)
-        t0 = time.time()
-        for _ in range(5):
-            run_pq(queries)
-        pq_ms = (time.time() - t0) / 5 / Q * 1000.0
+        pq_ms = timed_batched(
+            lambda qs, adj, live, ent, vec, dec: searcher.search(
+                adj, live, ent, qs, params, simf,
+                vectors=vec, pq_decoded=dec,
+            ).ids,
+            queries, graph.adjacency, graph.live, graph.entry, vectors,
+            pq_dec,
+        )
         log(f"pq/adc graph-beam batched: {pq_ms:.4f} ms/query, "
             f"recall@{K}={pq_rec:.4f} (reference PQ single-op: 0.194 ms)")
         extra["pq_ms_per_query_batched"] = round(pq_ms, 4)
@@ -359,7 +449,7 @@ def main():
         pqv = PQVectors(pq=pq, codes=pq_codes)
 
         @jax.jit
-        def scan_search(qs, vs):
+        def scan_search(qs, vs, pqv):
             scan = pqv.score_scan(qs, simf)
             top_s, top_i = jax.lax.top_k(scan, K * 5)
             cand = vs[jnp.clip(top_i, 0)]
@@ -371,12 +461,12 @@ def main():
             s, idx = jax.lax.top_k(exact, K)
             return jnp.take_along_axis(top_i, idx, axis=1), s
 
-        ids_scan, _ = scan_search(queries, vectors)
-        jax.block_until_ready(ids_scan)
-        t0 = time.time()
-        for _ in range(5):
-            jax.block_until_ready(scan_search(queries, vectors)[0])
-        scan_ms = (time.time() - t0) / 5 / Q * 1000.0
+        ids_scan, _ = scan_search(queries, vectors, pqv)
+        np.asarray(ids_scan)
+        scan_ms = timed_batched(
+            lambda qs, vs, pv: scan_search(qs, vs, pv)[0],
+            queries, vectors, pqv,
+        )
         scan_rec = recall_at_k(np.asarray(ids_scan), truth, K)
         log(f"pq/adc full-scan+rerank batched: {scan_ms:.4f} ms/query, "
             f"recall@{K}={scan_rec:.4f}")
@@ -446,24 +536,24 @@ def main():
             f"{time.time() - t0:.1f}s")
 
         @jax.jit
-        def gist_scan(qs, vs):
+        def gist_scan(qs, vs, dec, sq):
             from opensearch_jvector_tpu.index.reader import (
                 _decoded_scan_scores,
             )
 
-            scan = _decoded_scan_scores(qs, gist_dec, gist_sq, cos)
+            scan = _decoded_scan_scores(qs, dec, sq, cos)
             top_s, top_i = jax.lax.top_k(scan, K * 5)
             cand = vs[jnp.clip(top_i, 0)]
             exact = _bcsg(qs, cand, cos)
             s, idx = jax.lax.top_k(exact, K)
             return jnp.take_along_axis(top_i, idx, axis=1), s
 
-        gist_ids, _ = gist_scan(gq_d, gv_d)
-        jax.block_until_ready(gist_ids)
-        t0 = time.time()
-        for _ in range(5):
-            jax.block_until_ready(gist_scan(gq_d, gv_d)[0])
-        gist_ms = (time.time() - t0) / 5 / Q * 1000.0
+        gist_ids, _ = gist_scan(gq_d, gv_d, gist_dec, gist_sq)
+        np.asarray(gist_ids)
+        gist_ms = timed_batched(
+            lambda qs, vs, dec, sq: gist_scan(qs, vs, dec, sq)[0],
+            gq_d, gv_d, gist_dec, gist_sq,
+        )
         gist_truth = ground_truth_topk(gq_d, gv_d, K, cos)
         gist_rec = recall_at_k(np.asarray(gist_ids), gist_truth, K)
         log(f"gist-analog 960d angular pq64 scan+rerank: {gist_ms:.4f} "
@@ -509,8 +599,8 @@ def main():
             sc1 = SearchConfig(k=K, ef_search=EF)
             res1 = idx1.search(q1_np, sc1)
             t0 = time.time()
-            for _ in range(3):
-                idx1.search(q1_np, sc1)
+            for j in range(3):
+                idx1.search(q1_np + (j + 1) * 1e-9, sc1)  # salted
             ms1 = (time.time() - t0) / 3 / Q * 1000.0
             t1m = ground_truth_topk(q1_np, jnp.asarray(v1_np), K, simf)
             rec1 = recall_at_k(res1.doc_ids, t1m, K)
@@ -576,8 +666,8 @@ def main():
             sc10 = SearchConfig(k=K, ef_search=EF)
             res10 = idx10.search(q10, sc10)
             t0 = time.time()
-            for _ in range(3):
-                idx10.search(q10, sc10)
+            for j in range(3):
+                idx10.search(q10 + (j + 1) * 1e-9, sc10)  # salted
             ms10 = (time.time() - t0) / 3 / Q * 1000.0
             t10 = ground_truth_topk(q10, v10, K, simf)
             rec10 = recall_at_k(res10.doc_ids, t10, K)
