@@ -358,32 +358,39 @@ def main():
         extra["gaussian_graph_ms_per_query"] = round(g_ms, 4)
 
         # PRODUCTION path for this config (in-memory PQ <= 256k codes):
-        # the fused-ADC scan tier + exact rerank (reader.SCAN_TIER). The
+        # the decoded-bf16 scan tier + exact rerank — exactly what
+        # reader._scan_search runs (reader._decoded_block_topr). The
         # exhaustive approximate phase is immune to distance concentration.
+        from opensearch_jvector_tpu.index.reader import (
+            _decoded_scan_scores as _dscan_g,
+        )
         from opensearch_jvector_tpu.models import pq as pq_mod
 
         g_pq = pq_mod.train_pq(g_vectors, simf)
         g_codes = pq_mod.encode(g_pq, g_vectors, simf)
         g_pqv = pq_mod.PQVectors(pq=g_pq, codes=g_codes)
+        g_dec = g_pqv.decode_bf16()
+        g_sq = jnp.einsum("nd,nd->n", g_dec, g_dec,
+                          preferred_element_type=jnp.float32)
 
         @jax.jit
-        def g_scan_search(qs, vs, pqv):
+        def g_scan_search(qs, vs, dec, sq):
             from opensearch_jvector_tpu.ops.distances import (
                 batched_candidate_scores,
             )
 
-            scan = pqv.score_scan(qs, simf)
+            scan = _dscan_g(qs, dec, sq, simf)
             top_s, top_i = jax.lax.top_k(scan, K * 5)
             cand = vs[jnp.clip(top_i, 0)]
             exact = batched_candidate_scores(qs, cand, simf)
             s, idx = jax.lax.top_k(exact, K)
             return jnp.take_along_axis(top_i, idx, axis=1), s
 
-        g_ids, _ = g_scan_search(g_queries, g_vectors, g_pqv)
+        g_ids, _ = g_scan_search(g_queries, g_vectors, g_dec, g_sq)
         np.asarray(g_ids)
         gs_ms = timed_batched(
-            lambda qs, vs, pqv: g_scan_search(qs, vs, pqv)[0],
-            g_queries, g_vectors, g_pqv,
+            lambda qs, vs, dec, sq: g_scan_search(qs, vs, dec, sq)[0],
+            g_queries, g_vectors, g_dec, g_sq,
         )
         gs_rec = recall_at_k(np.asarray(g_ids), g_truth, K)
         log(f"gaussian production (scan tier): recall@{K}={gs_rec:.4f}, "
@@ -440,17 +447,22 @@ def main():
         extra["pq_ms_per_query_batched"] = round(pq_ms, 4)
         extra["pq_recall_at_k"] = round(float(pq_rec), 4)
 
-        # Fused-ADC full scan + exact rerank — the production on_disk path
-        # for <=256k-code segments (reader.SCAN_TIER_MAX_CODES): one Pallas
-        # one-hot-matmul kernel on the MXU beats graph traversal at this
-        # scale. TPU-first: brute-force the MXU when it wins.
-        from opensearch_jvector_tpu.models.pq import PQVectors
+        # Decoded-bf16 full scan + exact rerank — the production scan-tier
+        # path for <=256k-code segments (reader._decoded_block_topr): ONE
+        # [Q,d]x[d,N] MXU matmul over the decoded cache. TPU-first:
+        # brute-force the MXU when it wins. (The one-hot Pallas ADC kernel
+        # is the code-only fallback for corpora whose decoded cache cannot
+        # fit HBM; its K=256 contraction does ~64x the FLOPs of this form.)
+        from opensearch_jvector_tpu.index.reader import (
+            _decoded_scan_scores as _dscan_pq,
+        )
 
-        pqv = PQVectors(pq=pq, codes=pq_codes)
+        pq_dec_sq = jnp.einsum("nd,nd->n", pq_dec, pq_dec,
+                               preferred_element_type=jnp.float32)
 
         @jax.jit
-        def scan_search(qs, vs, pqv):
-            scan = pqv.score_scan(qs, simf)
+        def scan_search(qs, vs, dec, sq):
+            scan = _dscan_pq(qs, dec, sq, simf)
             top_s, top_i = jax.lax.top_k(scan, K * 5)
             cand = vs[jnp.clip(top_i, 0)]
             from opensearch_jvector_tpu.ops.distances import (
@@ -461,11 +473,11 @@ def main():
             s, idx = jax.lax.top_k(exact, K)
             return jnp.take_along_axis(top_i, idx, axis=1), s
 
-        ids_scan, _ = scan_search(queries, vectors, pqv)
+        ids_scan, _ = scan_search(queries, vectors, pq_dec, pq_dec_sq)
         np.asarray(ids_scan)
         scan_ms = timed_batched(
-            lambda qs, vs, pv: scan_search(qs, vs, pv)[0],
-            queries, vectors, pqv,
+            lambda qs, vs, dec, sq: scan_search(qs, vs, dec, sq)[0],
+            queries, vectors, pq_dec, pq_dec_sq,
         )
         scan_rec = recall_at_k(np.asarray(ids_scan), truth, K)
         log(f"pq/adc full-scan+rerank batched: {scan_ms:.4f} ms/query, "
@@ -651,6 +663,10 @@ def main():
                + 0.05 * rng10.standard_normal((Q, DIM)).astype(np.float32))
         root = tempfile.mkdtemp(prefix="bench10m_")
         try:
+            # ground truth FIRST, while HBM is clean: its [Q, block] score
+            # slabs don't fit next to the index's resident codes + decoded
+            # cache at 10M (r3 run OOM'd computing GT after the build)
+            t10 = ground_truth_topk(q10, v10, K, simf)
             idx10 = VectorIndex(
                 root,
                 DiskAnnConfig(dim=DIM, mode="on_disk", index_type="flat",
@@ -669,7 +685,6 @@ def main():
             for j in range(3):
                 idx10.search(q10 + (j + 1) * 1e-9, sc10)  # salted
             ms10 = (time.time() - t0) / 3 / Q * 1000.0
-            t10 = ground_truth_topk(q10, v10, K, simf)
             rec10 = recall_at_k(res10.doc_ids, t10, K)
             seg10 = idx10._reader(idx10.segment_names[0]).seg
             hbm_per_vec = (np.asarray(seg10.pqv.codes).shape[1]  # M bytes

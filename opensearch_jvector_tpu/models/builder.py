@@ -305,6 +305,9 @@ class GraphIndexBuilder:
         batch_size: int = 2048,
         seed: int = 42,
         refine_passes: int = 0,
+        score_dtype: str = "fp32",  # "bf16": construction beam scores from
+        # a bf16 corpus copy (half the HBM traffic of the dominant build
+        # phase); prune distances stay fp32, so graph quality holds
     ):
         self.hierarchy_enabled = bool(hierarchy_enabled)
         self.dim = dim
@@ -318,6 +321,9 @@ class GraphIndexBuilder:
         self.batch_size = int(batch_size)
         self.seed = seed
         self.refine_passes = int(refine_passes)
+        if score_dtype not in ("fp32", "bf16"):
+            raise ValueError(f"score_dtype must be fp32|bf16: {score_dtype}")
+        self.score_dtype = score_dtype
         self.counters = BuildCounters()
         self._has_tombstones = False
 
@@ -617,6 +623,12 @@ class GraphIndexBuilder:
             return VamanaGraph.empty(capacity or 0, cap_deg)
         capacity = bucket_capacity(max(capacity or 0, n))
         vectors = pad_rows(jnp.asarray(vectors, jnp.float32), capacity)
+        if pq is None and self.score_dtype == "bf16":
+            # construction-only approximate score source: beam candidates
+            # gather from a bf16 corpus copy (same einsum path as the
+            # decoded-PQ ADC tier); round prune re-scores selected edges
+            # in fp32, so edge choices keep full precision
+            pq = {"decoded": vectors.astype(jnp.bfloat16)}
 
         st = _DeviceAdj(
             jnp.full((capacity, cap_deg), -1, jnp.int32),
@@ -800,6 +812,8 @@ class GraphIndexBuilder:
         live_dev = graph.live
         entry = int(graph.entry)
         vectors = pad_rows(jnp.asarray(vectors, jnp.float32), graph.capacity)
+        if pq is None and self.score_dtype == "bf16":
+            pq = {"decoded": vectors.astype(jnp.bfloat16)}
         # deleted nodes referenced by the loaded adjacency must be masked out
         # of candidate pools during delta inserts. Computed on device (one
         # scalar readback) — downloading the full adjacency over the host

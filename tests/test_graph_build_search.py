@@ -129,3 +129,27 @@ def test_deletes_cleanup(data, graphs):
     ids = ids[ids >= 0]
     assert ids.size > 0
     assert live[ids].all()
+
+
+def test_bf16_scored_build_recall(data):
+    """score_dtype="bf16" builds (half-HBM construction beam) must match
+    fp32-build search quality: prune distances stay fp32, so the graph's
+    edge choices are full precision."""
+    vectors, queries = data
+    simf = SimilarityFunction.EUCLIDEAN
+    b = GraphIndexBuilder(dim=D, max_degree=M, beam_width=48,
+                          batch_size=256, score_dtype="bf16")
+    graph = b.build(vectors, simf)
+    params = SearchParams(k=K, ef_search=96, overquery_factor=5)
+    res = searcher.search(
+        graph.adjacency, graph.live, graph.entry, queries, params, simf,
+        vectors=vectors,
+    )
+    truth = ground_truth_topk(queries, vectors, K, simf)
+    rec = recall_at_k(np.asarray(res.ids), truth, K)
+    assert rec >= 0.90, f"bf16-build recall@{K}={rec:.3f}"
+
+
+def test_score_dtype_validation():
+    with pytest.raises(ValueError):
+        GraphIndexBuilder(dim=D, score_dtype="fp16")
