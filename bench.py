@@ -111,6 +111,11 @@ def main():
             f"({N / build_warm:.0f} vec/s)")
         extra["build_vec_per_s_warm"] = round(N / build_warm, 1)
         extra["merge_full_rebuild_s"] = round(build_warm, 2)
+        # The reference publishes NO build-throughput number (README has
+        # merge-time charts only; the "near-perfect multicore scaling"
+        # claim at README.md:33 is unquantified) — recorded here so the
+        # comparison status is explicit rather than silently absent.
+        extra["build_reference_baseline"] = "none published (charts only)"
 
     params = SearchParams(k=K, ef_search=EF, overquery_factor=5)
 
