@@ -31,7 +31,7 @@ DIM = int(os.environ.get("BENCH_DIM", 128))
 Q = int(os.environ.get("BENCH_Q", 512))
 K = int(os.environ.get("BENCH_K", 10))
 EF = int(os.environ.get("BENCH_EF", 100))
-BATCH = int(os.environ.get("BENCH_BATCH", 2048))
+BATCH = int(os.environ.get("BENCH_BATCH", 16384))
 FULL = os.environ.get("BENCH_FULL", "1") != "0"  # 0 -> headline only
 # "sift": low-effective-dimension synthetic (latent 16 -> DIM linear map +
 # noise), matching the geometry of real image-descriptor sets like

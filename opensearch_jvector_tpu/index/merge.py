@@ -75,7 +75,7 @@ def merge_segments(
     segments: list[Segment],
     out_name: str,
     stats: StatsRegistry = STATS,
-    builder_batch_size: int = 2048,
+    builder_batch_size: int | None = None,  # None -> builder auto-sizes by dim
 ) -> Path:
     """Merge segments into one; incremental when the guards allow."""
     from opensearch_jvector_tpu.utils.profiling import phase
@@ -91,7 +91,7 @@ def _merge_segments_timed(
     segments: list[Segment],
     out_name: str,
     stats: StatsRegistry,
-    builder_batch_size: int,
+    builder_batch_size: int | None,
 ) -> Path:
     t0 = time.monotonic()
     assert segments, "nothing to merge"

@@ -41,7 +41,7 @@ class IndexWriter:
         root: str | Path,
         config: DiskAnnConfig,
         stats: StatsRegistry = STATS,
-        build_batch_size: int = 2048,
+        build_batch_size: int | None = None,  # None -> builder auto-sizes by dim
     ):
         self.root = Path(root)
         self.config = config
