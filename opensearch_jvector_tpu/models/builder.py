@@ -448,6 +448,7 @@ class GraphIndexBuilder:
         chunk = self.batch_size
         e_width = self.extra_width  # constant candidate width (no retrace)
         fn = _make_overflow_prune_fn(simf.value, self.max_degree, self.alpha)
+        pending: list[tuple[np.ndarray, object]] = []
         for s in range(0, node_ids.size, chunk):
             ids = node_ids[s : s + chunk]
             bucket = self._bucket(ids.size)
@@ -466,10 +467,14 @@ class GraphIndexBuilder:
                 jnp.asarray(ids_p, jnp.int32), st.dev, jnp.asarray(ex),
                 vectors,
             )
-            sel = np.asarray(sel)
-            if pad:
-                sel = sel[: ids.size]
-            st.deg[ids] = (sel >= 0).sum(axis=1)
+            pending.append((ids, sel))
+        # ONE host fetch for the whole overflow pass: per-chunk fetches were
+        # the dominant overflow cost through the host link (each sync pays
+        # the full dispatch RTT; the chunks' adjacency updates chain on
+        # device regardless)
+        for ids, sel in pending:
+            sel_np = np.asarray(sel)[: ids.size]
+            st.deg[ids] = (sel_np >= 0).sum(axis=1)
 
     # -- compile pre-warm ----------------------------------------------------
 
