@@ -34,3 +34,21 @@ def test_fused_adc_uint8_codes():
     out = fused_adc_scan(luts, codes, block_n=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-2, atol=4e-3 * 4)
+
+
+def test_exact_topk_wide_matches_lax_topk():
+    import jax
+    import jax.numpy as jnp
+
+    from opensearch_jvector_tpu.ops.topk import exact_topk_wide
+
+    rng = np.random.default_rng(3)
+    for qn, b, k in [(4, 20000, 10), (2, 4096, 5), (3, 12289, 50),
+                     (1, 64, 7)]:
+        s = jnp.asarray(rng.standard_normal((qn, b)), jnp.float32)
+        ws, wi = exact_topk_wide(s, k)
+        ts, ti = jax.lax.top_k(s, min(k, b))
+        np.testing.assert_allclose(np.asarray(ws), np.asarray(ts))
+        # ids may differ on exact score ties; values are the contract
+        got = np.take_along_axis(np.asarray(s), np.asarray(wi), axis=1)
+        np.testing.assert_allclose(got, np.asarray(ts))

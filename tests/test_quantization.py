@@ -212,3 +212,45 @@ def test_scalar_rejected_for_on_disk():
 
     with pytest.raises(ValidationError):
         DiskAnnConfig(dim=32, quantization_type="1bit", mode="on_disk")
+
+
+def test_scalar_churn_delete_merge_retrain(tmp_path):
+    """Scalar-quantized index under churn: interleaved deletes + second
+    flush + force_merge retrains thresholds over the merged live set and
+    keeps recall (the reference's state-cache invalidation contract)."""
+    from opensearch_jvector_tpu.api.config import DiskAnnConfig, SearchConfig
+    from opensearch_jvector_tpu.index.index import VectorIndex
+    from opensearch_jvector_tpu.index.scheduler import (
+        ForceMergesOnlyMergePolicy,
+    )
+
+    dim, n, qn, k = 32, 600, 8, 10
+    rng = np.random.default_rng(9)
+    v = rng.standard_normal((n, dim)).astype(np.float32)
+    q = rng.standard_normal((qn, dim)).astype(np.float32)
+    cfg = DiskAnnConfig(dim=dim, m=8, ef_construction=32,
+                        quantization_type="2bit",
+                        min_batch_size_for_quantization=128)
+    idx = VectorIndex(tmp_path, cfg,
+                      merge_policy=ForceMergesOnlyMergePolicy())
+    idx.add_batch(np.arange(400), v[:400])
+    idx.flush()
+    idx.delete(np.arange(0, 400, 5))
+    idx.add_batch(np.arange(400, 600), v[400:])
+    idx.flush()
+    idx.force_merge()
+    assert len(idx.segment_names) == 1
+
+    live = sorted(set(range(600)) - set(range(0, 400, 5)))
+    live_v = v[live]
+    truth_local = np.argsort(
+        ((q[:, None, :] - live_v[None]) ** 2).sum(-1), axis=1
+    )[:, :k]
+    truth = np.asarray(live, np.int64)[truth_local]
+    res = idx.search(q, SearchConfig(k=k, ef_search=64, overquery_factor=5))
+    hits = 0
+    for i in range(qn):
+        got = {int(d) for d in res.doc_ids[i] if d >= 0}
+        assert not (got & set(range(0, 400, 5))), "deleted doc returned"
+        hits += len(got & set(truth[i].tolist()))
+    assert hits / (qn * k) >= 0.7, f"churn recall {hits/(qn*k):.3f}"

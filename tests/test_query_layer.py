@@ -319,3 +319,16 @@ def test_bulk_vector_readback(small_index):
     np.testing.assert_allclose(vecs[0], v[7], rtol=1e-6)
     np.testing.assert_allclose(vecs[4], v[42], rtol=1e-6)
     assert (vecs[2] == 0).all()
+
+
+def test_mmr_batched_multi_query(small_index):
+    """MMR accepts [Q, d] query batches: the oversampled ANN pass runs as
+    one engine dispatch and each row is reranked independently."""
+    idx, v = small_index
+    qv = np.stack([v[100] + 0.01, v[200] + 0.01])
+    res = mmr.mmr_search(idx, qv, size=5,
+                         params=mmr.MMRParams(diversity=0.5))
+    assert res.doc_ids.shape == (2, 5)
+    assert (res.doc_ids >= 0).all()
+    # rows differ: each query got its own rerank
+    assert set(res.doc_ids[0].tolist()) != set(res.doc_ids[1].tolist())
