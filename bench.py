@@ -201,510 +201,523 @@ def main():
     )
     log(f"batched (batch={Q}): {ms_batched:.4f} ms/query (device)")
 
-    if FULL and not over_budget("per-op section"):
-        # Per-op wall latency (single dispatch per op). Through the axon
-        # host tunnel each dispatch pays the full host<->device RTT, so the
-        # wall number is tunnel-dominated; the device-loop number below is
-        # the JMH-comparable one (query handled adjacent to the chip).
-        ms_b8 = timed_ms_per_query(graph, queries[:8], vectors, iters=20)
-        ms_b1 = timed_ms_per_query(graph, queries[:1], vectors, iters=20)
-        log(f"batch=8 wall: {ms_b8:.4f} ms/op ; batch=1 wall: {ms_b1:.4f} "
-            f"ms/op (incl. host-tunnel dispatch RTT)")
-        extra["search_ms_per_op_batch8_wall"] = round(ms_b8, 4)
-        extra["search_ms_per_op_batch1_wall"] = round(ms_b1, 4)
+    def _full_sections():
+        # every post-headline section runs inside one guard so a
+        # transient device/tunnel failure mid-run cannot swallow the
+        # final JSON line (the driver parses stdout for exactly one)
+        if FULL and not over_budget("per-op section"):
+            # Per-op wall latency (single dispatch per op). Through the axon
+            # host tunnel each dispatch pays the full host<->device RTT, so the
+            # wall number is tunnel-dominated; the device-loop number below is
+            # the JMH-comparable one (query handled adjacent to the chip).
+            ms_b8 = timed_ms_per_query(graph, queries[:8], vectors, iters=20)
+            ms_b1 = timed_ms_per_query(graph, queries[:1], vectors, iters=20)
+            log(f"batch=8 wall: {ms_b8:.4f} ms/op ; batch=1 wall: {ms_b1:.4f} "
+                f"ms/op (incl. host-tunnel dispatch RTT)")
+            extra["search_ms_per_op_batch8_wall"] = round(ms_b8, 4)
+            extra["search_ms_per_op_batch1_wall"] = round(ms_b1, 4)
 
-        # Device-resident serving loop: sequential single-query searches
-        # chained inside ONE program via lax.scan (each iteration's query
-        # is data-dependent on the previous result, so XLA cannot overlap
-        # them). Per-op latency is the SLOPE of wall(iters) between two
-        # chain lengths: dispatch RTT, host fetch, and any client-side
-        # dispatch caching are iteration-count-independent and cancel,
-        # and each dispatch carries a distinct salt so no layer can serve
-        # a cached repeat. (The old fixed-length fori_loop + identical
-        # redispatch formulation under-counted through the axon tunnel —
-        # identical dispatches can be deduped — and its `0.0 * acc`
-        # serializer was algebraically folded, letting XLA hoist the
-        # loop body.)
-        import functools as _ft
+            # Device-resident serving loop: sequential single-query searches
+            # chained inside ONE program via lax.scan (each iteration's query
+            # is data-dependent on the previous result, so XLA cannot overlap
+            # them). Per-op latency is the SLOPE of wall(iters) between two
+            # chain lengths: dispatch RTT, host fetch, and any client-side
+            # dispatch caching are iteration-count-independent and cancel,
+            # and each dispatch carries a distinct salt so no layer can serve
+            # a cached repeat. (The old fixed-length fori_loop + identical
+            # redispatch formulation under-counted through the axon tunnel —
+            # identical dispatches can be deduped — and its `0.0 * acc`
+            # serializer was algebraically folded, letting XLA hoist the
+            # loop body.)
+            import functools as _ft
 
-        import jax as _jax
-        import jax.numpy as _jnp
+            import jax as _jax
+            import jax.numpy as _jnp
 
-        def chained_slope(make_fn, args, lo, hi, reps=6):
-            walls = {}
-            for iters in (lo, hi):
-                fn = make_fn(iters)
-                np.asarray(fn(*args, _jnp.float32(-1.0)))  # compile + warm
-                t0 = time.time()
-                for j in range(reps):
-                    np.asarray(fn(*args, _jnp.float32(j + 1) * 1e-9))
-                walls[iters] = (time.time() - t0) / reps
-            return (walls[hi] - walls[lo]) / (hi - lo) * 1000.0
+            def chained_slope(make_fn, args, lo, hi, reps=6):
+                walls = {}
+                for iters in (lo, hi):
+                    fn = make_fn(iters)
+                    np.asarray(fn(*args, _jnp.float32(-1.0)))  # compile + warm
+                    t0 = time.time()
+                    for j in range(reps):
+                        np.asarray(fn(*args, _jnp.float32(j + 1) * 1e-9))
+                    walls[iters] = (time.time() - t0) / reps
+                return (walls[hi] - walls[lo]) / (hi - lo) * 1000.0
 
-        def make_graph_loop(iters):
-            provider = searcher.make_exact_provider(simf.value)
+            def make_graph_loop(iters):
+                provider = searcher.make_exact_provider(simf.value)
 
-            @_jax.jit
-            def outer(adjacency, live, entry, qpool, vs, salt):
-                def step(carry, x):
-                    # query = pool entry + salt + tiny perturbation from the
-                    # previous result (forces serialization; 1e-6 is below
-                    # any score-relevant scale)
-                    qq = (qpool[x % qpool.shape[0]][None] + salt
-                          + 1e-6 * carry[0].astype(_jnp.float32))
-                    # floor 7 (not 8) measured on v5e: same 0.996 recall at
-                    # the default EF/K, one fewer serial hop
-                    ids, scores, visited, expanded = searcher.beam_search(
-                        adjacency, live, entry, qq, {"vectors": vs}, live,
-                        provider, L=max(EF, K * 5), E=16, R=K * 5,
-                        max_iters=max(7, -(-max(EF, K * 5) // 16)),
+                @_jax.jit
+                def outer(adjacency, live, entry, qpool, vs, salt):
+                    def step(carry, x):
+                        # query = pool entry + salt + tiny perturbation from the
+                        # previous result (forces serialization; 1e-6 is below
+                        # any score-relevant scale)
+                        qq = (qpool[x % qpool.shape[0]][None] + salt
+                              + 1e-6 * carry[0].astype(_jnp.float32))
+                        # floor 7 (not 8) measured on v5e: same 0.996 recall at
+                        # the default EF/K, one fewer serial hop
+                        ids, scores, visited, expanded = searcher.beam_search(
+                            adjacency, live, entry, qq, {"vectors": vs}, live,
+                            provider, L=max(EF, K * 5), E=16, R=K * 5,
+                            max_iters=max(7, -(-max(EF, K * 5) // 16)),
+                        )
+                        top_s, idx = _jax.lax.top_k(scores, K)
+                        sel = _jnp.take_along_axis(ids, idx, axis=1)[0]
+                        return sel, sel[0]
+
+                    _, outs = _jax.lax.scan(
+                        step, _jnp.zeros((K,), _jnp.int32), _jnp.arange(iters)
                     )
-                    top_s, idx = _jax.lax.top_k(scores, K)
-                    sel = _jnp.take_along_axis(ids, idx, axis=1)[0]
-                    return sel, sel[0]
+                    return outs
 
-                _, outs = _jax.lax.scan(
-                    step, _jnp.zeros((K,), _jnp.int32), _jnp.arange(iters)
-                )
-                return outs
+                return outer
 
-            return outer
-
-        dev_ms = chained_slope(
-            make_graph_loop,
-            (graph.adjacency, graph.live, graph.entry, queries[:64],
-             vectors),
-            64, 512,
-        )
-        log(f"batch=1 device-loop (graph tier): {dev_ms:.4f} ms/op "
-            f"(reference jvector fp32 single-op: {BASELINE_MS} ms -> "
-            f"{BASELINE_MS / dev_ms:.2f}x)")
-        extra["search_ms_per_op_batch1_device_graph"] = round(dev_ms, 4)
-
-        # PRODUCTION batch=1 at this scale: the scan tier — the reader's
-        # decoded-bf16 MXU scan (reader._decoded_block_topr) + exact
-        # rerank: a single matmul + top-k, no serial hop chain. (The ADC
-        # LUT kernel is the big-batch formulation; its per-query LUT build
-        # doesn't amortize at Q=1.)
-        from opensearch_jvector_tpu.index.reader import (
-            _decoded_scan_scores as _dscan,
-        )
-        from opensearch_jvector_tpu.models import pq as pq_mod_b1
-        from opensearch_jvector_tpu.ops.distances import (
-            batched_candidate_scores as _bcs,
-        )
-
-        pq_b1 = pq_mod_b1.train_pq(vectors, simf)
-        codes_b1 = pq_mod_b1.encode(pq_b1, vectors, simf)
-        pqv_b1 = pq_mod_b1.PQVectors(pq=pq_b1, codes=codes_b1)
-        dec_b1 = pqv_b1.decode_bf16()
-        dec_sq_b1 = _jnp.einsum("nd,nd->n", dec_b1, dec_b1,
-                                preferred_element_type=_jnp.float32)
-        extra_pq_cache["pq"] = pq_b1
-        extra_pq_cache["codes"] = codes_b1
-
-        def make_scan_loop(iters):
-            @_jax.jit
-            def outer(qpool, vs, dec, dec_sq, salt):
-                def step(carry, x):
-                    qq = (qpool[x % qpool.shape[0]][None] + salt
-                          + 1e-6 * carry[0].astype(_jnp.float32))
-                    scan = _dscan(qq, dec, dec_sq, simf)
-                    top_s, top_i = _jax.lax.top_k(scan, K * 5)
-                    cand = vs[_jnp.clip(top_i, 0)]
-                    exact = _bcs(qq, cand, simf)
-                    s, idx = _jax.lax.top_k(exact, K)
-                    ids = _jnp.take_along_axis(top_i, idx, axis=1)[0]
-                    return ids, ids[0]
-
-                _, outs = _jax.lax.scan(
-                    step, _jnp.zeros((K,), _jnp.int32), _jnp.arange(iters)
-                )
-                return outs
-
-            return outer
-
-        scan_b1_ms = chained_slope(
-            make_scan_loop,
-            (queries[:64], vectors, dec_b1, dec_sq_b1),
-            512, 4096,
-        )
-        log(f"batch=1 device-loop (production scan tier): "
-            f"{scan_b1_ms:.4f} ms/op -> {BASELINE_MS / scan_b1_ms:.2f}x "
-            f"the reference single-op")
-        extra["search_ms_per_op_batch1_device"] = round(scan_b1_ms, 4)
-        extra["vs_baseline_batch1_device"] = round(
-            BASELINE_MS / scan_b1_ms, 2)
-
-    if FULL and not over_budget("gaussian section"):
-        # adversarial i.i.d. gaussian corpus — same shapes, no new compiles
-        gv_np, gq_np = make_data(np.random.default_rng(11), "gaussian", N, Q)
-        g_vectors, g_queries = jnp.asarray(gv_np), jnp.asarray(gq_np)
-        t0 = time.time()
-        g_graph = GraphIndexBuilder(
-            dim=DIM, max_degree=48, beam_width=100, batch_size=BATCH
-        ).build(g_vectors, simf)
-        log(f"gaussian build(warm): {time.time() - t0:.1f}s")
-        g_res = run(g_graph, g_queries, g_vectors)
-        g_truth = ground_truth_topk(g_queries, g_vectors, K, simf)
-        g_rec = recall_at_k(np.asarray(g_res.ids), g_truth, K)
-        g_ms = timed_batched(
-            lambda qs, adj, live, ent, vec: searcher.search(
-                adj, live, ent, qs, params, simf, vectors=vec,
-            ).ids,
-            g_queries, g_graph.adjacency, g_graph.live, g_graph.entry,
-            g_vectors,
-        )
-        log(f"gaussian graph tier: recall@{K}={g_rec:.4f}, "
-            f"{g_ms:.4f} ms/query batched (distance concentration caps "
-            f"graph recall on i.i.d. gaussian; production routes this "
-            f"config through the scan tier below)")
-        extra["gaussian_graph_recall_at_k"] = round(float(g_rec), 4)
-        extra["gaussian_graph_ms_per_query"] = round(g_ms, 4)
-
-        # PRODUCTION path for this config (in-memory PQ <= 256k codes):
-        # the decoded-bf16 scan tier + exact rerank — exactly what
-        # reader._scan_search runs (reader._decoded_block_topr). The
-        # exhaustive approximate phase is immune to distance concentration.
-        from opensearch_jvector_tpu.index.reader import (
-            _decoded_scan_scores as _dscan_g,
-        )
-        from opensearch_jvector_tpu.models import pq as pq_mod
-
-        g_pq = pq_mod.train_pq(g_vectors, simf)
-        g_codes = pq_mod.encode(g_pq, g_vectors, simf)
-        g_pqv = pq_mod.PQVectors(pq=g_pq, codes=g_codes)
-        g_dec = g_pqv.decode_bf16()
-        g_sq = jnp.einsum("nd,nd->n", g_dec, g_dec,
-                          preferred_element_type=jnp.float32)
-
-        @jax.jit
-        def g_scan_search(qs, vs, dec, sq):
-            from opensearch_jvector_tpu.ops.distances import (
-                batched_candidate_scores,
+            dev_ms = chained_slope(
+                make_graph_loop,
+                (graph.adjacency, graph.live, graph.entry, queries[:64],
+                 vectors),
+                64, 512,
             )
+            log(f"batch=1 device-loop (graph tier): {dev_ms:.4f} ms/op "
+                f"(reference jvector fp32 single-op: {BASELINE_MS} ms -> "
+                f"{BASELINE_MS / dev_ms:.2f}x)")
+            extra["search_ms_per_op_batch1_device_graph"] = round(dev_ms, 4)
 
-            scan = _dscan_g(qs, dec, sq, simf)
-            top_s, top_i = jax.lax.top_k(scan, K * 5)
-            cand = vs[jnp.clip(top_i, 0)]
-            exact = batched_candidate_scores(qs, cand, simf)
-            s, idx = jax.lax.top_k(exact, K)
-            return jnp.take_along_axis(top_i, idx, axis=1), s
-
-        g_ids, _ = g_scan_search(g_queries, g_vectors, g_dec, g_sq)
-        np.asarray(g_ids)
-        gs_ms = timed_batched(
-            lambda qs, vs, dec, sq: g_scan_search(qs, vs, dec, sq)[0],
-            g_queries, g_vectors, g_dec, g_sq,
-        )
-        gs_rec = recall_at_k(np.asarray(g_ids), g_truth, K)
-        log(f"gaussian production (scan tier): recall@{K}={gs_rec:.4f}, "
-            f"{gs_ms:.4f} ms/query batched")
-        extra["gaussian_recall_at_k"] = round(float(gs_rec), 4)
-        extra["gaussian_ms_per_query_batched"] = round(gs_ms, 4)
-
-    if FULL and not over_budget("pq section"):
-        # PQ/ADC quantized search on the same corpus: the reference's
-        # quantized mode is its best number (0.194 ms/op @100k, README.md:95).
-        # ADC approximate phase over uint8 codes + fp32 rerank of the top
-        # k*overquery survivors — the production PQ segment path.
-        from opensearch_jvector_tpu.models import pq as pq_mod
-
-        t0 = time.time()
-        if extra_pq_cache:  # trained by the per-op section already
-            pq, pq_codes = extra_pq_cache["pq"], extra_pq_cache["codes"]
-        else:
-            pq = pq_mod.train_pq(vectors, simf)
-            pq_codes = pq_mod.encode(pq, vectors, simf)
-        jax.block_until_ready(pq_codes)
-        log(f"pq train+encode ({pq.num_subspaces} subspaces): "
-            f"{time.time() - t0:.1f}s")
-        extra["pq_train_encode_s"] = round(time.time() - t0, 2)
-
-        # In-graph ADC tier (the production >256k on_disk beam path): beam
-        # candidates scored from the decoded-bf16 cache (row gathers + MXU
-        # einsum; PQVectors.decode_bf16), fp32 rerank of the survivors.
-        t0 = time.time()
-        pq_dec = pq_mod.PQVectors(pq=pq, codes=pq_codes).decode_bf16()
-        jax.block_until_ready(pq_dec)
-        extra["pq_decode_cache_s"] = round(time.time() - t0, 2)
-
-        def run_pq(qs):
-            res = searcher.search(
-                graph.adjacency, graph.live, graph.entry, qs, params, simf,
-                vectors=vectors, pq_decoded=pq_dec,
-            )
-            np.asarray(res.ids)
-            return res
-
-        pq_res = run_pq(queries)
-        pq_rec = recall_at_k(np.asarray(pq_res.ids), truth, K)
-        pq_ms = timed_batched(
-            lambda qs, adj, live, ent, vec, dec: searcher.search(
-                adj, live, ent, qs, params, simf,
-                vectors=vec, pq_decoded=dec,
-            ).ids,
-            queries, graph.adjacency, graph.live, graph.entry, vectors,
-            pq_dec,
-        )
-        log(f"pq/adc graph-beam batched: {pq_ms:.4f} ms/query, "
-            f"recall@{K}={pq_rec:.4f} (reference PQ single-op: 0.194 ms)")
-        extra["pq_ms_per_query_batched"] = round(pq_ms, 4)
-        extra["pq_recall_at_k"] = round(float(pq_rec), 4)
-
-        # Decoded-bf16 full scan + exact rerank — the production scan-tier
-        # path for <=256k-code segments (reader._decoded_block_topr): ONE
-        # [Q,d]x[d,N] MXU matmul over the decoded cache. TPU-first:
-        # brute-force the MXU when it wins. (The one-hot Pallas ADC kernel
-        # is the code-only fallback for corpora whose decoded cache cannot
-        # fit HBM; its K=256 contraction does ~64x the FLOPs of this form.)
-        from opensearch_jvector_tpu.index.reader import (
-            _decoded_scan_scores as _dscan_pq,
-        )
-
-        pq_dec_sq = jnp.einsum("nd,nd->n", pq_dec, pq_dec,
-                               preferred_element_type=jnp.float32)
-
-        @jax.jit
-        def scan_search(qs, vs, dec, sq):
-            scan = _dscan_pq(qs, dec, sq, simf)
-            top_s, top_i = jax.lax.top_k(scan, K * 5)
-            cand = vs[jnp.clip(top_i, 0)]
-            from opensearch_jvector_tpu.ops.distances import (
-                batched_candidate_scores,
-            )
-
-            exact = batched_candidate_scores(qs, cand, simf)
-            s, idx = jax.lax.top_k(exact, K)
-            return jnp.take_along_axis(top_i, idx, axis=1), s
-
-        ids_scan, _ = scan_search(queries, vectors, pq_dec, pq_dec_sq)
-        np.asarray(ids_scan)
-        scan_ms = timed_batched(
-            lambda qs, vs, dec, sq: scan_search(qs, vs, dec, sq)[0],
-            queries, vectors, pq_dec, pq_dec_sq,
-        )
-        scan_rec = recall_at_k(np.asarray(ids_scan), truth, K)
-        log(f"pq/adc full-scan+rerank batched: {scan_ms:.4f} ms/query, "
-            f"recall@{K}={scan_rec:.4f}")
-        extra["pq_scan_ms_per_query_batched"] = round(scan_ms, 4)
-        extra["pq_scan_recall_at_k"] = round(float(scan_rec), 4)
-
-    if FULL and not over_budget("merge section"):
-        # incremental (leading-segment) vs full-rebuild merge: delta-insert
-        # the last 10% into a graph of the first 90% — same [N] program
-        # family as the main build, so this measures steady-state insert.
-        n_delta = N // 10
-        boot_n = min(4096, N - n_delta)
-        inc_builder = GraphIndexBuilder(
-            dim=DIM, max_degree=48, beam_width=100, batch_size=BATCH
-        )
-        g90 = inc_builder.build(
-            vectors[:boot_n], simf, capacity=N
-        )
-        if boot_n < N - n_delta:
-            g90 = inc_builder.add_nodes(
-                g90, vectors, np.arange(boot_n, N - n_delta), simf
-            )
-        t0 = time.time()
-        g_full = inc_builder.add_nodes(
-            g90, vectors, np.arange(N - n_delta, N), simf
-        )
-        jax.block_until_ready(g_full.adjacency)
-        merge_inc = time.time() - t0
-        log(f"incremental merge (delta {n_delta} into {N - n_delta}): "
-            f"{merge_inc:.1f}s vs full rebuild "
-            f"{extra['merge_full_rebuild_s']}s "
-            f"({extra['merge_full_rebuild_s'] / merge_inc:.1f}x)")
-        extra["merge_incremental_s"] = round(merge_inc, 2)
-
-    if FULL and int(os.environ.get("BENCH_GIST", 1)) > 0 \
-            and not over_budget("gist-analog 960d angular section"):
-        # High-dim angular cell (BASELINE config 3: GIST1M 960-d PQ64 +
-        # fused ADC + fp32 rerank; scaled to 100k for the bench budget).
-        # Synthetic GIST-analog: latent-32 angular corpus, cosine space.
-        from opensearch_jvector_tpu.models import pq as pq_mod_g
-        from opensearch_jvector_tpu.ops.distances import (
-            SimilarityFunction as _SF,
-        )
-        from opensearch_jvector_tpu.ops.distances import (
-            batched_candidate_scores as _bcsg,
-        )
-
-        gdim, glat, gn = 960, 32, N
-        grng = np.random.default_rng(41)
-        ga = grng.standard_normal((glat, gdim)).astype(np.float32)
-        ga /= np.sqrt(glat)
-        gv = (grng.standard_normal((gn, glat)).astype(np.float32) @ ga
-              + 0.05 * grng.standard_normal((gn, gdim)).astype(np.float32))
-        gq = (grng.standard_normal((Q, glat)).astype(np.float32) @ ga
-              + 0.05 * grng.standard_normal((Q, gdim)).astype(np.float32))
-        gv_d, gq_d = jnp.asarray(gv), jnp.asarray(gq)
-        cos = _SF.COSINE
-        t0 = time.time()
-        gist_pq = pq_mod_g.train_pq(gv_d, cos, num_subspaces=64)
-        gist_codes = pq_mod_g.encode(gist_pq, gv_d, cos)
-        gist_pqv = pq_mod_g.PQVectors(pq=gist_pq, codes=gist_codes)
-        gist_dec = gist_pqv.decode_bf16()
-        gist_sq = jnp.einsum("nd,nd->n", gist_dec, gist_dec,
-                             preferred_element_type=jnp.float32)
-        jax.block_until_ready(gist_dec)
-        log(f"gist-analog pq64 train+encode+decode (960d): "
-            f"{time.time() - t0:.1f}s")
-
-        @jax.jit
-        def gist_scan(qs, vs, dec, sq):
+            # PRODUCTION batch=1 at this scale: the scan tier — the reader's
+            # decoded-bf16 MXU scan (reader._decoded_block_topr) + exact
+            # rerank: a single matmul + top-k, no serial hop chain. (The ADC
+            # LUT kernel is the big-batch formulation; its per-query LUT build
+            # doesn't amortize at Q=1.)
             from opensearch_jvector_tpu.index.reader import (
-                _decoded_scan_scores,
+                _decoded_scan_scores as _dscan,
+            )
+            from opensearch_jvector_tpu.models import pq as pq_mod_b1
+            from opensearch_jvector_tpu.ops.distances import (
+                batched_candidate_scores as _bcs,
             )
 
-            scan = _decoded_scan_scores(qs, dec, sq, cos)
-            top_s, top_i = jax.lax.top_k(scan, K * 5)
-            cand = vs[jnp.clip(top_i, 0)]
-            exact = _bcsg(qs, cand, cos)
-            s, idx = jax.lax.top_k(exact, K)
-            return jnp.take_along_axis(top_i, idx, axis=1), s
+            pq_b1 = pq_mod_b1.train_pq(vectors, simf)
+            codes_b1 = pq_mod_b1.encode(pq_b1, vectors, simf)
+            pqv_b1 = pq_mod_b1.PQVectors(pq=pq_b1, codes=codes_b1)
+            dec_b1 = pqv_b1.decode_bf16()
+            dec_sq_b1 = _jnp.einsum("nd,nd->n", dec_b1, dec_b1,
+                                    preferred_element_type=_jnp.float32)
+            extra_pq_cache["pq"] = pq_b1
+            extra_pq_cache["codes"] = codes_b1
 
-        gist_ids, _ = gist_scan(gq_d, gv_d, gist_dec, gist_sq)
-        np.asarray(gist_ids)
-        gist_ms = timed_batched(
-            lambda qs, vs, dec, sq: gist_scan(qs, vs, dec, sq)[0],
-            gq_d, gv_d, gist_dec, gist_sq,
-        )
-        gist_truth = ground_truth_topk(gq_d, gv_d, K, cos)
-        gist_rec = recall_at_k(np.asarray(gist_ids), gist_truth, K)
-        log(f"gist-analog 960d angular pq64 scan+rerank: {gist_ms:.4f} "
-            f"ms/query batched, recall@{K}={gist_rec:.4f}")
-        extra["gist960_ms_per_query_batched"] = round(gist_ms, 4)
-        extra["gist960_recall_at_k"] = round(float(gist_rec), 4)
-        del gv_d, gq_d, gist_dec, gist_sq, gist_codes, gist_truth
+            def make_scan_loop(iters):
+                @_jax.jit
+                def outer(qpool, vs, dec, dec_sq, salt):
+                    def step(carry, x):
+                        qq = (qpool[x % qpool.shape[0]][None] + salt
+                              + 1e-6 * carry[0].astype(_jnp.float32))
+                        scan = _dscan(qq, dec, dec_sq, simf)
+                        top_s, top_i = _jax.lax.top_k(scan, K * 5)
+                        cand = vs[_jnp.clip(top_i, 0)]
+                        exact = _bcs(qq, cand, simf)
+                        s, idx = _jax.lax.top_k(exact, K)
+                        ids = _jnp.take_along_axis(top_i, idx, axis=1)[0]
+                        return ids, ids[0]
 
-    if FULL and int(os.environ.get("BENCH_N_TIER1", 1)) > 0 \
-            and not over_budget("1M on_disk graph-tier section"):
-        # The >SCAN_TIER on_disk beam tier at 1M codes: graph + decoded-bf16
-        # ADC cache in HBM, fp32 rows in the native host store for rerank —
-        # the production VectorIndex path end-to-end (VERDICT r02 ask).
-        import gc
-        import shutil
-        import tempfile
+                    _, outs = _jax.lax.scan(
+                        step, _jnp.zeros((K,), _jnp.int32), _jnp.arange(iters)
+                    )
+                    return outs
 
-        from opensearch_jvector_tpu.api.config import (
-            DiskAnnConfig,
-            SearchConfig,
-        )
-        from opensearch_jvector_tpu.index.index import VectorIndex
-        from opensearch_jvector_tpu.index.scheduler import (
-            ForceMergesOnlyMergePolicy,
-        )
+                return outer
 
-        n1 = int(os.environ.get("BENCH_N_TIER1", 1_000_000))
-        v1_np, q1_np = make_data(np.random.default_rng(23), DATA, n1, Q)
-        root = tempfile.mkdtemp(prefix="bench1m_")
-        try:
-            idx1 = VectorIndex(
-                root,
-                DiskAnnConfig(dim=DIM, mode="on_disk",
-                              quantization_type="pq", m=32),
-                merge_policy=ForceMergesOnlyMergePolicy(),
+            scan_b1_ms = chained_slope(
+                make_scan_loop,
+                (queries[:64], vectors, dec_b1, dec_sq_b1),
+                512, 4096,
             )
-            idx1.add_batch(np.arange(n1), v1_np)
+            log(f"batch=1 device-loop (production scan tier): "
+                f"{scan_b1_ms:.4f} ms/op -> {BASELINE_MS / scan_b1_ms:.2f}x "
+                f"the reference single-op")
+            extra["search_ms_per_op_batch1_device"] = round(scan_b1_ms, 4)
+            extra["vs_baseline_batch1_device"] = round(
+                BASELINE_MS / scan_b1_ms, 2)
+
+        if FULL and not over_budget("gaussian section"):
+            # adversarial i.i.d. gaussian corpus — same shapes, no new compiles
+            gv_np, gq_np = make_data(np.random.default_rng(11), "gaussian", N, Q)
+            g_vectors, g_queries = jnp.asarray(gv_np), jnp.asarray(gq_np)
             t0 = time.time()
-            idx1.flush()
-            b1 = time.time() - t0
-            log(f"1M on_disk build (quantize + graph + store): {b1:.1f}s "
-                f"({n1 / b1:.0f} vec/s)")
-            sc1 = SearchConfig(k=K, ef_search=EF)
-            res1 = idx1.search(q1_np, sc1)
-            t0 = time.time()
-            for j in range(3):
-                idx1.search(q1_np + (j + 1) * 1e-9, sc1)  # salted
-            ms1 = (time.time() - t0) / 3 / Q * 1000.0
-            t1m = ground_truth_topk(q1_np, jnp.asarray(v1_np), K, simf)
-            rec1 = recall_at_k(res1.doc_ids, t1m, K)
-            log(f"1M on_disk graph tier: {ms1:.4f} ms/query batched, "
-                f"recall@{K}={rec1:.4f}")
-            extra["1M_build_s"] = round(b1, 1)
-            extra["1M_graph_ms_per_query"] = round(ms1, 4)
-            extra["1M_graph_recall"] = round(float(rec1), 4)
-            del idx1, v1_np, q1_np, t1m
-            gc.collect()
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
-
-    if FULL and int(os.environ.get("BENCH_N_TIER2", 1)) > 0 \
-            and not over_budget("10M flat on_disk section"):
-        # Larger-than-memory tier at 10M x 128d (BASELINE configs 4-5
-        # scale): flat (graph-less) on_disk index — PQ codes + decoded-bf16
-        # cache in HBM, fp32 rows in the native host store; ingest is
-        # quantize + store (no graph build), search is the MXU scan tier +
-        # paged rerank, through the production VectorIndex path.
-        import gc
-        import shutil
-        import tempfile
-
-        from opensearch_jvector_tpu.api.config import (
-            DiskAnnConfig,
-            SearchConfig,
-        )
-        from opensearch_jvector_tpu.index.index import VectorIndex
-        from opensearch_jvector_tpu.index.scheduler import (
-            ForceMergesOnlyMergePolicy,
-        )
-
-        n10 = int(os.environ.get("BENCH_N_TIER2", 10_000_000))
-        rng10 = np.random.default_rng(31)
-        latent = 16
-        a10 = rng10.standard_normal((latent, DIM)).astype(np.float32)
-        a10 /= np.sqrt(latent)
-        v10 = np.empty((n10, DIM), np.float32)
-        blk = 1_000_000
-        for s in range(0, n10, blk):  # blockwise: bounds host temp memory
-            blk_n = min(blk, n10 - s)
-            v10[s:s + blk] = (
-                rng10.standard_normal((blk_n, latent)).astype(np.float32) @ a10
-                + 0.05 * rng10.standard_normal((blk_n, DIM)).astype(np.float32)
+            g_graph = GraphIndexBuilder(
+                dim=DIM, max_degree=48, beam_width=100, batch_size=BATCH
+            ).build(g_vectors, simf)
+            log(f"gaussian build(warm): {time.time() - t0:.1f}s")
+            g_res = run(g_graph, g_queries, g_vectors)
+            g_truth = ground_truth_topk(g_queries, g_vectors, K, simf)
+            g_rec = recall_at_k(np.asarray(g_res.ids), g_truth, K)
+            g_ms = timed_batched(
+                lambda qs, adj, live, ent, vec: searcher.search(
+                    adj, live, ent, qs, params, simf, vectors=vec,
+                ).ids,
+                g_queries, g_graph.adjacency, g_graph.live, g_graph.entry,
+                g_vectors,
             )
-        q10 = (rng10.standard_normal((Q, latent)).astype(np.float32) @ a10
-               + 0.05 * rng10.standard_normal((Q, DIM)).astype(np.float32))
-        root = tempfile.mkdtemp(prefix="bench10m_")
-        try:
-            # ground truth FIRST, while HBM is clean: its [Q, block] score
-            # slabs don't fit next to the index's resident codes + decoded
-            # cache at 10M (r3 run OOM'd computing GT after the build)
-            t10 = ground_truth_topk(q10, v10, K, simf)
-            idx10 = VectorIndex(
-                root,
-                DiskAnnConfig(dim=DIM, mode="on_disk", index_type="flat",
-                              quantization_type="pq"),
-                merge_policy=ForceMergesOnlyMergePolicy(),
+            log(f"gaussian graph tier: recall@{K}={g_rec:.4f}, "
+                f"{g_ms:.4f} ms/query batched (distance concentration caps "
+                f"graph recall on i.i.d. gaussian; production routes this "
+                f"config through the scan tier below)")
+            extra["gaussian_graph_recall_at_k"] = round(float(g_rec), 4)
+            extra["gaussian_graph_ms_per_query"] = round(g_ms, 4)
+
+            # PRODUCTION path for this config (in-memory PQ <= 256k codes):
+            # the decoded-bf16 scan tier + exact rerank — exactly what
+            # reader._scan_search runs (reader._decoded_block_topr). The
+            # exhaustive approximate phase is immune to distance concentration.
+            from opensearch_jvector_tpu.index.reader import (
+                _decoded_scan_scores as _dscan_g,
             )
-            idx10.add_batch(np.arange(n10), v10)
+            from opensearch_jvector_tpu.models import pq as pq_mod
+
+            g_pq = pq_mod.train_pq(g_vectors, simf)
+            g_codes = pq_mod.encode(g_pq, g_vectors, simf)
+            g_pqv = pq_mod.PQVectors(pq=g_pq, codes=g_codes)
+            g_dec = g_pqv.decode_bf16()
+            g_sq = jnp.einsum("nd,nd->n", g_dec, g_dec,
+                              preferred_element_type=jnp.float32)
+
+            @jax.jit
+            def g_scan_search(qs, vs, dec, sq):
+                from opensearch_jvector_tpu.ops.distances import (
+                    batched_candidate_scores,
+                )
+
+                scan = _dscan_g(qs, dec, sq, simf)
+                top_s, top_i = jax.lax.top_k(scan, K * 5)
+                cand = vs[jnp.clip(top_i, 0)]
+                exact = batched_candidate_scores(qs, cand, simf)
+                s, idx = jax.lax.top_k(exact, K)
+                return jnp.take_along_axis(top_i, idx, axis=1), s
+
+            g_ids, _ = g_scan_search(g_queries, g_vectors, g_dec, g_sq)
+            np.asarray(g_ids)
+            gs_ms = timed_batched(
+                lambda qs, vs, dec, sq: g_scan_search(qs, vs, dec, sq)[0],
+                g_queries, g_vectors, g_dec, g_sq,
+            )
+            gs_rec = recall_at_k(np.asarray(g_ids), g_truth, K)
+            log(f"gaussian production (scan tier): recall@{K}={gs_rec:.4f}, "
+                f"{gs_ms:.4f} ms/query batched")
+            extra["gaussian_recall_at_k"] = round(float(gs_rec), 4)
+            extra["gaussian_ms_per_query_batched"] = round(gs_ms, 4)
+
+        if FULL and not over_budget("pq section"):
+            # PQ/ADC quantized search on the same corpus: the reference's
+            # quantized mode is its best number (0.194 ms/op @100k, README.md:95).
+            # ADC approximate phase over uint8 codes + fp32 rerank of the top
+            # k*overquery survivors — the production PQ segment path.
+            from opensearch_jvector_tpu.models import pq as pq_mod
+
             t0 = time.time()
-            idx10.flush()
-            b10 = time.time() - t0
-            log(f"10M flat on_disk ingest (PQ train+encode+store): "
-                f"{b10:.1f}s ({n10 / b10:.0f} vec/s)")
-            sc10 = SearchConfig(k=K, ef_search=EF)
-            res10 = idx10.search(q10, sc10)
+            if extra_pq_cache:  # trained by the per-op section already
+                pq, pq_codes = extra_pq_cache["pq"], extra_pq_cache["codes"]
+            else:
+                pq = pq_mod.train_pq(vectors, simf)
+                pq_codes = pq_mod.encode(pq, vectors, simf)
+            jax.block_until_ready(pq_codes)
+            log(f"pq train+encode ({pq.num_subspaces} subspaces): "
+                f"{time.time() - t0:.1f}s")
+            extra["pq_train_encode_s"] = round(time.time() - t0, 2)
+
+            # In-graph ADC tier (the production >256k on_disk beam path): beam
+            # candidates scored from the decoded-bf16 cache (row gathers + MXU
+            # einsum; PQVectors.decode_bf16), fp32 rerank of the survivors.
             t0 = time.time()
-            for j in range(3):
-                idx10.search(q10 + (j + 1) * 1e-9, sc10)  # salted
-            ms10 = (time.time() - t0) / 3 / Q * 1000.0
-            rec10 = recall_at_k(res10.doc_ids, t10, K)
-            seg10 = idx10._reader(idx10.segment_names[0]).seg
-            hbm_per_vec = (np.asarray(seg10.pqv.codes).shape[1]  # M bytes
-                           + 2 * DIM)  # decoded-bf16 scan cache
-            log(f"10M flat on_disk: {ms10:.4f} ms/query batched, "
-                f"recall@{K}={rec10:.4f}, HBM {hbm_per_vec} B/vec "
-                f"(fp32 rows on host: {4 * DIM} B/vec)")
-            extra["10M_build_s"] = round(b10, 1)
-            extra["10M_ms_per_query"] = round(ms10, 4)
-            extra["10M_recall"] = round(float(rec10), 4)
-            extra["10M_hbm_bytes_per_vector"] = hbm_per_vec
-            del idx10, v10, q10, t10, seg10
-            gc.collect()
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
+            pq_dec = pq_mod.PQVectors(pq=pq, codes=pq_codes).decode_bf16()
+            jax.block_until_ready(pq_dec)
+            extra["pq_decode_cache_s"] = round(time.time() - t0, 2)
+
+            def run_pq(qs):
+                res = searcher.search(
+                    graph.adjacency, graph.live, graph.entry, qs, params, simf,
+                    vectors=vectors, pq_decoded=pq_dec,
+                )
+                np.asarray(res.ids)
+                return res
+
+            pq_res = run_pq(queries)
+            pq_rec = recall_at_k(np.asarray(pq_res.ids), truth, K)
+            pq_ms = timed_batched(
+                lambda qs, adj, live, ent, vec, dec: searcher.search(
+                    adj, live, ent, qs, params, simf,
+                    vectors=vec, pq_decoded=dec,
+                ).ids,
+                queries, graph.adjacency, graph.live, graph.entry, vectors,
+                pq_dec,
+            )
+            log(f"pq/adc graph-beam batched: {pq_ms:.4f} ms/query, "
+                f"recall@{K}={pq_rec:.4f} (reference PQ single-op: 0.194 ms)")
+            extra["pq_ms_per_query_batched"] = round(pq_ms, 4)
+            extra["pq_recall_at_k"] = round(float(pq_rec), 4)
+
+            # Decoded-bf16 full scan + exact rerank — the production scan-tier
+            # path for <=256k-code segments (reader._decoded_block_topr): ONE
+            # [Q,d]x[d,N] MXU matmul over the decoded cache. TPU-first:
+            # brute-force the MXU when it wins. (The one-hot Pallas ADC kernel
+            # is the code-only fallback for corpora whose decoded cache cannot
+            # fit HBM; its K=256 contraction does ~64x the FLOPs of this form.)
+            from opensearch_jvector_tpu.index.reader import (
+                _decoded_scan_scores as _dscan_pq,
+            )
+
+            pq_dec_sq = jnp.einsum("nd,nd->n", pq_dec, pq_dec,
+                                   preferred_element_type=jnp.float32)
+
+            @jax.jit
+            def scan_search(qs, vs, dec, sq):
+                scan = _dscan_pq(qs, dec, sq, simf)
+                top_s, top_i = jax.lax.top_k(scan, K * 5)
+                cand = vs[jnp.clip(top_i, 0)]
+                from opensearch_jvector_tpu.ops.distances import (
+                    batched_candidate_scores,
+                )
+
+                exact = batched_candidate_scores(qs, cand, simf)
+                s, idx = jax.lax.top_k(exact, K)
+                return jnp.take_along_axis(top_i, idx, axis=1), s
+
+            ids_scan, _ = scan_search(queries, vectors, pq_dec, pq_dec_sq)
+            np.asarray(ids_scan)
+            scan_ms = timed_batched(
+                lambda qs, vs, dec, sq: scan_search(qs, vs, dec, sq)[0],
+                queries, vectors, pq_dec, pq_dec_sq,
+            )
+            scan_rec = recall_at_k(np.asarray(ids_scan), truth, K)
+            log(f"pq/adc full-scan+rerank batched: {scan_ms:.4f} ms/query, "
+                f"recall@{K}={scan_rec:.4f}")
+            extra["pq_scan_ms_per_query_batched"] = round(scan_ms, 4)
+            extra["pq_scan_recall_at_k"] = round(float(scan_rec), 4)
+
+        if FULL and not over_budget("merge section"):
+            # incremental (leading-segment) vs full-rebuild merge: delta-insert
+            # the last 10% into a graph of the first 90% — same [N] program
+            # family as the main build, so this measures steady-state insert.
+            n_delta = N // 10
+            boot_n = min(4096, N - n_delta)
+            inc_builder = GraphIndexBuilder(
+                dim=DIM, max_degree=48, beam_width=100, batch_size=BATCH
+            )
+            g90 = inc_builder.build(
+                vectors[:boot_n], simf, capacity=N
+            )
+            if boot_n < N - n_delta:
+                g90 = inc_builder.add_nodes(
+                    g90, vectors, np.arange(boot_n, N - n_delta), simf
+                )
+            t0 = time.time()
+            g_full = inc_builder.add_nodes(
+                g90, vectors, np.arange(N - n_delta, N), simf
+            )
+            jax.block_until_ready(g_full.adjacency)
+            merge_inc = time.time() - t0
+            log(f"incremental merge (delta {n_delta} into {N - n_delta}): "
+                f"{merge_inc:.1f}s vs full rebuild "
+                f"{extra['merge_full_rebuild_s']}s "
+                f"({extra['merge_full_rebuild_s'] / merge_inc:.1f}x)")
+            extra["merge_incremental_s"] = round(merge_inc, 2)
+
+        if FULL and int(os.environ.get("BENCH_GIST", 1)) > 0 \
+                and not over_budget("gist-analog 960d angular section"):
+            # High-dim angular cell (BASELINE config 3: GIST1M 960-d PQ64 +
+            # fused ADC + fp32 rerank; scaled to 100k for the bench budget).
+            # Synthetic GIST-analog: latent-32 angular corpus, cosine space.
+            from opensearch_jvector_tpu.models import pq as pq_mod_g
+            from opensearch_jvector_tpu.ops.distances import (
+                SimilarityFunction as _SF,
+            )
+            from opensearch_jvector_tpu.ops.distances import (
+                batched_candidate_scores as _bcsg,
+            )
+
+            gdim, glat, gn = 960, 32, N
+            grng = np.random.default_rng(41)
+            ga = grng.standard_normal((glat, gdim)).astype(np.float32)
+            ga /= np.sqrt(glat)
+            gv = (grng.standard_normal((gn, glat)).astype(np.float32) @ ga
+                  + 0.05 * grng.standard_normal((gn, gdim)).astype(np.float32))
+            gq = (grng.standard_normal((Q, glat)).astype(np.float32) @ ga
+                  + 0.05 * grng.standard_normal((Q, gdim)).astype(np.float32))
+            gv_d, gq_d = jnp.asarray(gv), jnp.asarray(gq)
+            cos = _SF.COSINE
+            t0 = time.time()
+            gist_pq = pq_mod_g.train_pq(gv_d, cos, num_subspaces=64)
+            gist_codes = pq_mod_g.encode(gist_pq, gv_d, cos)
+            gist_pqv = pq_mod_g.PQVectors(pq=gist_pq, codes=gist_codes)
+            gist_dec = gist_pqv.decode_bf16()
+            gist_sq = jnp.einsum("nd,nd->n", gist_dec, gist_dec,
+                                 preferred_element_type=jnp.float32)
+            jax.block_until_ready(gist_dec)
+            log(f"gist-analog pq64 train+encode+decode (960d): "
+                f"{time.time() - t0:.1f}s")
+
+            @jax.jit
+            def gist_scan(qs, vs, dec, sq):
+                from opensearch_jvector_tpu.index.reader import (
+                    _decoded_scan_scores,
+                )
+
+                scan = _decoded_scan_scores(qs, dec, sq, cos)
+                top_s, top_i = jax.lax.top_k(scan, K * 5)
+                cand = vs[jnp.clip(top_i, 0)]
+                exact = _bcsg(qs, cand, cos)
+                s, idx = jax.lax.top_k(exact, K)
+                return jnp.take_along_axis(top_i, idx, axis=1), s
+
+            gist_ids, _ = gist_scan(gq_d, gv_d, gist_dec, gist_sq)
+            np.asarray(gist_ids)
+            gist_ms = timed_batched(
+                lambda qs, vs, dec, sq: gist_scan(qs, vs, dec, sq)[0],
+                gq_d, gv_d, gist_dec, gist_sq,
+            )
+            gist_truth = ground_truth_topk(gq_d, gv_d, K, cos)
+            gist_rec = recall_at_k(np.asarray(gist_ids), gist_truth, K)
+            log(f"gist-analog 960d angular pq64 scan+rerank: {gist_ms:.4f} "
+                f"ms/query batched, recall@{K}={gist_rec:.4f}")
+            extra["gist960_ms_per_query_batched"] = round(gist_ms, 4)
+            extra["gist960_recall_at_k"] = round(float(gist_rec), 4)
+            del gv_d, gq_d, gist_dec, gist_sq, gist_codes, gist_truth
+
+        if FULL and int(os.environ.get("BENCH_N_TIER1", 1)) > 0 \
+                and not over_budget("1M on_disk graph-tier section"):
+            # The >SCAN_TIER on_disk beam tier at 1M codes: graph + decoded-bf16
+            # ADC cache in HBM, fp32 rows in the native host store for rerank —
+            # the production VectorIndex path end-to-end (VERDICT r02 ask).
+            import gc
+            import shutil
+            import tempfile
+
+            from opensearch_jvector_tpu.api.config import (
+                DiskAnnConfig,
+                SearchConfig,
+            )
+            from opensearch_jvector_tpu.index.index import VectorIndex
+            from opensearch_jvector_tpu.index.scheduler import (
+                ForceMergesOnlyMergePolicy,
+            )
+
+            n1 = int(os.environ.get("BENCH_N_TIER1", 1_000_000))
+            v1_np, q1_np = make_data(np.random.default_rng(23), DATA, n1, Q)
+            root = tempfile.mkdtemp(prefix="bench1m_")
+            try:
+                idx1 = VectorIndex(
+                    root,
+                    DiskAnnConfig(dim=DIM, mode="on_disk",
+                                  quantization_type="pq", m=32),
+                    merge_policy=ForceMergesOnlyMergePolicy(),
+                )
+                idx1.add_batch(np.arange(n1), v1_np)
+                t0 = time.time()
+                idx1.flush()
+                b1 = time.time() - t0
+                log(f"1M on_disk build (quantize + graph + store): {b1:.1f}s "
+                    f"({n1 / b1:.0f} vec/s)")
+                sc1 = SearchConfig(k=K, ef_search=EF)
+                res1 = idx1.search(q1_np, sc1)
+                t0 = time.time()
+                for j in range(3):
+                    idx1.search(q1_np + (j + 1) * 1e-9, sc1)  # salted
+                ms1 = (time.time() - t0) / 3 / Q * 1000.0
+                t1m = ground_truth_topk(q1_np, jnp.asarray(v1_np), K, simf)
+                rec1 = recall_at_k(res1.doc_ids, t1m, K)
+                log(f"1M on_disk graph tier: {ms1:.4f} ms/query batched, "
+                    f"recall@{K}={rec1:.4f}")
+                extra["1M_build_s"] = round(b1, 1)
+                extra["1M_graph_ms_per_query"] = round(ms1, 4)
+                extra["1M_graph_recall"] = round(float(rec1), 4)
+                del idx1, v1_np, q1_np, t1m
+                gc.collect()
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        if FULL and int(os.environ.get("BENCH_N_TIER2", 1)) > 0 \
+                and not over_budget("10M flat on_disk section"):
+            # Larger-than-memory tier at 10M x 128d (BASELINE configs 4-5
+            # scale): flat (graph-less) on_disk index — PQ codes + decoded-bf16
+            # cache in HBM, fp32 rows in the native host store; ingest is
+            # quantize + store (no graph build), search is the MXU scan tier +
+            # paged rerank, through the production VectorIndex path.
+            import gc
+            import shutil
+            import tempfile
+
+            from opensearch_jvector_tpu.api.config import (
+                DiskAnnConfig,
+                SearchConfig,
+            )
+            from opensearch_jvector_tpu.index.index import VectorIndex
+            from opensearch_jvector_tpu.index.scheduler import (
+                ForceMergesOnlyMergePolicy,
+            )
+
+            n10 = int(os.environ.get("BENCH_N_TIER2", 10_000_000))
+            rng10 = np.random.default_rng(31)
+            latent = 16
+            a10 = rng10.standard_normal((latent, DIM)).astype(np.float32)
+            a10 /= np.sqrt(latent)
+            v10 = np.empty((n10, DIM), np.float32)
+            blk = 1_000_000
+            for s in range(0, n10, blk):  # blockwise: bounds host temp memory
+                blk_n = min(blk, n10 - s)
+                v10[s:s + blk] = (
+                    rng10.standard_normal((blk_n, latent)).astype(np.float32) @ a10
+                    + 0.05 * rng10.standard_normal((blk_n, DIM)).astype(np.float32)
+                )
+            q10 = (rng10.standard_normal((Q, latent)).astype(np.float32) @ a10
+                   + 0.05 * rng10.standard_normal((Q, DIM)).astype(np.float32))
+            root = tempfile.mkdtemp(prefix="bench10m_")
+            try:
+                # ground truth FIRST, while HBM is clean: its [Q, block] score
+                # slabs don't fit next to the index's resident codes + decoded
+                # cache at 10M (r3 run OOM'd computing GT after the build)
+                t10 = ground_truth_topk(q10, v10, K, simf)
+                idx10 = VectorIndex(
+                    root,
+                    DiskAnnConfig(dim=DIM, mode="on_disk", index_type="flat",
+                                  quantization_type="pq"),
+                    merge_policy=ForceMergesOnlyMergePolicy(),
+                )
+                idx10.add_batch(np.arange(n10), v10)
+                t0 = time.time()
+                idx10.flush()
+                b10 = time.time() - t0
+                log(f"10M flat on_disk ingest (PQ train+encode+store): "
+                    f"{b10:.1f}s ({n10 / b10:.0f} vec/s)")
+                sc10 = SearchConfig(k=K, ef_search=EF)
+                res10 = idx10.search(q10, sc10)
+                t0 = time.time()
+                for j in range(3):
+                    idx10.search(q10 + (j + 1) * 1e-9, sc10)  # salted
+                ms10 = (time.time() - t0) / 3 / Q * 1000.0
+                rec10 = recall_at_k(res10.doc_ids, t10, K)
+                seg10 = idx10._reader(idx10.segment_names[0]).seg
+                hbm_per_vec = (np.asarray(seg10.pqv.codes).shape[1]  # M bytes
+                               + 2 * DIM)  # decoded-bf16 scan cache
+                log(f"10M flat on_disk: {ms10:.4f} ms/query batched, "
+                    f"recall@{K}={rec10:.4f}, HBM {hbm_per_vec} B/vec "
+                    f"(fp32 rows on host: {4 * DIM} B/vec)")
+                extra["10M_build_s"] = round(b10, 1)
+                extra["10M_ms_per_query"] = round(ms10, 4)
+                extra["10M_recall"] = round(float(rec10), 4)
+                extra["10M_hbm_bytes_per_vector"] = hbm_per_vec
+                del idx10, v10, q10, t10, seg10
+                gc.collect()
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+
+    try:
+        _full_sections()
+    except Exception:
+        import traceback
+        tb = traceback.format_exc()
+        log(f"SECTION CRASH (continuing to emit): {tb[-700:]}")
+        extra["section_crash"] = tb.strip().split(chr(10))[-1][:200]
 
     print(json.dumps({
         "metric": f"search_ms_per_query_batched ({DATA} N={N}, d={DIM}, "
