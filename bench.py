@@ -170,6 +170,18 @@ def main():
             _overhead_s = _tunnel_overhead_s()
             log(f"tunnel dispatch+fetch overhead: {_overhead_s * 1000:.1f} "
                 f"ms (subtracted from chained-batch walls)")
+            # host->device upload bandwidth: bounds every bulk-ingest
+            # number (a real TPU host does multi-GB/s over PCIe; the dev
+            # tunnel measures ~25-44 MB/s)
+            up = np.empty((16 << 20,), np.float32)  # 64MB
+            t0 = time.time()
+            d = jax.device_put(up)
+            np.asarray(d[:1])
+            mbs = 64.0 / (time.time() - t0)
+            del d
+            log(f"host->device upload: {mbs:.0f} MB/s "
+                f"(bulk-ingest numbers are upload-bound at this rate)")
+            extra["host_upload_mb_per_s"] = round(mbs, 1)
 
         @jax.jit
         def outer(qs, salt, *arrays):
