@@ -750,4 +750,21 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException:
+        # Last resort: the driver parses stdout for exactly one JSON line.
+        # If the device/tunnel is down before the headline completes, emit
+        # an explicit error record instead of nothing.
+        import traceback
+
+        tb = traceback.format_exc()
+        log(f"BENCH FAILED before headline: {tb[-700:]}")
+        print(json.dumps({
+            "metric": "bench_failed",
+            "value": 0,
+            "unit": "error",
+            "vs_baseline": 0,
+            "extra": {"error": tb.strip().split(chr(10))[-1][:300]},
+        }))
+        raise SystemExit(1)
