@@ -160,7 +160,7 @@ class ShardedVectorIndex:
             t0 = _t.monotonic()
             try:
                 self._mesh_state = sharded.stack_engine_state(shard_lists)
-            except ValueError:  # NVQ / on_disk / mixed quantization shards
+            except ValueError:  # on_disk / mixed-quantization shards
                 return None
             self._mesh_segments = names
             # churn visibility: every segment-set change re-uploads the

@@ -157,10 +157,18 @@ class ShardedEngineState:
     live: jax.Array  # [D, G, n] bool
     entries: jax.Array  # [D, G] int32
     ord_to_doc: jax.Array  # [D, G, n] int32 (-1 = hole/deleted)
-    vectors: jax.Array  # [D, G, n, d] f32 (rerank + exact source)
+    vectors: jax.Array  # [D, G, n, d] f32 (rerank + exact source;
+    #                     dummy [D, G, 1, d] for NVQ shards — rerank
+    #                     decodes NVQ rows instead)
     pq_codes: jax.Array | None = None  # [D, G, n, Msub] int32
     pq_codebooks: jax.Array | None = None  # [D, G, Msub, K, dsub] f32
     pq_center: jax.Array | None = None  # [D, G, d] f32
+    # NVQ shards ("nvq+pq"): the beam rides the aux PQ above; rerank
+    # decodes these inline codes (reference: NVQ rerank-only provider,
+    # JVectorReader.java:353-366)
+    nvq_bytes: jax.Array | None = None  # [D, G, n, d] u8
+    nvq_params: jax.Array | None = None  # [D, G, n, Mn, 4] f32
+    nvq_mean: jax.Array | None = None  # [D, G, d] f32
 
     @property
     def n_shards(self) -> int:
@@ -178,6 +186,10 @@ class ShardedEngineState:
     def use_pq(self) -> bool:
         return self.pq_codes is not None
 
+    @property
+    def use_nvq(self) -> bool:
+        return self.nvq_bytes is not None
+
 
 def stack_engine_state(segments) -> ShardedEngineState:
     """Stack per-shard segment lists into mesh-ready [D, G, ...] arrays.
@@ -186,9 +198,10 @@ def stack_engine_state(segments) -> ShardedEngineState:
     (multi-segment shards — steady-state ingest with un-merged flushes).
 
     Requirements (caller falls back to the host scatter-gather otherwise):
-    every segment has device-resident fp32 rows (no on_disk row store, no
-    NVQ), and either all or none carry PQ codes with identical codebook
-    shapes. Doc ids must fit int32 (device-side mapping).
+    every segment is device-resident (no on_disk row store) and uniformly
+    quantized — all-fp32, all-PQ (identical codebook shapes), or all-NVQ
+    (aux-PQ beam + NVQ-decoded rerank; identical subvector counts). Doc ids
+    must fit int32 (device-side mapping).
     """
     if segments and not isinstance(segments[0], (list, tuple)):
         shard_lists = [[s] for s in segments]
@@ -200,11 +213,22 @@ def stack_engine_state(segments) -> ShardedEngineState:
     g_max = max(len(lst) for lst in shard_lists)
     n = max(s.capacity() for s in all_segs)
     use_pq = all_segs[0].pqv is not None
+    use_nvq = all_segs[0].nvq is not None
     for s in all_segs:
-        if s.vectors is None or s.row_store is not None or s.nvq is not None:
+        if s.row_store is not None:
+            raise ValueError("mesh path requires device-resident segments")
+        if (s.nvq is not None) != use_nvq:
+            raise ValueError("mesh path requires uniform quantization")
+        if not use_nvq and s.vectors is None:
             raise ValueError("mesh path requires device-resident fp32 rows")
         if (s.pqv is not None) != use_pq:
             raise ValueError("mesh path requires uniform quantization")
+    if use_nvq:
+        if not use_pq:
+            raise ValueError("NVQ segments must carry an aux PQ (nvq+pq)")
+        nsubs = {int(np.asarray(s.nvq.params).shape[1]) for s in all_segs}
+        if len(nsubs) != 1:
+            raise ValueError("mesh path requires identical NVQ subvectors")
     if use_pq:
         shapes = {tuple(np.asarray(s.pqv.pq.codebooks).shape)
                   for s in all_segs}
@@ -229,9 +253,22 @@ def stack_engine_state(segments) -> ShardedEngineState:
         # from its OWN length to the common width
         dpad = n - o2d.shape[0]
         o2d = np.pad(o2d, (0, dpad), constant_values=-1) if dpad else o2d
-        v = np.asarray(s.vectors, np.float32)
-        v = np.pad(v, ((0, pad), (0, 0))) if pad else v
+        if use_nvq:
+            # dummy fp32 row (rerank decodes NVQ codes instead)
+            v = np.zeros((1, dim), np.float32)
+            nb = np.asarray(s.nvq.bytes_, np.uint8)
+            npar = np.asarray(s.nvq.params, np.float32)
+            if pad:
+                nb = np.pad(nb, ((0, pad), (0, 0)))
+                npar = np.pad(npar, ((0, pad), (0, 0), (0, 0)))
+        else:
+            v = np.asarray(s.vectors, np.float32)
+            v = np.pad(v, ((0, pad), (0, 0))) if pad else v
         row = dict(adj=adj, live=live, ent=int(s.graph.entry), o2d=o2d, v=v)
+        if use_nvq:
+            row["nvq_b"] = nb
+            row["nvq_p"] = npar
+            row["nvq_m"] = np.asarray(s.nvq.global_mean, np.float32)
         if use_pq:
             c = np.asarray(s.pqv.codes, np.int32)
             row["codes"] = np.pad(c, ((0, pad), (0, 0))) if pad else c
@@ -241,14 +278,21 @@ def stack_engine_state(segments) -> ShardedEngineState:
 
     m_deg = np.asarray(all_segs[0].graph.adjacency).shape[1]
 
+    nvq_nsub = (int(np.asarray(all_segs[0].nvq.params).shape[1])
+                if use_nvq else 0)
+
     def empty_row():
         row = dict(
             adj=np.full((n, m_deg), -1, np.int32),
             live=np.zeros((n,), bool),
             ent=0,
             o2d=np.full((n,), -1, np.int32),
-            v=np.zeros((n, dim), np.float32),
+            v=np.zeros((1, dim) if use_nvq else (n, dim), np.float32),
         )
+        if use_nvq:
+            row["nvq_b"] = np.zeros((n, dim), np.uint8)
+            row["nvq_p"] = np.zeros((n, nvq_nsub, 4), np.float32)
+            row["nvq_m"] = np.zeros((dim,), np.float32)
         if use_pq:
             msub = cb_shape[0]
             row["codes"] = np.zeros((n, msub), np.int32)
@@ -258,7 +302,8 @@ def stack_engine_state(segments) -> ShardedEngineState:
 
     grids: dict[str, list] = {k: [] for k in
                               ("adj", "live", "ent", "o2d", "v",
-                               "codes", "books", "center")}
+                               "codes", "books", "center",
+                               "nvq_b", "nvq_p", "nvq_m")}
     for lst in shard_lists:
         rows = [seg_rows(s) for s in lst]
         rows += [empty_row() for _ in range(g_max - len(rows))]
@@ -280,13 +325,18 @@ def stack_engine_state(segments) -> ShardedEngineState:
                       if use_pq else None),
         pq_center=(jnp.asarray(np.stack(grids["center"]))
                    if use_pq else None),
+        nvq_bytes=jnp.asarray(np.stack(grids["nvq_b"])) if use_nvq else None,
+        nvq_params=(jnp.asarray(np.stack(grids["nvq_p"]))
+                    if use_nvq else None),
+        nvq_mean=jnp.asarray(np.stack(grids["nvq_m"])) if use_nvq else None,
     )
 
 
 def _full_local_search(adj, live, entry, o2d, accept, queries,
                        vectors, codes, codebooks, center,
+                       nvq_b, nvq_p, nvq_m,
                        params: SearchParams, simf: SimilarityFunction,
-                       use_pq: bool):
+                       use_pq: bool, use_nvq: bool):
     """Complete two-phase search on ONE shard (inside shard_map).
 
     Mirrors models/searcher._make_search_fn (LUT build -> beam -> rerank ->
@@ -320,7 +370,22 @@ def _full_local_search(adj, live, entry, o2d, accept, queries,
         qualify = res_ids >= 0
         if params.rerank_floor > 0.0:
             qualify &= res_scores >= params.rerank_floor
-        cand = vectors[jnp.clip(res_ids, 0)]
+        safe = jnp.clip(res_ids, 0)
+        if use_nvq:
+            # decode the candidates' inline NVQ codes (rerank source —
+            # same as the host searcher's lazy NVQ row decode)
+            from opensearch_jvector_tpu.ops import nvq as nvq_ops
+
+            b = nvq_b[safe]  # [Q, r, d] u8
+            p = nvq_p[safe]  # [Q, r, Mn, 4]
+            mn = p.shape[-2]
+            cand = nvq_ops.nvq_decode(
+                b.reshape(-1, b.shape[-1]),
+                p.reshape(-1, mn, 4),
+                nvq_m, mn,
+            ).reshape(b.shape)
+        else:
+            cand = vectors[safe]
         exact = batched_candidate_scores(queries, cand, simf)
         exact = jnp.where(qualify, exact, -jnp.inf)
         reranked = jnp.sum(qualify, axis=1).astype(jnp.int32)
@@ -355,44 +420,59 @@ def sharded_engine_search(
     if accept is None:
         accept = state.live
     use_pq = state.use_pq
-    # dummy PQ operands keep one code path; XLA drops unused inputs
+    use_nvq = state.use_nvq
+    # dummy PQ/NVQ operands keep one code path; XLA drops unused inputs
     d_sh, g = state.n_shards, state.n_segments
     cod = state.pq_codes if use_pq else jnp.zeros((d_sh, g, 1, 1), jnp.int32)
     cb = (state.pq_codebooks if use_pq
           else jnp.zeros((d_sh, g, 1, 1, 1), jnp.float32))
     ctr = (state.pq_center if use_pq
            else jnp.zeros((d_sh, g, 1), jnp.float32))
-    run = _make_engine_fn(mesh, params, simf, use_pq)
+    nvq_b = (state.nvq_bytes if use_nvq
+             else jnp.zeros((d_sh, g, 1, 1), jnp.uint8))
+    nvq_p = (state.nvq_params if use_nvq
+             else jnp.zeros((d_sh, g, 1, 1, 4), jnp.float32))
+    nvq_m = (state.nvq_mean if use_nvq
+             else jnp.zeros((d_sh, g, 1), jnp.float32))
+    run = _make_engine_fn(mesh, params, simf, use_pq, use_nvq)
     return run(state.adjacency, state.live, state.entries, state.ord_to_doc,
-               state.vectors, accept, cod, cb, ctr, queries)
+               state.vectors, accept, cod, cb, ctr, nvq_b, nvq_p, nvq_m,
+               queries)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_engine_fn(mesh: Mesh, params: SearchParams,
-                    simf: SimilarityFunction, use_pq: bool):
+                    simf: SimilarityFunction, use_pq: bool,
+                    use_nvq: bool = False):
     """Cached jitted program for sharded_engine_search."""
 
-    def shard_fn(adj, liv, ent, o2d, vec, acc, cod, cb, ctr, q):
+    def shard_fn(adj, liv, ent, o2d, vec, acc, cod, cb, ctr,
+                 nvq_b, nvq_p, nvq_m, q):
         # leading shard axis sliced by shard_map -> [G, ...] per device;
         # the shard's segments run via vmap (one fused program per device),
         # then a LOCAL top-k merges the segment lists before the
         # cross-shard merge — shards are whole (multi-segment) indexes.
         adj, liv, o2d, vec, acc = adj[0], liv[0], o2d[0], vec[0], acc[0]
         ent, cod, cb, ctr = ent[0], cod[0], cb[0], ctr[0]
+        nvq_b, nvq_p, nvq_m = nvq_b[0], nvq_p[0], nvq_m[0]
 
         def one_segment(adj_g, liv_g, ent_g, o2d_g, acc_g, vec_g,
-                        cod_g, cb_g, ctr_g):
+                        cod_g, cb_g, ctr_g, nb_g, np_g, nm_g):
             return _full_local_search(
                 adj_g, liv_g, ent_g, o2d_g, acc_g, q, vec_g,
                 cod_g if use_pq else None,
                 cb_g if use_pq else None,
                 ctr_g if use_pq else None,
-                params, simf, use_pq,
+                nb_g if use_nvq else None,
+                np_g if use_nvq else None,
+                nm_g if use_nvq else None,
+                params, simf, use_pq, use_nvq,
             )
 
         docs_g, scores_g, visited, expanded, reranked = jax.vmap(
             one_segment
-        )(adj, liv, ent, o2d, acc, vec, cod, cb, ctr)  # [G, Q, k]
+        )(adj, liv, ent, o2d, acc, vec, cod, cb, ctr,
+          nvq_b, nvq_p, nvq_m)  # [G, Q, k]
 
         qn = q.shape[0]
         flat_docs = jnp.transpose(docs_g, (1, 0, 2)).reshape(qn, -1)
@@ -408,7 +488,8 @@ def _make_engine_fn(mesh: Mesh, params: SearchParams,
         shard_fn,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                  P(AXIS), P(AXIS), P(AXIS), P()),
+                  P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P()),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
     )
 
@@ -417,10 +498,10 @@ def _make_engine_fn(mesh: Mesh, params: SearchParams,
     # the final top-k (see sharded_search for why not manual all_gather).
     @jax.jit
     def run(adjacency, live, entries, o2d, vectors, accept, cod, cb, ctr,
-            queries):
+            nvq_b, nvq_p, nvq_m, queries):
         all_docs, all_scores, counters = fn(
             adjacency, live, entries, o2d, vectors, accept, cod, cb, ctr,
-            queries,
+            nvq_b, nvq_p, nvq_m, queries,
         )  # [D, Q, k], [D, Q, k], [D, 3]
         qn = queries.shape[0]
         flat_docs = jnp.transpose(all_docs, (1, 0, 2)).reshape(qn, -1)
@@ -463,6 +544,25 @@ def dryrun_engine(mesh: Mesh, n_devices: int) -> None:
     jax.block_until_ready(docs)
     assert docs.shape == (4, kq) and counters.shape == (n_devices, 3)
     assert int(jnp.max(docs)) < d_sh * g * n
+
+    # NVQ shards: aux-PQ beam + NVQ-decoded rerank on the mesh
+    params_nvq = np.zeros((d_sh, g, n, 2, 4), np.float32)
+    params_nvq[..., 0], params_nvq[..., 1] = 4.0, 0.5  # growthRate, midpoint
+    params_nvq[..., 2], params_nvq[..., 3] = -3.0, 3.0  # min, max
+    nvq_state = dataclasses.replace(
+        state,
+        vectors=jnp.zeros((d_sh, g, 1, dim), jnp.float32),
+        nvq_bytes=jnp.asarray(
+            rng.integers(0, 256, size=(d_sh, g, n, dim)).astype(np.uint8)),
+        nvq_params=jnp.asarray(params_nvq),
+        nvq_mean=jnp.zeros((d_sh, g, dim), jnp.float32),
+    )
+    docs2, _, _ = sharded_engine_search(
+        mesh, nvq_state, queries, SearchParams(k=kq, ef_search=32),
+        SimilarityFunction.EUCLIDEAN,
+    )
+    jax.block_until_ready(docs2)
+    assert docs2.shape == (4, kq)
 
 
 def build_sharded(

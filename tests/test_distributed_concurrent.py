@@ -169,6 +169,51 @@ def test_mesh_multi_segment_shards_match_host_path(tmp_path):
     assert stats["knn_mesh_restack_count"] >= n_shards
 
 
+def test_mesh_nvq_shards_match_host_path(tmp_path):
+    """NVQ ("nvq+pq") shards serve on the mesh: the beam rides the aux PQ,
+    rerank decodes the inline NVQ codes on-device. Must agree with the host
+    path (which uses the same provider composition)."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    n = 1200
+    v = _vectors(n, seed=31)
+    cfg = _cfg(quantization_type="nvq+pq", num_pq_subspaces=8,
+               min_batch_size_for_quantization=64)
+    n_shards = 4
+    mesh = sharded.make_mesh(jax.devices()[:n_shards])
+    idx = ShardedVectorIndex(tmp_path, cfg, n_shards=n_shards, mesh=mesh)
+    for i in range(n):
+        idx.add(i, v[i])
+    idx.flush()
+    for shard in idx.shards:  # inline NVQ + aux PQ on every shard
+        seg = shard._reader(shard.segment_names[0]).seg
+        assert seg.nvq is not None and seg.pqv is not None
+        assert seg.vectors is None  # NVQ replaces fp32 inline rows
+
+    q = _vectors(16, seed=32)
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+    sc = SearchConfig(k=10, ef_search=64)
+    res_mesh = idx.search(q, sc)
+    assert idx._mesh_state is not None, "mesh path did not run"
+    assert idx._mesh_state.use_nvq and idx._mesh_state.use_pq
+    rec_mesh = recall_at_k(res_mesh.doc_ids, truth, 10)
+
+    idx_host = ShardedVectorIndex(tmp_path)  # reopened: no mesh
+    res_host = idx_host.search(q, sc)
+    rec_host = recall_at_k(res_host.doc_ids, truth, 10)
+    assert rec_mesh >= 0.85, rec_mesh  # NVQ rerank is lossy vs fp32
+    assert abs(rec_mesh - rec_host) <= 0.05, (rec_mesh, rec_host)
+    assert res_mesh.reranked > 0  # NVQ rerank ran on-mesh
+
+    # tombstones stay masked through the NVQ mesh program
+    top0 = int(res_mesh.doc_ids[0, 0])
+    idx.delete([top0])
+    res2 = idx.search(q, sc)
+    assert top0 not in res2.doc_ids[0].tolist()
+
+
 def test_sharded_index_reopen(tmp_path):
     v = _vectors(200, seed=2)
     idx = ShardedVectorIndex(tmp_path, _cfg(), n_shards=2)
