@@ -38,6 +38,9 @@ class Counter(Enum):
     # counter records the stall so operators can see churn cost
     KNN_MESH_RESTACK_COUNT = "knn_mesh_restack_count"
     KNN_MESH_RESTACK_TIME = "knn_mesh_restack_time"
+    # incremental restacks: only changed shards re-stacked (device-side
+    # slice writes instead of a full-corpus host re-upload)
+    KNN_MESH_RESTACK_PARTIAL_COUNT = "knn_mesh_restack_partial_count"
 
 
 class StatsRegistry:

@@ -203,6 +203,28 @@ def stack_engine_state(segments) -> ShardedEngineState:
     (aux-PQ beam + NVQ-decoded rerank; identical subvector counts). Doc ids
     must fit int32 (device-side mapping).
     """
+    shard_lists, mode = _stack_mode(segments)
+    grids = [_shard_grid(lst, mode) for lst in shard_lists]
+    stacked = {k: np.stack([g[k] for g in grids])
+               for k in grids[0] if grids[0][k] is not None}
+    use_pq, use_nvq = mode["use_pq"], mode["use_nvq"]
+    return ShardedEngineState(
+        adjacency=jnp.asarray(stacked["adj"]),
+        live=jnp.asarray(stacked["live"]),
+        entries=jnp.asarray(stacked["ent"]),
+        ord_to_doc=jnp.asarray(stacked["o2d"]),
+        vectors=jnp.asarray(stacked["v"]),
+        pq_codes=jnp.asarray(stacked["codes"]) if use_pq else None,
+        pq_codebooks=jnp.asarray(stacked["books"]) if use_pq else None,
+        pq_center=jnp.asarray(stacked["center"]) if use_pq else None,
+        nvq_bytes=jnp.asarray(stacked["nvq_b"]) if use_nvq else None,
+        nvq_params=jnp.asarray(stacked["nvq_p"]) if use_nvq else None,
+        nvq_mean=jnp.asarray(stacked["nvq_m"]) if use_nvq else None,
+    )
+
+
+def _stack_mode(segments):
+    """Validate segment lists and compute the stacked-shape parameters."""
     if segments and not isinstance(segments[0], (list, tuple)):
         shard_lists = [[s] for s in segments]
     else:
@@ -223,6 +245,7 @@ def stack_engine_state(segments) -> ShardedEngineState:
             raise ValueError("mesh path requires device-resident fp32 rows")
         if (s.pqv is not None) != use_pq:
             raise ValueError("mesh path requires uniform quantization")
+    cb_shape = None
     if use_nvq:
         if not use_pq:
             raise ValueError("NVQ segments must carry an aux PQ (nvq+pq)")
@@ -235,7 +258,22 @@ def stack_engine_state(segments) -> ShardedEngineState:
         if len(shapes) != 1:
             raise ValueError("mesh path requires identical codebook shapes")
         cb_shape = next(iter(shapes))
-    dim = all_segs[0].config.dim
+    mode = dict(
+        g_max=g_max, n=n, use_pq=use_pq, use_nvq=use_nvq, cb_shape=cb_shape,
+        dim=all_segs[0].config.dim,
+        m_deg=np.asarray(all_segs[0].graph.adjacency).shape[1],
+        nvq_nsub=(int(np.asarray(all_segs[0].nvq.params).shape[1])
+                  if use_nvq else 0),
+    )
+    return shard_lists, mode
+
+
+def _shard_grid(lst, mode):
+    """Stack ONE shard's segments (+ empty pad slots) -> dict of np arrays
+    with a leading [G] axis (keys match ShardedEngineState fields)."""
+    n, g_max = mode["n"], mode["g_max"]
+    use_pq, use_nvq = mode["use_pq"], mode["use_nvq"]
+    dim, m_deg = mode["dim"], mode["m_deg"]
 
     def seg_rows(s):
         cap = s.capacity()
@@ -276,11 +314,6 @@ def stack_engine_state(segments) -> ShardedEngineState:
             row["center"] = np.asarray(s.pqv.pq.center, np.float32)
         return row
 
-    m_deg = np.asarray(all_segs[0].graph.adjacency).shape[1]
-
-    nvq_nsub = (int(np.asarray(all_segs[0].nvq.params).shape[1])
-                if use_nvq else 0)
-
     def empty_row():
         row = dict(
             adj=np.full((n, m_deg), -1, np.int32),
@@ -291,45 +324,94 @@ def stack_engine_state(segments) -> ShardedEngineState:
         )
         if use_nvq:
             row["nvq_b"] = np.zeros((n, dim), np.uint8)
-            row["nvq_p"] = np.zeros((n, nvq_nsub, 4), np.float32)
+            row["nvq_p"] = np.zeros((n, mode["nvq_nsub"], 4), np.float32)
             row["nvq_m"] = np.zeros((dim,), np.float32)
         if use_pq:
-            msub = cb_shape[0]
-            row["codes"] = np.zeros((n, msub), np.int32)
+            cb_shape = mode["cb_shape"]
+            row["codes"] = np.zeros((n, cb_shape[0]), np.int32)
             row["books"] = np.zeros(cb_shape, np.float32)
             row["center"] = np.zeros((dim,), np.float32)
         return row
 
-    grids: dict[str, list] = {k: [] for k in
-                              ("adj", "live", "ent", "o2d", "v",
-                               "codes", "books", "center",
-                               "nvq_b", "nvq_p", "nvq_m")}
-    for lst in shard_lists:
-        rows = [seg_rows(s) for s in lst]
-        rows += [empty_row() for _ in range(g_max - len(rows))]
-        for key in grids:
-            if rows[0].get(key) is None:
-                continue
-            grids[key].append(np.stack([r[key] for r in rows])
-                              if key != "ent"
-                              else np.asarray([r[key] for r in rows],
-                                              np.int32))
-    return ShardedEngineState(
-        adjacency=jnp.asarray(np.stack(grids["adj"])),
-        live=jnp.asarray(np.stack(grids["live"])),
-        entries=jnp.asarray(np.stack(grids["ent"])),
-        ord_to_doc=jnp.asarray(np.stack(grids["o2d"])),
-        vectors=jnp.asarray(np.stack(grids["v"])),
-        pq_codes=jnp.asarray(np.stack(grids["codes"])) if use_pq else None,
-        pq_codebooks=(jnp.asarray(np.stack(grids["books"]))
-                      if use_pq else None),
-        pq_center=(jnp.asarray(np.stack(grids["center"]))
-                   if use_pq else None),
-        nvq_bytes=jnp.asarray(np.stack(grids["nvq_b"])) if use_nvq else None,
-        nvq_params=(jnp.asarray(np.stack(grids["nvq_p"]))
-                    if use_nvq else None),
-        nvq_mean=jnp.asarray(np.stack(grids["nvq_m"])) if use_nvq else None,
-    )
+    rows = [seg_rows(s) for s in lst]
+    rows += [empty_row() for _ in range(g_max - len(rows))]
+    out = {}
+    for key in ("adj", "live", "ent", "o2d", "v",
+                "codes", "books", "center", "nvq_b", "nvq_p", "nvq_m"):
+        if rows[0].get(key) is None:
+            out[key] = None
+        elif key == "ent":
+            out[key] = np.asarray([r[key] for r in rows], np.int32)
+        else:
+            out[key] = np.stack([r[key] for r in rows])
+    return out
+
+
+# grid key -> ShardedEngineState field
+_GRID_FIELDS = dict(
+    adj="adjacency", live="live", ent="entries", o2d="ord_to_doc",
+    v="vectors", codes="pq_codes", books="pq_codebooks", center="pq_center",
+    nvq_b="nvq_bytes", nvq_p="nvq_params", nvq_m="nvq_mean",
+)
+
+
+@jax.jit
+def _slice_set(arr, idx, new):
+    # donate_argnums would force a copy anyway on backends without aliasing;
+    # XLA fuses the scatter either way and the copy stays device-side
+    return arr.at[idx].set(new)
+
+
+def restack_engine_state(prev_state: ShardedEngineState, prev_names,
+                         segments, names):
+    """Incremental re-stack: rebuild only shards whose segment-name list
+    changed, writing their [G, ...] slices into the previous state's device
+    arrays (device-side copies — no full-corpus host re-upload).
+
+    Falls back to a full `stack_engine_state` when the stacked global
+    shape parameters (segment slots, capacity, quantization mode, degree,
+    codebook/NVQ shapes) differ from the previous state's.
+
+    Returns (state, rebuilt_shards) where rebuilt_shards == n_shards means
+    a full restack.
+    """
+    shard_lists, mode = _stack_mode(segments)
+    d_sh = len(shard_lists)
+    state = prev_state
+    full = prev_state is None or prev_names is None
+    if not full:
+        cb = (tuple(prev_state.pq_codebooks.shape[2:])
+              if prev_state.use_pq else None)
+        full = (
+            d_sh != prev_state.n_shards
+            or len(prev_names) != d_sh
+            or mode["g_max"] != prev_state.n_segments
+            or mode["n"] != prev_state.n_local
+            or mode["use_pq"] != prev_state.use_pq
+            or mode["use_nvq"] != prev_state.use_nvq
+            or mode["m_deg"] != prev_state.adjacency.shape[3]
+            or mode["dim"] != prev_state.vectors.shape[-1]
+            or (mode["use_pq"] and mode["cb_shape"] != cb)
+            or (mode["use_nvq"]
+                and mode["nvq_nsub"] != prev_state.nvq_params.shape[-2])
+        )
+    if full:
+        return stack_engine_state(segments), d_sh
+    changed = [d for d in range(d_sh) if names[d] != prev_names[d]]
+    if not changed:
+        return prev_state, 0
+    if len(changed) == d_sh:
+        return stack_engine_state(segments), d_sh
+    grids = [_shard_grid(shard_lists[d], mode) for d in changed]
+    idx = jnp.asarray(np.asarray(changed, np.int32))
+    updates = {}
+    for key, field in _GRID_FIELDS.items():
+        if grids[0][key] is None:
+            continue
+        cur = getattr(state, field)
+        new = jnp.asarray(np.stack([g[key] for g in grids]))
+        updates[field] = _slice_set(cur, idx, new)
+    return dataclasses.replace(state, **updates), len(changed)
 
 
 def _full_local_search(adj, live, entry, o2d, accept, queries,

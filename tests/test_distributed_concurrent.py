@@ -169,6 +169,60 @@ def test_mesh_multi_segment_shards_match_host_path(tmp_path):
     assert stats["knn_mesh_restack_count"] >= n_shards
 
 
+def test_mesh_partial_restack_one_shard_changed(tmp_path):
+    """When one shard's segment set changes but the stacked shapes hold
+    (same slot count / capacity / mode), only that shard is re-stacked:
+    the restack is device-side slice writes, not a full-corpus re-upload,
+    and results still agree with the host path."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    n_shards = 4
+    half = 256 * n_shards  # 256/shard: uniform PQ codebooks (K=min(256,n))
+    n_total = 2 * half
+    v = _vectors(n_total, seed=41)
+    cfg = _cfg(quantization_type="pq", num_pq_subspaces=8,
+               min_batch_size_for_quantization=64)
+    mesh = sharded.make_mesh(jax.devices()[:n_shards])
+    idx = ShardedVectorIndex(tmp_path, cfg, n_shards=n_shards, mesh=mesh)
+    for i in range(half):  # 256/shard -> capacity bucket 256 everywhere
+        idx.add(i, v[i])
+    idx.flush()
+    for i in range(half, n_total):  # 256/shard second segment
+        idx.add(i, v[i])
+    idx.flush()
+
+    q = _vectors(8, seed=42)
+    sc = SearchConfig(k=10, ef_search=64)
+    idx.search(q, sc)
+    assert idx._mesh_state is not None, "mesh path did not run"
+    assert idx._mesh_state.n_segments == 2
+    n_local = idx._mesh_state.n_local
+
+    # empty shard 0's big first segment, then merge ONLY that shard: the
+    # merged segment (64 live docs) fits a smaller bucket, other shards
+    # keep 2 segments -> g_max and n are unchanged -> partial restack
+    deleted = list(range(0, half, n_shards))  # shard 0's first-flush docs
+    idx.delete(deleted)
+    idx.shards[0].force_merge()
+    res = idx.search(q, sc)
+    assert idx._mesh_state is not None, "mesh path dropped after merge"
+    assert idx._mesh_state.n_local == n_local  # shapes really held
+    stats = idx.stats()
+    assert stats["knn_mesh_restack_partial_count"] >= n_shards  # 1/registry
+
+    vv = v.copy()
+    vv[deleted] = 1e6  # deleted docs cannot be neighbors
+    truth = ground_truth_topk(q, vv, 10, SimilarityFunction.EUCLIDEAN)
+    rec_mesh = recall_at_k(res.doc_ids, truth, 10)
+    assert not np.isin(res.doc_ids, deleted).any()
+    idx_host = ShardedVectorIndex(tmp_path)  # reopened: no mesh
+    rec_host = recall_at_k(idx_host.search(q, sc).doc_ids, truth, 10)
+    assert rec_mesh >= 0.85, rec_mesh
+    assert abs(rec_mesh - rec_host) <= 0.05, (rec_mesh, rec_host)
+
+
 def test_mesh_nvq_shards_match_host_path(tmp_path):
     """NVQ ("nvq+pq") shards serve on the mesh: the beam rides the aux PQ,
     rerank decodes the inline NVQ codes on-device. Must agree with the host
@@ -305,25 +359,25 @@ def test_compute_pools():
     assert pools is ComputePools.instance()  # singleton
 
 
-def test_mesh_falls_back_to_host_loop_for_nvq_shards(tmp_path):
-    """NVQ shards cannot stack onto the mesh (no device-resident fp32):
-    ShardedVectorIndex must silently serve through the host scatter-gather
-    with identical result semantics."""
+def test_mesh_falls_back_to_host_loop_for_on_disk_shards(tmp_path):
+    """on_disk shards cannot stack onto the mesh (fp32 rows page from the
+    host row store): ShardedVectorIndex must silently serve through the
+    host scatter-gather with identical result semantics."""
     import jax
 
     from opensearch_jvector_tpu.parallel import sharded
 
     n = 600
     v = _vectors(n, seed=9)
-    cfg = _cfg(quantization_type="nvq+pq", num_pq_subspaces=8,
-               min_batch_size_for_quantization=64, nvq_num_subvectors=2)
+    cfg = _cfg(quantization_type="pq", num_pq_subspaces=8,
+               min_batch_size_for_quantization=64, mode="on_disk")
     mesh = sharded.make_mesh(jax.devices()[:2])
     idx = ShardedVectorIndex(tmp_path, cfg, n_shards=2, mesh=mesh)
     for i in range(n):
         idx.add(i, v[i])
     idx.flush()
-    for shard in idx.shards:  # really NVQ segments
-        assert shard._reader(shard._segments[0]).seg.nvq is not None
+    for shard in idx.shards:  # rows really live in the host store
+        assert shard._reader(shard._segments[0]).seg.row_store is not None
 
     q = _vectors(8, seed=10)
     truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
