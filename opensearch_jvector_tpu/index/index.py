@@ -279,6 +279,22 @@ class VectorIndex:
             total += int(ok.sum())
         return total
 
+    def live_doc_ids(self) -> np.ndarray:
+        """Live doc ids from the cached docmaps + tombstone sets (no device
+        upload — same source as doc_count). Used by multi-field indexes to
+        count the doc-id UNION across per-field sub-indexes."""
+        out = []
+        for name in self.segment_names:
+            docs = self._segment_docs(name)
+            ok = docs >= 0
+            dead = self.deleted_docs_for(name)
+            if dead:
+                ok &= ~np.isin(docs, np.fromiter(dead, np.int64))
+            out.append(docs[ok])
+        if not out:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(out))
+
     def has_nested(self) -> bool:
         """True when any segment carries nested (parent-tagged) vectors."""
         return any(

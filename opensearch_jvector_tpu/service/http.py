@@ -38,13 +38,20 @@ from opensearch_jvector_tpu.query.builder import parse_knn_query
 
 
 class IndexManager:
-    """Registry of named indices (one knn_vector field each, v1)."""
+    """Registry of named indices.
+
+    An index may map SEVERAL knn_vector fields, each with its own method
+    parameters — the per-field format dispatch of the reference
+    (KNN9120PerFieldKnnVectorsFormat.java:39-79: every field gets its own
+    KnnVectorsFormat and its own segment files). Here every field owns an
+    independent VectorIndex under `{root}/{index}/{field}`; documents may
+    omit any subset of fields (missing-field semantics)."""
 
     def __init__(self, root: str | Path):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self._lock = threading.Lock()
-        self._indices: dict[str, tuple[VectorIndex, str]] = {}
+        self._indices: dict[str, dict[str, VectorIndex]] = {}
 
     def create(self, name: str, mappings: dict) -> dict:
         props = (mappings or {}).get("properties") or {}
@@ -52,21 +59,25 @@ class IndexManager:
             (f, m) for f, m in props.items()
             if isinstance(m, dict) and m.get("type") == "knn_vector"
         ]
-        if len(knn_fields) != 1:
+        if not knn_fields:
             raise ValidationError(
-                "exactly one knn_vector field per index is supported"
+                "index mapping needs at least one knn_vector field"
             )
-        field, fmap = knn_fields[0]
-        config, extras = parse_knn_vector_mapping(fmap)
+        parsed = {f: parse_knn_vector_mapping(m) for f, m in knn_fields}
         with self._lock:
             if name in self._indices:
                 raise ValidationError(f"index {name} already exists")
-            idx = VectorIndex(self.root / name, config)
-            self._indices[name] = (idx, field)
-        return {"acknowledged": True, "index": name, "field": field,
-                "mode": extras["mode"]}
+            self._indices[name] = {
+                f: VectorIndex(self.root / name / f, config)
+                for f, (config, _) in parsed.items()
+            }
+        first = knn_fields[0][0]
+        return {"acknowledged": True, "index": name, "field": first,
+                "fields": [f for f, _ in knn_fields],
+                "mode": parsed[first][1]["mode"]}
 
-    def get(self, name: str) -> tuple[VectorIndex, str]:
+    def get(self, name: str) -> dict[str, VectorIndex]:
+        """name -> {field: VectorIndex} (insertion-ordered)."""
         with self._lock:
             if name not in self._indices:
                 raise KeyError(name)
@@ -114,8 +125,16 @@ def _make_handler(mgr: IndexManager):
                     return self._send(200, {"nodes": {"local": snap}})
                 m = re.fullmatch(r"/([\w.-]+)/_count", self.path)
                 if m:
-                    idx, _ = mgr.get(m.group(1))
-                    return self._send(200, {"count": idx.doc_count()})
+                    fields = mgr.get(m.group(1))
+                    idxs = list(fields.values())
+                    if len(idxs) == 1:
+                        count = idxs[0].doc_count()
+                    else:  # docs may span fields: count the doc-id UNION
+                        ids = np.concatenate(
+                            [i.live_doc_ids() for i in idxs]
+                        )
+                        count = int(np.unique(ids).size)
+                    return self._send(200, {"count": count})
                 self._error(404, f"no route for GET {self.path}")
             except KeyError as e:
                 self._error(404, f"no such index {e}")
@@ -140,8 +159,8 @@ def _make_handler(mgr: IndexManager):
                 m = re.fullmatch(r"/([\w.-]+)/_doc/(\d+)", self.path)
                 if not m:
                     return self._error(404, f"no route for DELETE {self.path}")
-                idx, _ = mgr.get(m.group(1))
-                idx.delete(int(m.group(2)))
+                for idx in mgr.get(m.group(1)).values():
+                    idx.delete(int(m.group(2)))
                 self._send(200, {"result": "deleted"})
             except KeyError as e:
                 self._error(404, f"no such index {e}")
@@ -152,27 +171,41 @@ def _make_handler(mgr: IndexManager):
             try:
                 path = self.path
                 if m := re.fullmatch(r"/([\w.-]+)/_doc/(\d+)", path):
-                    idx, field = mgr.get(m.group(1))
+                    fields = mgr.get(m.group(1))
                     body = self._body()
-                    if field not in body:
-                        return self._error(400, f"missing field {field}")
-                    idx.add(int(m.group(2)), np.asarray(body[field], np.float32))
+                    # a doc may carry any non-empty subset of the mapped
+                    # fields (missing-field semantics: the doc simply has
+                    # no vector in the omitted fields' indexes)
+                    present = [f for f in fields if f in body]
+                    if not present:
+                        return self._error(
+                            400, f"doc has none of the mapped fields "
+                                 f"{list(fields)}"
+                        )
+                    for f in present:
+                        fields[f].add(int(m.group(2)),
+                                      np.asarray(body[f], np.float32))
                     return self._send(201, {"result": "created"})
                 if m := re.fullmatch(r"/([\w.-]+)/_bulk", path):
-                    idx, field = mgr.get(m.group(1))
+                    fields = mgr.get(m.group(1))
                     docs = self._body().get("docs") or []
                     for doc in docs:
-                        idx.add(int(doc["_id"]),
-                                np.asarray(doc[field], np.float32))
+                        for f in fields:
+                            if f in doc:
+                                fields[f].add(int(doc["_id"]),
+                                              np.asarray(doc[f], np.float32))
                     return self._send(200, {"indexed": len(docs)})
                 if m := re.fullmatch(r"/([\w.-]+)/_flush", path):
-                    idx, _ = mgr.get(m.group(1))
-                    seg = idx.flush()
-                    return self._send(200, {"segment": seg})
+                    segs = {f: i.flush() for f, i in mgr.get(m.group(1)).items()}
+                    first = next(iter(segs.values()))
+                    return self._send(200, {"segment": first,
+                                            "segments": segs})
                 if m := re.fullmatch(r"/([\w.-]+)/_forcemerge", path):
-                    idx, _ = mgr.get(m.group(1))
-                    seg = idx.force_merge()
-                    return self._send(200, {"segment": seg})
+                    segs = {f: i.force_merge()
+                            for f, i in mgr.get(m.group(1)).items()}
+                    first = next(iter(segs.values()))
+                    return self._send(200, {"segment": first,
+                                            "segments": segs})
                 if m := re.fullmatch(r"/([\w.-]+)/_search", path):
                     return self._search(m.group(1))
                 self._error(404, f"no route for POST {path}")
@@ -184,7 +217,8 @@ def _make_handler(mgr: IndexManager):
                 self._error(500, str(e))
 
         def _search(self, index_name: str):
-            idx, field = mgr.get(index_name)
+            fields = mgr.get(index_name)
+            default_field = next(iter(fields))
             body = self._body()
             size = int(body.get("size", 10))
             qbody = body.get("query") or {}
@@ -201,10 +235,12 @@ def _make_handler(mgr: IndexManager):
                         400, "only the knn_score script is allowlisted"
                     )
                 p = script.get("params") or {}
-                if p.get("field", field) != field:
-                    return self._error(400, f"unknown field {p.get('field')}")
+                sfield = p.get("field", default_field)
+                if sfield not in fields:
+                    return self._error(400, f"unknown field {sfield}")
                 res = knn_mod.execute_script_score(
-                    idx, p.get("space_type", "l2"), p["query_value"], k=size,
+                    fields[sfield], p.get("space_type", "l2"),
+                    p["query_value"], k=size,
                 )
                 hits = [
                     {"_id": int(d), "_score": float(s)}
@@ -215,18 +251,21 @@ def _make_handler(mgr: IndexManager):
                 })
 
             qroot = qbody.get("knn") or {}
-            if field not in qroot:
+            tgt = next(iter(qroot), None)
+            if tgt not in fields:
                 # ignore_unmapped parity: an unmapped target field returns
                 # empty hits instead of an error when the flag is set
-                tgt = next(iter(qroot), None)
                 if tgt is not None and bool(
                     (qroot[tgt] or {}).get("ignore_unmapped", False)
                 ):
                     return self._send(200, {
                         "hits": {"total": {"value": 0}, "hits": []},
                     })
-                return self._error(400, f"knn query must target field {field}")
-            query = parse_knn_query(qroot[field])
+                return self._error(
+                    400, f"knn query must target one of {list(fields)}"
+                )
+            idx = fields[tgt]
+            query = parse_knn_query(qroot[tgt])
 
             ext = body.get("ext") or {}
             if "mmr" in ext:

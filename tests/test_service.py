@@ -233,3 +233,83 @@ def test_rest_radial_rescore_filter(service):
         "query": {"knn": {"vec": {"vector": v[0].tolist(), "k": 3,
                                   "max_distance": 1.0}}}})
     assert status == 400
+
+
+def test_multi_field_index(service):
+    """Per-field format dispatch parity (KNN9120PerFieldKnnVectorsFormat):
+    one index maps TWO knn_vector fields with different method params;
+    docs may omit fields; searches route per field; _count is the doc-id
+    union; deletes hit every field."""
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((120, DIM)).astype(np.float32)
+    b = rng.standard_normal((120, 2 * DIM)).astype(np.float32)
+
+    status, out = _req(service, "PUT", "/multi", {
+        "mappings": {"properties": {
+            "vec_a": {"type": "knn_vector", "dimension": DIM,
+                      "space_type": "l2",
+                      "method": {"name": "disk_ann", "engine": "jvector",
+                                 "parameters": {"m": 8,
+                                                "ef_construction": 32}}},
+            "vec_b": {"type": "knn_vector", "dimension": 2 * DIM,
+                      "space_type": "innerproduct",
+                      "method": {"name": "disk_ann", "engine": "jvector",
+                                 "parameters": {"m": 16,
+                                                "ef_construction": 48}}},
+        }},
+    })
+    assert status == 200 and out["fields"] == ["vec_a", "vec_b"]
+
+    # docs 0-99 carry both fields; 100-119 only vec_a (missing field cell)
+    docs = []
+    for i in range(120):
+        d = {"_id": i, "vec_a": a[i].tolist()}
+        if i < 100:
+            d["vec_b"] = b[i].tolist()
+        docs.append(d)
+    status, out = _req(service, "POST", "/multi/_bulk", {"docs": docs})
+    assert status == 200 and out["indexed"] == 120
+    status, out = _req(service, "POST", "/multi/_flush")
+    assert status == 200 and len(out["segments"]) == 2
+
+    # count = union of doc ids across fields
+    status, out = _req(service, "GET", "/multi/_count")
+    assert status == 200 and out["count"] == 120
+
+    # per-field searches route to the right sub-index
+    status, out = _req(service, "POST", "/multi/_search", {
+        "size": 5, "query": {"knn": {"vec_a": {
+            "vector": a[7].tolist(), "k": 5}}}})
+    assert status == 200 and out["hits"]["hits"][0]["_id"] == 7
+    status, out = _req(service, "POST", "/multi/_search", {
+        "size": 5, "query": {"knn": {"vec_b": {
+            "vector": b[9].tolist(), "k": 5}}}})
+    assert status == 200
+    bhits = [h["_id"] for h in out["hits"]["hits"]]
+    assert all(i < 100 for i in bhits)  # docs without vec_b can't match
+
+    # a doc with NONE of the mapped fields is a 400
+    status, _ = _req(service, "POST", "/multi/_doc/999", {"other": [1.0]})
+    assert status == 400
+
+    # delete removes the doc from every field's index
+    status, _ = _req(service, "DELETE", "/multi/_doc/7")
+    assert status == 200
+    status, out = _req(service, "POST", "/multi/_search", {
+        "size": 5, "query": {"knn": {"vec_a": {
+            "vector": a[7].tolist(), "k": 5}}}})
+    assert all(h["_id"] != 7 for h in out["hits"]["hits"])
+    status, out = _req(service, "POST", "/multi/_search", {
+        "size": 5, "query": {"knn": {"vec_b": {
+            "vector": b[7].tolist(), "k": 5}}}})
+    assert all(h["_id"] != 7 for h in out["hits"]["hits"])
+    status, out = _req(service, "GET", "/multi/_count")
+    assert status == 200 and out["count"] == 119
+
+    # script_score routes by params.field
+    status, out = _req(service, "POST", "/multi/_search", {
+        "size": 3, "query": {"script_score": {"script": {
+            "source": "knn_score", "lang": "knn",
+            "params": {"field": "vec_b", "space_type": "l2",
+                       "query_value": b[5].tolist()}}}}})
+    assert status == 200 and out["hits"]["hits"][0]["_id"] == 5
