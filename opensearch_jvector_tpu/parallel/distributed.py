@@ -56,6 +56,9 @@ class ShardedVectorIndex:
                         stats=self.shard_stats[s])
             for s in range(n_shards)
         ]
+        # coordinator-level registry (query-shape counters incremented by
+        # the query layer when it drives this index directly)
+        self.stats_registry = StatsRegistry()
         self.mesh = mesh
         self._mesh_state = None  # cached stacked device arrays
         self._mesh_segments = None  # segment names the cache was built from
@@ -108,6 +111,62 @@ class ShardedVectorIndex:
 
     def doc_count(self) -> int:
         return sum(s.doc_count() for s in self.shards)
+
+    def live_doc_ids(self) -> np.ndarray:
+        out = [s.live_doc_ids() for s in self.shards]
+        return np.unique(np.concatenate(out)) if out else np.empty(
+            0, np.int64)
+
+    # -- segment-level surface --------------------------------------------
+    # The query layer's host paths (script_score, radial, exact fallback,
+    # rescore, nested) iterate (segment_names, _reader, deleted_docs_for).
+    # A sharded index exposes the same surface with shard-prefixed segment
+    # names, so every query path that drives a VectorIndex drives a
+    # ShardedVectorIndex unchanged (shards are whole indexes, SURVEY §2.5).
+
+    SEG_SEP = "::"
+
+    @property
+    def segment_names(self) -> list[str]:
+        return [
+            f"{s}{self.SEG_SEP}{n}"
+            for s, shard in enumerate(self.shards)
+            for n in shard.segment_names
+        ]
+
+    def _split(self, combined: str):
+        s, name = combined.split(self.SEG_SEP, 1)
+        return self.shards[int(s)], name
+
+    def _reader(self, combined: str):
+        shard, name = self._split(combined)
+        return shard._reader(name)
+
+    def deleted_docs_for(self, combined: str):
+        shard, name = self._split(combined)
+        return shard.deleted_docs_for(name)
+
+    def has_nested(self) -> bool:
+        return any(s.has_nested() for s in self.shards)
+
+    def parents_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        out = np.full_like(np.asarray(doc_ids, np.int64), -1)
+        for s in self.shards:
+            p = s.parents_of(doc_ids)
+            out = np.where(out < 0, p, out)
+        return out
+
+    def get_vectors(self, doc_ids):
+        """Bulk vector read-back, routed to owning shards (derived source)."""
+        ids = np.asarray(doc_ids, np.int64).reshape(-1)
+        vecs = np.zeros((ids.size, self.config.dim), np.float32)
+        found = np.zeros(ids.size, bool)
+        for s in range(self.n_shards):
+            sel = (ids % self.n_shards) == s
+            if sel.any():
+                v, f = self.shards[s].get_vectors(ids[sel])
+                vecs[sel], found[sel] = v, f
+        return vecs, found
 
     # -- mesh fast path -------------------------------------------------------
 
@@ -302,4 +361,6 @@ class ShardedVectorIndex:
 
     def stats(self) -> dict:
         """Cluster-level stats = sum over shard registries (broadcast analog)."""
-        return StatsRegistry.aggregate(self.shard_stats)
+        return StatsRegistry.aggregate(
+            self.shard_stats + [self.stats_registry]
+        )

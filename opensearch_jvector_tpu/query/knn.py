@@ -162,7 +162,10 @@ def execute_script_score(
         scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)
     from opensearch_jvector_tpu.api.stats import Counter
 
-    index.stats.increment(Counter.SCRIPT_QUERY_REQUESTS)
+    # sharded indexes expose a coordinator registry (their `.stats` is the
+    # cluster-level aggregation method)
+    reg = getattr(index, "stats_registry", None) or index.stats
+    reg.increment(Counter.SCRIPT_QUERY_REQUESTS)
     return QueryResult(doc_ids=ids, scores=scores,
                        visited=0, expanded=0, reranked=0)
 

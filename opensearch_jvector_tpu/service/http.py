@@ -53,7 +53,8 @@ class IndexManager:
         self._lock = threading.Lock()
         self._indices: dict[str, dict[str, VectorIndex]] = {}
 
-    def create(self, name: str, mappings: dict) -> dict:
+    def create(self, name: str, mappings: dict,
+               settings: dict | None = None) -> dict:
         props = (mappings or {}).get("properties") or {}
         knn_fields = [
             (f, m) for f, m in props.items()
@@ -63,17 +64,38 @@ class IndexManager:
             raise ValidationError(
                 "index mapping needs at least one knn_vector field"
             )
+        # index.number_of_shards (OpenSearch core setting): >1 builds a
+        # ShardedVectorIndex per field (scatter-gather search; attaches to
+        # a device mesh via attach_mesh)
+        sset = (settings or {}).get("index") or settings or {}
+        try:
+            n_shards = int(sset.get("number_of_shards", 1))
+        except (TypeError, ValueError):
+            raise ValidationError("number_of_shards must be an integer")
+        if n_shards < 1:
+            raise ValidationError("number_of_shards must be >= 1")
         parsed = {f: parse_knn_vector_mapping(m) for f, m in knn_fields}
+
+        def make(f, config):
+            if n_shards > 1:
+                from opensearch_jvector_tpu.parallel.distributed import (
+                    ShardedVectorIndex,
+                )
+
+                return ShardedVectorIndex(self.root / name / f, config,
+                                          n_shards=n_shards)
+            return VectorIndex(self.root / name / f, config)
+
         with self._lock:
             if name in self._indices:
                 raise ValidationError(f"index {name} already exists")
             self._indices[name] = {
-                f: VectorIndex(self.root / name / f, config)
-                for f, (config, _) in parsed.items()
+                f: make(f, config) for f, (config, _) in parsed.items()
             }
         first = knn_fields[0][0]
         return {"acknowledged": True, "index": name, "field": first,
                 "fields": [f for f, _ in knn_fields],
+                "shards": n_shards,
                 "mode": parsed[first][1]["mode"]}
 
     def get(self, name: str) -> dict[str, VectorIndex]:
@@ -147,7 +169,8 @@ def _make_handler(mgr: IndexManager):
                 if not m:
                     return self._error(404, f"no route for PUT {self.path}")
                 body = self._body()
-                out = mgr.create(m.group(1), body.get("mappings") or {})
+                out = mgr.create(m.group(1), body.get("mappings") or {},
+                                 body.get("settings"))
                 self._send(200, out)
             except ValidationError as e:
                 self._error(400, str(e))

@@ -313,3 +313,57 @@ def test_multi_field_index(service):
             "params": {"field": "vec_b", "space_type": "l2",
                        "query_value": b[5].tolist()}}}}})
     assert status == 200 and out["hits"]["hits"][0]["_id"] == 5
+
+
+def test_sharded_index_over_rest(service):
+    """index.number_of_shards > 1 (OpenSearch core setting): the REST
+    layer builds a ShardedVectorIndex per field; search scatter-gathers,
+    script_score drives the shard-prefixed segment surface, deletes route
+    to the owning shard."""
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((300, DIM)).astype(np.float32)
+    status, out = _req(service, "PUT", "/shardy", {
+        "settings": {"index": {"number_of_shards": 3}},
+        "mappings": {"properties": {"vec": {
+            "type": "knn_vector", "dimension": DIM, "space_type": "l2",
+            "method": {"name": "disk_ann", "engine": "jvector",
+                       "parameters": {"m": 8, "ef_construction": 32}},
+        }}},
+    })
+    assert status == 200 and out["shards"] == 3
+
+    docs = [{"_id": i, "vec": v[i].tolist()} for i in range(300)]
+    status, out = _req(service, "POST", "/shardy/_bulk", {"docs": docs})
+    assert status == 200 and out["indexed"] == 300
+    status, out = _req(service, "POST", "/shardy/_flush")
+    assert status == 200
+    status, out = _req(service, "GET", "/shardy/_count")
+    assert status == 200 and out["count"] == 300
+
+    status, out = _req(service, "POST", "/shardy/_search", {
+        "size": 5, "query": {"knn": {"vec": {
+            "vector": v[17].tolist(), "k": 5}}}})
+    assert status == 200 and out["hits"]["hits"][0]["_id"] == 17
+
+    # script_score (exact) over the sharded segment surface
+    status, out = _req(service, "POST", "/shardy/_search", {
+        "size": 3, "query": {"script_score": {"script": {
+            "source": "knn_score", "lang": "knn",
+            "params": {"field": "vec", "space_type": "cosinesimil",
+                       "query_value": v[42].tolist()}}}}})
+    assert status == 200 and out["hits"]["hits"][0]["_id"] == 42
+
+    # rescore (oversample + exact rerank) through the sharded index
+    status, out = _req(service, "POST", "/shardy/_search", {
+        "size": 5, "query": {"knn": {"vec": {
+            "vector": v[23].tolist(), "k": 5,
+            "rescore": {"oversample_factor": 2.0}}}}})
+    assert status == 200 and out["hits"]["hits"][0]["_id"] == 23
+
+    status, _ = _req(service, "DELETE", "/shardy/_doc/17")
+    status, out = _req(service, "POST", "/shardy/_search", {
+        "size": 5, "query": {"knn": {"vec": {
+            "vector": v[17].tolist(), "k": 5}}}})
+    assert all(h["_id"] != 17 for h in out["hits"]["hits"])
+    status, out = _req(service, "GET", "/shardy/_count")
+    assert status == 200 and out["count"] == 299
