@@ -47,11 +47,14 @@ class IndexManager:
     independent VectorIndex under `{root}/{index}/{field}`; documents may
     omit any subset of fields (missing-field semantics)."""
 
-    def __init__(self, root: str | Path):
+    def __init__(self, root: str | Path, mesh=None):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self._lock = threading.Lock()
         self._indices: dict[str, dict[str, VectorIndex]] = {}
+        # optional device mesh: sharded indexes whose shard count matches
+        # the mesh size get the full-engine mesh fast path
+        self.mesh = mesh
 
     def create(self, name: str, mappings: dict,
                settings: dict | None = None) -> dict:
@@ -82,8 +85,13 @@ class IndexManager:
                     ShardedVectorIndex,
                 )
 
+                mesh = self.mesh
+                if mesh is not None and int(
+                    np.prod(mesh.devices.shape)
+                ) != n_shards:
+                    mesh = None  # shard count must match the mesh size
                 return ShardedVectorIndex(self.root / name / f, config,
-                                          n_shards=n_shards)
+                                          n_shards=n_shards, mesh=mesh)
             return VectorIndex(self.root / name / f, config)
 
         with self._lock:
@@ -349,8 +357,8 @@ class KnnService:
     """Embedded HTTP service wrapper (threaded; test- and prod-friendly)."""
 
     def __init__(self, root: str | Path, host: str = "127.0.0.1",
-                 port: int = 0):
-        self.manager = IndexManager(root)
+                 port: int = 0, mesh=None):
+        self.manager = IndexManager(root, mesh=mesh)
         self.server = ThreadingHTTPServer(
             (host, port), _make_handler(self.manager)
         )

@@ -367,3 +367,40 @@ def test_sharded_index_over_rest(service):
     assert all(h["_id"] != 17 for h in out["hits"]["hits"])
     status, out = _req(service, "GET", "/shardy/_count")
     assert status == 200 and out["count"] == 299
+
+
+def test_service_mesh_attached(tmp_path):
+    """KnnService(mesh=...) places shard-count-matching indexes on the
+    device mesh: the REST search runs the full-engine mesh program."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    mesh = sharded.make_mesh(jax.devices()[:2])
+    svc = KnnService(tmp_path, mesh=mesh)
+    svc.start()
+    try:
+        rng = np.random.default_rng(13)
+        v = rng.standard_normal((200, DIM)).astype(np.float32)
+        status, out = _req(svc, "PUT", "/meshed", {
+            "settings": {"index": {"number_of_shards": 2}},
+            "mappings": {"properties": {"vec": {
+                "type": "knn_vector", "dimension": DIM,
+                "space_type": "l2",
+                "method": {"name": "disk_ann", "engine": "jvector",
+                           "parameters": {"m": 8, "ef_construction": 32}},
+            }}},
+        })
+        assert status == 200 and out["shards"] == 2
+        docs = [{"_id": i, "vec": v[i].tolist()} for i in range(200)]
+        _req(svc, "POST", "/meshed/_bulk", {"docs": docs})
+        _req(svc, "POST", "/meshed/_flush")
+        status, out = _req(svc, "POST", "/meshed/_search", {
+            "size": 5, "query": {"knn": {"vec": {
+                "vector": v[3].tolist(), "k": 5}}}})
+        assert status == 200 and out["hits"]["hits"][0]["_id"] == 3
+        idx = svc.manager.get("meshed")["vec"]
+        assert idx.mesh is mesh
+        assert idx._mesh_state is not None  # mesh program really served
+    finally:
+        svc.stop()
