@@ -75,22 +75,39 @@ class ShardedVectorIndex:
     def config(self) -> DiskAnnConfig:
         return self.shards[0].config
 
-    def add(self, doc_id: int, vector) -> None:
-        self.shards[self._route(doc_id)].add(doc_id, vector)
+    def add(self, doc_id: int, vector, parent_id: int | None = None) -> None:
+        # nested children co-locate with their parent (OpenSearch keeps a
+        # doc block on one shard), so parent collapse stays shard-local
+        route = parent_id if parent_id is not None else doc_id
+        self.shards[self._route(route)].add(doc_id, vector,
+                                            parent_id=parent_id)
 
     def delete(self, doc_ids) -> None:
-        for d in np.atleast_1d(np.asarray(doc_ids, np.int64)):
-            self.shards[self._route(int(d))].delete(int(d))
+        # broadcast: a doc lives in exactly one shard, but parent-routed
+        # children are not findable from their own id; absent-doc deletes
+        # are no-ops (tombstones are per-segment presence-scoped)
+        arr = np.atleast_1d(np.asarray(doc_ids, np.int64))
+        for shard in self.shards:
+            shard.delete(arr)
 
-    def add_batch(self, doc_ids, vectors) -> int:
+    def add_batch(self, doc_ids, vectors, parent_ids=None) -> int:
         """Bulk ingest: route a block of docs to shards in one pass."""
         doc_ids = np.asarray(doc_ids, np.int64).reshape(-1)
         vectors = np.asarray(vectors)
+        if parent_ids is not None:
+            parent_ids = np.asarray(parent_ids, np.int64).reshape(-1)
+        route = doc_ids if parent_ids is None else np.where(
+            parent_ids >= 0, parent_ids, doc_ids
+        )
         total = 0
         for s in range(self.n_shards):
-            sel = (doc_ids % self.n_shards) == s
+            sel = (route % self.n_shards) == s
             if sel.any():
-                total += self.shards[s].add_batch(doc_ids[sel], vectors[sel])
+                total += self.shards[s].add_batch(
+                    doc_ids[sel], vectors[sel],
+                    parent_ids=None if parent_ids is None
+                    else parent_ids[sel],
+                )
         return total
 
     def flush(self) -> list[str | None]:

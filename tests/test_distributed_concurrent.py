@@ -387,3 +387,44 @@ def test_mesh_falls_back_to_host_loop_for_on_disk_shards(tmp_path):
     idx.delete([int(res.doc_ids[0, 0])])
     res2 = idx.search(q, SearchConfig(k=10, ef_search=96))
     assert res.doc_ids[0, 0] not in res2.doc_ids[0].tolist()
+
+
+def test_sharded_nested_docs_collapse(tmp_path):
+    """Nested children co-locate with their parent shard (routing by
+    parent id); parent collapse works across the sharded surface and
+    deletes reach parent-routed children."""
+    from opensearch_jvector_tpu.query.builder import parse_knn_query
+    from opensearch_jvector_tpu.query.knn import execute_knn_query
+
+    rng = np.random.default_rng(51)
+    idx = ShardedVectorIndex(tmp_path, _cfg(), n_shards=3)
+    # 40 parents x 3 children; child ids in a disjoint range
+    n_parents, per = 40, 3
+    cvecs = rng.standard_normal((n_parents * per, DIM)).astype(np.float32)
+    cid = 1000
+    for p in range(n_parents):
+        for c in range(per):
+            idx.add(cid, cvecs[p * per + c], parent_id=p)
+            cid += 1
+    idx.flush()
+    assert idx.has_nested()
+
+    # children of one parent all landed on the parent's shard
+    shard = idx.shards[0 % idx.n_shards]
+    assert shard.parents_of(np.asarray([1000, 1001, 1002]))[0] == 0
+
+    target = cvecs[7 * per]  # a child of parent 7
+    query = parse_knn_query({"vector": target.tolist(), "k": 5})
+    res = execute_knn_query(idx, query)
+    ids = res.doc_ids[0]
+    assert ids[0] == 7  # collapsed to the parent id
+    assert len(set(int(i) for i in ids if i >= 0)) == len(
+        [i for i in ids if i >= 0])  # parents deduped
+
+    # deleting a child (routed by parent) really tombstones it: the
+    # exact-match score disappears (siblings are i.i.d. — parent 7 may
+    # legitimately drop in rank once its best child is gone)
+    assert res.scores[0][0] > 0.999  # it WAS an exact match
+    idx.delete([1000 + 7 * per])
+    res2 = execute_knn_query(idx, query)
+    assert res2.scores[0][0] < 0.999
