@@ -428,3 +428,28 @@ def test_sharded_nested_docs_collapse(tmp_path):
     idx.delete([1000 + 7 * per])
     res2 = execute_knn_query(idx, query)
     assert res2.scores[0][0] < 0.999
+
+
+def test_sharded_mmr_pipeline(tmp_path):
+    """MMR rerank over a sharded index: oversampled scatter-gather search
+    + routed bulk vector read-back (derived source across shards)."""
+    from opensearch_jvector_tpu.query.mmr import MMRParams, mmr_search
+
+    rng = np.random.default_rng(61)
+    v = rng.standard_normal((300, DIM)).astype(np.float32)
+    idx = ShardedVectorIndex(tmp_path, _cfg(), n_shards=3)
+    for i in range(300):
+        idx.add(i, v[i])
+    idx.flush()
+
+    q = v[5] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+    res = mmr_search(idx, q, 8, MMRParams(diversity=0.5),
+                     SearchConfig(k=8, ef_search=64))
+    ids = res.doc_ids[0]
+    assert ids[0] == 5  # most-relevant first regardless of diversity
+    assert (ids >= 0).sum() == 8
+    # diversity=0 degenerates to plain relevance ordering
+    res_rel = mmr_search(idx, q, 8, MMRParams(diversity=0.0),
+                         SearchConfig(k=8, ef_search=64))
+    plain = idx.search(np.atleast_2d(q), SearchConfig(k=8, ef_search=64))
+    assert res_rel.doc_ids[0].tolist() == plain.doc_ids[0].tolist()
