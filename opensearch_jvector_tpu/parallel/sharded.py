@@ -239,6 +239,13 @@ def _stack_mode(segments):
     for s in all_segs:
         if s.row_store is not None:
             raise ValueError("mesh path requires device-resident segments")
+        if getattr(s, "scalar_codes", None) is not None:
+            # scalar (1/2/4-bit) segments search via a Hamming approximate
+            # phase the mesh program doesn't implement; stacking them as
+            # fp32-exact would silently change the algorithm vs the host
+            # path -> serve through the host scatter-gather instead
+            raise ValueError("mesh path does not serve scalar-quantized "
+                             "shards (host scatter-gather handles them)")
         if (s.nvq is not None) != use_nvq:
             raise ValueError("mesh path requires uniform quantization")
         if not use_nvq and s.vectors is None:

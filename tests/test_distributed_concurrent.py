@@ -453,3 +453,31 @@ def test_sharded_mmr_pipeline(tmp_path):
                          SearchConfig(k=8, ef_search=64))
     plain = idx.search(np.atleast_2d(q), SearchConfig(k=8, ef_search=64))
     assert res_rel.doc_ids[0].tolist() == plain.doc_ids[0].tolist()
+
+
+def test_mesh_falls_back_for_scalar_shards(tmp_path):
+    """Scalar-quantized shards must NOT silently stack as fp32-exact on
+    the mesh (different algorithm than the host Hamming+rerank path) —
+    they serve through the host scatter-gather."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    v = _vectors(400, seed=71)
+    cfg = _cfg(quantization_type="1bit",
+               min_batch_size_for_quantization=64)
+    mesh = sharded.make_mesh(jax.devices()[:2])
+    idx = ShardedVectorIndex(tmp_path, cfg, n_shards=2, mesh=mesh)
+    for i in range(400):
+        idx.add(i, v[i])
+    idx.flush()
+    for shard in idx.shards:  # really scalar segments
+        assert shard._reader(shard.segment_names[0]).seg.scalar_codes \
+            is not None
+
+    q = _vectors(8, seed=72)
+    res = idx.search(q, SearchConfig(k=10, ef_search=96,
+                                     overquery_factor=8))
+    assert idx._mesh_state is None  # declined: host loop served
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+    assert recall_at_k(res.doc_ids, truth, 10) >= 0.8
