@@ -169,6 +169,10 @@ class ShardedEngineState:
     nvq_bytes: jax.Array | None = None  # [D, G, n, d] u8
     nvq_params: jax.Array | None = None  # [D, G, n, Mn, 4] f32
     nvq_mean: jax.Array | None = None  # [D, G, d] f32
+    # scalar (1/2/4-bit) shards: Hamming approximate phase over bit-packed
+    # codes + fp32 rerank (same composition as the host searcher)
+    scalar_codes: jax.Array | None = None  # [D, G, n, B] u8 bit-packed
+    scalar_thresholds: jax.Array | None = None  # [D, G, levels, d] f32
 
     @property
     def n_shards(self) -> int:
@@ -190,6 +194,10 @@ class ShardedEngineState:
     def use_nvq(self) -> bool:
         return self.nvq_bytes is not None
 
+    @property
+    def use_scalar(self) -> bool:
+        return self.scalar_codes is not None
+
 
 def stack_engine_state(segments) -> ShardedEngineState:
     """Stack per-shard segment lists into mesh-ready [D, G, ...] arrays.
@@ -208,6 +216,7 @@ def stack_engine_state(segments) -> ShardedEngineState:
     stacked = {k: np.stack([g[k] for g in grids])
                for k in grids[0] if grids[0][k] is not None}
     use_pq, use_nvq = mode["use_pq"], mode["use_nvq"]
+    use_scalar = mode["use_scalar"]
     return ShardedEngineState(
         adjacency=jnp.asarray(stacked["adj"]),
         live=jnp.asarray(stacked["live"]),
@@ -220,6 +229,9 @@ def stack_engine_state(segments) -> ShardedEngineState:
         nvq_bytes=jnp.asarray(stacked["nvq_b"]) if use_nvq else None,
         nvq_params=jnp.asarray(stacked["nvq_p"]) if use_nvq else None,
         nvq_mean=jnp.asarray(stacked["nvq_m"]) if use_nvq else None,
+        scalar_codes=jnp.asarray(stacked["sc_c"]) if use_scalar else None,
+        scalar_thresholds=(jnp.asarray(stacked["sc_t"])
+                           if use_scalar else None),
     )
 
 
@@ -236,22 +248,28 @@ def _stack_mode(segments):
     n = max(s.capacity() for s in all_segs)
     use_pq = all_segs[0].pqv is not None
     use_nvq = all_segs[0].nvq is not None
+    use_scalar = all_segs[0].scalar_codes is not None
     for s in all_segs:
         if s.row_store is not None:
             raise ValueError("mesh path requires device-resident segments")
-        if getattr(s, "scalar_codes", None) is not None:
-            # scalar (1/2/4-bit) segments search via a Hamming approximate
-            # phase the mesh program doesn't implement; stacking them as
-            # fp32-exact would silently change the algorithm vs the host
-            # path -> serve through the host scatter-gather instead
-            raise ValueError("mesh path does not serve scalar-quantized "
-                             "shards (host scatter-gather handles them)")
+        if (s.scalar_codes is not None) != use_scalar:
+            raise ValueError("mesh path requires uniform quantization")
         if (s.nvq is not None) != use_nvq:
             raise ValueError("mesh path requires uniform quantization")
         if not use_nvq and s.vectors is None:
             raise ValueError("mesh path requires device-resident fp32 rows")
         if (s.pqv is not None) != use_pq:
             raise ValueError("mesh path requires uniform quantization")
+    sc_shapes = None
+    if use_scalar:
+        shapes = {
+            (tuple(np.asarray(s.scalar_state.thresholds).shape),
+             int(np.asarray(s.scalar_codes).shape[1]))
+            for s in all_segs
+        }
+        if len(shapes) != 1:
+            raise ValueError("mesh path requires identical scalar shapes")
+        sc_shapes = next(iter(shapes))  # (thresholds shape, code width B)
     cb_shape = None
     if use_nvq:
         if not use_pq:
@@ -267,6 +285,7 @@ def _stack_mode(segments):
         cb_shape = next(iter(shapes))
     mode = dict(
         g_max=g_max, n=n, use_pq=use_pq, use_nvq=use_nvq, cb_shape=cb_shape,
+        use_scalar=use_scalar, sc_shapes=sc_shapes,
         dim=all_segs[0].config.dim,
         m_deg=np.asarray(all_segs[0].graph.adjacency).shape[1],
         nvq_nsub=(int(np.asarray(all_segs[0].nvq.params).shape[1])
@@ -319,6 +338,10 @@ def _shard_grid(lst, mode):
             row["codes"] = np.pad(c, ((0, pad), (0, 0))) if pad else c
             row["books"] = np.asarray(s.pqv.pq.codebooks, np.float32)
             row["center"] = np.asarray(s.pqv.pq.center, np.float32)
+        if mode["use_scalar"]:
+            sc = np.asarray(s.scalar_codes, np.uint8)
+            row["sc_c"] = np.pad(sc, ((0, pad), (0, 0))) if pad else sc
+            row["sc_t"] = np.asarray(s.scalar_state.thresholds, np.float32)
         return row
 
     def empty_row():
@@ -338,13 +361,18 @@ def _shard_grid(lst, mode):
             row["codes"] = np.zeros((n, cb_shape[0]), np.int32)
             row["books"] = np.zeros(cb_shape, np.float32)
             row["center"] = np.zeros((dim,), np.float32)
+        if mode["use_scalar"]:
+            thr_shape, b_width = mode["sc_shapes"]
+            row["sc_c"] = np.zeros((n, b_width), np.uint8)
+            row["sc_t"] = np.zeros(thr_shape, np.float32)
         return row
 
     rows = [seg_rows(s) for s in lst]
     rows += [empty_row() for _ in range(g_max - len(rows))]
     out = {}
     for key in ("adj", "live", "ent", "o2d", "v",
-                "codes", "books", "center", "nvq_b", "nvq_p", "nvq_m"):
+                "codes", "books", "center", "nvq_b", "nvq_p", "nvq_m",
+                "sc_c", "sc_t"):
         if rows[0].get(key) is None:
             out[key] = None
         elif key == "ent":
@@ -359,6 +387,7 @@ _GRID_FIELDS = dict(
     adj="adjacency", live="live", ent="entries", o2d="ord_to_doc",
     v="vectors", codes="pq_codes", books="pq_codebooks", center="pq_center",
     nvq_b="nvq_bytes", nvq_p="nvq_params", nvq_m="nvq_mean",
+    sc_c="scalar_codes", sc_t="scalar_thresholds",
 )
 
 
@@ -401,6 +430,12 @@ def restack_engine_state(prev_state: ShardedEngineState, prev_names,
             or (mode["use_pq"] and mode["cb_shape"] != cb)
             or (mode["use_nvq"]
                 and mode["nvq_nsub"] != prev_state.nvq_params.shape[-2])
+            or mode["use_scalar"] != prev_state.use_scalar
+            or (mode["use_scalar"] and (
+                tuple(prev_state.scalar_thresholds.shape[2:])
+                != mode["sc_shapes"][0]
+                or prev_state.scalar_codes.shape[-1]
+                != mode["sc_shapes"][1]))
         )
     if full:
         return stack_engine_state(segments), d_sh
@@ -423,9 +458,9 @@ def restack_engine_state(prev_state: ShardedEngineState, prev_names,
 
 def _full_local_search(adj, live, entry, o2d, accept, queries,
                        vectors, codes, codebooks, center,
-                       nvq_b, nvq_p, nvq_m,
+                       nvq_b, nvq_p, nvq_m, sc_c, sc_t,
                        params: SearchParams, simf: SimilarityFunction,
-                       use_pq: bool, use_nvq: bool):
+                       use_pq: bool, use_nvq: bool, use_scalar: bool):
     """Complete two-phase search on ONE shard (inside shard_map).
 
     Mirrors models/searcher._make_search_fn (LUT build -> beam -> rerank ->
@@ -442,6 +477,12 @@ def _full_local_search(adj, live, entry, o2d, accept, queries,
         qstate = centered
         ctx = {"codes": codes, "codebooks": codebooks}
         provider = searcher_mod.make_pq_provider(simf.value)
+    elif use_scalar:
+        # Hamming approximate phase over per-segment thresholds (XOR +
+        # popcount, same composition as the host searcher's scalar mode)
+        qstate = searcher_mod._encode_scalar_queries(queries, sc_t)
+        ctx = {"codes": sc_c}
+        provider = searcher_mod.make_hamming_provider()
     else:
         qstate, ctx = queries, {"vectors": vectors}
         provider = searcher_mod.make_exact_provider(simf.value)
@@ -455,7 +496,7 @@ def _full_local_search(adj, live, entry, o2d, accept, queries,
         L=ef, E=e, R=r, max_iters=iters, vma_axis=AXIS,
     )
 
-    if use_pq:  # exact rerank of the overqueried ADC survivors
+    if use_pq or use_scalar:  # exact rerank of the overqueried survivors
         qualify = res_ids >= 0
         if params.rerank_floor > 0.0:
             qualify &= res_scores >= params.rerank_floor
@@ -523,20 +564,25 @@ def sharded_engine_search(
              else jnp.zeros((d_sh, g, 1, 1, 4), jnp.float32))
     nvq_m = (state.nvq_mean if use_nvq
              else jnp.zeros((d_sh, g, 1), jnp.float32))
-    run = _make_engine_fn(mesh, params, simf, use_pq, use_nvq)
+    use_scalar = state.use_scalar
+    sc_c = (state.scalar_codes if use_scalar
+            else jnp.zeros((d_sh, g, 1, 1), jnp.uint8))
+    sc_t = (state.scalar_thresholds if use_scalar
+            else jnp.zeros((d_sh, g, 1, 1), jnp.float32))
+    run = _make_engine_fn(mesh, params, simf, use_pq, use_nvq, use_scalar)
     return run(state.adjacency, state.live, state.entries, state.ord_to_doc,
                state.vectors, accept, cod, cb, ctr, nvq_b, nvq_p, nvq_m,
-               queries)
+               sc_c, sc_t, queries)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_engine_fn(mesh: Mesh, params: SearchParams,
                     simf: SimilarityFunction, use_pq: bool,
-                    use_nvq: bool = False):
+                    use_nvq: bool = False, use_scalar: bool = False):
     """Cached jitted program for sharded_engine_search."""
 
     def shard_fn(adj, liv, ent, o2d, vec, acc, cod, cb, ctr,
-                 nvq_b, nvq_p, nvq_m, q):
+                 nvq_b, nvq_p, nvq_m, sc_c, sc_t, q):
         # leading shard axis sliced by shard_map -> [G, ...] per device;
         # the shard's segments run via vmap (one fused program per device),
         # then a LOCAL top-k merges the segment lists before the
@@ -544,9 +590,11 @@ def _make_engine_fn(mesh: Mesh, params: SearchParams,
         adj, liv, o2d, vec, acc = adj[0], liv[0], o2d[0], vec[0], acc[0]
         ent, cod, cb, ctr = ent[0], cod[0], cb[0], ctr[0]
         nvq_b, nvq_p, nvq_m = nvq_b[0], nvq_p[0], nvq_m[0]
+        sc_c, sc_t = sc_c[0], sc_t[0]
 
         def one_segment(adj_g, liv_g, ent_g, o2d_g, acc_g, vec_g,
-                        cod_g, cb_g, ctr_g, nb_g, np_g, nm_g):
+                        cod_g, cb_g, ctr_g, nb_g, np_g, nm_g,
+                        scc_g, sct_g):
             return _full_local_search(
                 adj_g, liv_g, ent_g, o2d_g, acc_g, q, vec_g,
                 cod_g if use_pq else None,
@@ -555,13 +603,15 @@ def _make_engine_fn(mesh: Mesh, params: SearchParams,
                 nb_g if use_nvq else None,
                 np_g if use_nvq else None,
                 nm_g if use_nvq else None,
-                params, simf, use_pq, use_nvq,
+                scc_g if use_scalar else None,
+                sct_g if use_scalar else None,
+                params, simf, use_pq, use_nvq, use_scalar,
             )
 
         docs_g, scores_g, visited, expanded, reranked = jax.vmap(
             one_segment
         )(adj, liv, ent, o2d, acc, vec, cod, cb, ctr,
-          nvq_b, nvq_p, nvq_m)  # [G, Q, k]
+          nvq_b, nvq_p, nvq_m, sc_c, sc_t)  # [G, Q, k]
 
         qn = q.shape[0]
         flat_docs = jnp.transpose(docs_g, (1, 0, 2)).reshape(qn, -1)
@@ -578,7 +628,7 @@ def _make_engine_fn(mesh: Mesh, params: SearchParams,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                   P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                  P()),
+                  P(AXIS), P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
     )
 
@@ -587,10 +637,10 @@ def _make_engine_fn(mesh: Mesh, params: SearchParams,
     # the final top-k (see sharded_search for why not manual all_gather).
     @jax.jit
     def run(adjacency, live, entries, o2d, vectors, accept, cod, cb, ctr,
-            nvq_b, nvq_p, nvq_m, queries):
+            nvq_b, nvq_p, nvq_m, sc_c, sc_t, queries):
         all_docs, all_scores, counters = fn(
             adjacency, live, entries, o2d, vectors, accept, cod, cb, ctr,
-            nvq_b, nvq_p, nvq_m, queries,
+            nvq_b, nvq_p, nvq_m, sc_c, sc_t, queries,
         )  # [D, Q, k], [D, Q, k], [D, 3]
         qn = queries.shape[0]
         flat_docs = jnp.transpose(all_docs, (1, 0, 2)).reshape(qn, -1)

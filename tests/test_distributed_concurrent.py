@@ -455,20 +455,20 @@ def test_sharded_mmr_pipeline(tmp_path):
     assert res_rel.doc_ids[0].tolist() == plain.doc_ids[0].tolist()
 
 
-def test_mesh_falls_back_for_scalar_shards(tmp_path):
-    """Scalar-quantized shards must NOT silently stack as fp32-exact on
-    the mesh (different algorithm than the host Hamming+rerank path) —
-    they serve through the host scatter-gather."""
+def test_mesh_scalar_shards_match_host_path(tmp_path):
+    """Scalar (1-bit) shards serve on the mesh with the SAME algorithm as
+    the host path: Hamming approximate phase over bit-packed codes + fp32
+    exact rerank."""
     import jax
 
     from opensearch_jvector_tpu.parallel import sharded
 
-    v = _vectors(400, seed=71)
+    v = _vectors(800, seed=71)
     cfg = _cfg(quantization_type="1bit",
                min_batch_size_for_quantization=64)
     mesh = sharded.make_mesh(jax.devices()[:2])
     idx = ShardedVectorIndex(tmp_path, cfg, n_shards=2, mesh=mesh)
-    for i in range(400):
+    for i in range(800):
         idx.add(i, v[i])
     idx.flush()
     for shard in idx.shards:  # really scalar segments
@@ -476,8 +476,21 @@ def test_mesh_falls_back_for_scalar_shards(tmp_path):
             is not None
 
     q = _vectors(8, seed=72)
-    res = idx.search(q, SearchConfig(k=10, ef_search=96,
-                                     overquery_factor=8))
-    assert idx._mesh_state is None  # declined: host loop served
+    sc = SearchConfig(k=10, ef_search=96, overquery_factor=8)
+    res = idx.search(q, sc)
+    assert idx._mesh_state is not None, "mesh path did not run"
+    assert idx._mesh_state.use_scalar and not idx._mesh_state.use_pq
     truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
-    assert recall_at_k(res.doc_ids, truth, 10) >= 0.8
+    rec_mesh = recall_at_k(res.doc_ids, truth, 10)
+    assert res.reranked > 0  # fp32 rerank ran on-mesh
+
+    idx_host = ShardedVectorIndex(tmp_path)  # reopened: no mesh
+    rec_host = recall_at_k(idx_host.search(q, sc).doc_ids, truth, 10)
+    assert rec_mesh >= 0.8, rec_mesh  # 1-bit approx phase is lossy
+    assert abs(rec_mesh - rec_host) <= 0.05, (rec_mesh, rec_host)
+
+    # tombstones stay masked through the scalar mesh program
+    top0 = int(res.doc_ids[0, 0])
+    idx.delete([top0])
+    res2 = idx.search(q, sc)
+    assert top0 not in res2.doc_ids[0].tolist()
