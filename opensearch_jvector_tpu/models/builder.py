@@ -313,6 +313,10 @@ class GraphIndexBuilder:
         # (C = overflow_degree + extra_width). Back-edges beyond it in one
         # round are dropped (forward edges remain; cleanup repairs orphans)
         construction_expansions: int = 8,  # beam E during insert rounds
+        overflow_chunk: int | None = None,  # overflow-prune dispatch width
+        # (None -> batch_size). Wider chunks cut per-round dispatch count
+        # for the overflow phase (the dominant build phase at 100k) at the
+        # cost of a larger [chunk, C, d] gather transient.
     ):
         self.hierarchy_enabled = bool(hierarchy_enabled)
         self.dim = dim
@@ -344,6 +348,8 @@ class GraphIndexBuilder:
         self.extra_width = (min(2 * self.max_degree, 32)
                             if extra_width is None else int(extra_width))
         self.construction_expansions = int(construction_expansions)
+        self.overflow_chunk = (int(overflow_chunk) if overflow_chunk
+                               else self.batch_size)
         self.counters = BuildCounters()
         self._has_tombstones = False
 
@@ -445,13 +451,16 @@ class GraphIndexBuilder:
         """Re-prune `node_ids` to max_degree on device (rows written back)."""
         if node_ids.size == 0:
             return
-        chunk = self.batch_size
+        chunk = self.overflow_chunk
         e_width = self.extra_width  # constant candidate width (no retrace)
         fn = _make_overflow_prune_fn(simf.value, self.max_degree, self.alpha)
         pending: list[tuple[np.ndarray, object]] = []
         for s in range(0, node_ids.size, chunk):
             ids = node_ids[s : s + chunk]
-            bucket = self._bucket(ids.size)
+            bucket = 64  # pow2 family capped at the overflow chunk width
+            while bucket < ids.size:
+                bucket *= 2
+            bucket = min(bucket, chunk)
             pad = bucket - ids.size
             # pad with duplicates of the first id AND its extras: duplicate
             # scatter rows then compute identical results, so the undefined
@@ -520,7 +529,7 @@ class GraphIndexBuilder:
 
         over_buckets = set()
         b = 64
-        while b <= self.batch_size:
+        while b <= max(self.batch_size, self.overflow_chunk):
             over_buckets.add(b)
             b *= 2
         threads = [threading.Thread(target=warm, args=(b,), daemon=True)
