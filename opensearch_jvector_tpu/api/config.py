@@ -60,6 +60,12 @@ class DiskAnnConfig:
     hierarchy_enabled: bool = DEFAULT_HIERARCHY_ENABLED
     min_batch_size_for_quantization: int = DEFAULT_MIN_BATCH_FOR_QUANTIZATION
     num_pq_subspaces: int | None = None  # None -> dimension-adaptive default
+    # Anisotropic (score-aware) PQ training, ScaNN-style (beyond-reference
+    # extension, named in BASELINE config 4): quantization error parallel
+    # to the data point is weighted by eta = (d-1) T^2/(1-T^2). None/0 ->
+    # plain UNWEIGHTED k-means (reference behavior). Best for
+    # inner-product / cosine corpora.
+    pq_anisotropic_threshold: float | None = None
     quantization_type: str = DEFAULT_QUANTIZATION
     nvq_num_subvectors: int = DEFAULT_NVQ_SUBVECTORS
     leading_segment_merge_disabled: bool = DEFAULT_LEADING_MERGE_DISABLED
@@ -124,6 +130,13 @@ class DiskAnnConfig:
             )
         if self.nvq_num_subvectors < 1:
             raise ValidationError("nvq.num_subvectors must be >= 1")
+        if self.pq_anisotropic_threshold is not None and not (
+            0.0 < self.pq_anisotropic_threshold < 1.0
+        ):
+            raise ValidationError(
+                "pq_anisotropic_threshold must be in (0, 1): "
+                f"{self.pq_anisotropic_threshold}"
+            )
         if self.min_batch_size_for_quantization < 1:
             raise ValidationError("min_batch_size_for_quantization must be >= 1")
 

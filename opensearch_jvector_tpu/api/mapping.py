@@ -103,6 +103,7 @@ def parse_knn_vector_mapping(body: dict) -> tuple[DiskAnnConfig, dict]:
         "advanced.num_pq_subspaces", "advanced.quantization_type",
         "advanced.nvq.num_subvectors",
         "advanced.leading_segment_merge_disabled",
+        "advanced.pq_anisotropic_threshold",
     }
     unknown = set(p) - known
     if unknown:
@@ -138,6 +139,10 @@ def parse_knn_vector_mapping(body: dict) -> tuple[DiskAnnConfig, dict]:
     if "advanced.leading_segment_merge_disabled" in p:
         kwargs["leading_segment_merge_disabled"] = bool(
             p["advanced.leading_segment_merge_disabled"]
+        )
+    if "advanced.pq_anisotropic_threshold" in p:
+        kwargs["pq_anisotropic_threshold"] = float(
+            p["advanced.pq_anisotropic_threshold"]
         )
     extras = {"mode": mode, "space_type": space}
     if compression_oversample is not None:

@@ -188,15 +188,18 @@ def write_segment(root: str | Path, seg: Segment) -> Path:
             },
         )
     if seg.pqv is not None:
-        store.write_container(
-            d / "pq.jvtpu",
-            {},
-            {
-                "codebooks": np.asarray(seg.pqv.pq.codebooks),
-                "center": np.asarray(seg.pqv.pq.center),
-                "codes": np.asarray(seg.pqv.codes)[:used],
-            },
-        )
+        arrays = {
+            "codebooks": np.asarray(seg.pqv.pq.codebooks),
+            "center": np.asarray(seg.pqv.pq.center),
+            "codes": np.asarray(seg.pqv.codes)[:used],
+        }
+        if seg.pqv.pq.aniso_eta is not None:
+            # anisotropically-trained codebooks: the assignment metric is
+            # part of the state (merge re-encode must use the same loss)
+            arrays["aniso_eta"] = np.asarray(
+                seg.pqv.pq.aniso_eta, np.float32
+            ).reshape(1)
+        store.write_container(d / "pq.jvtpu", {}, arrays)
     if seg.scalar_state is not None:
         store.write_container(
             d / "scalar.jvtpu",
@@ -309,6 +312,8 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
             pq=ProductQuantization(
                 codebooks=jnp.asarray(parr["codebooks"]),
                 center=jnp.asarray(parr["center"]),
+                aniso_eta=(jnp.float32(parr["aniso_eta"][0])
+                           if "aniso_eta" in parr else None),
             ),
             codes=jnp.asarray(_pad2d(parr["codes"], 0)),
         )

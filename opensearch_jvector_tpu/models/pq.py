@@ -59,10 +59,15 @@ def default_num_subspaces(dim: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ProductQuantization:
-    """Trained PQ state: codebooks + the global centering vector."""
+    """Trained PQ state: codebooks + the global centering vector.
+
+    `aniso_eta` (None = plain PQ) marks codebooks trained with the
+    anisotropic score-aware loss (ScaNN, Guo et al. 2020): encode-time
+    assignment must use the same loss, so it travels with the state."""
 
     codebooks: jax.Array  # [M, K, dsub] f32
     center: jax.Array  # [d] f32 (zeros when centering disabled)
+    aniso_eta: jax.Array | None = None  # scalar f32
 
     @property
     def num_subspaces(self) -> int:
@@ -98,6 +103,13 @@ def _preprocess(
     return vectors, jnp.zeros((vectors.shape[1],), jnp.float32)
 
 
+def eta_for_threshold(threshold: float, dim: int) -> float:
+    """ScaNN's parallel-error weight from a score threshold T: queries
+    scoring >= T against a point matter; eta = (d-1) T^2 / (1 - T^2)."""
+    t2 = float(threshold) ** 2
+    return max(1.0, (dim - 1) * t2 / max(1e-9, 1.0 - t2))
+
+
 def train_pq(
     vectors: jax.Array,  # [n, d]
     simf: SimilarityFunction,
@@ -106,8 +118,13 @@ def train_pq(
     iters: int = 8,
     seed: int = 0,
     max_train: int = 131072,
+    anisotropic_eta: float | None = None,
 ) -> ProductQuantization:
-    """Train PQ codebooks (k-means++ per subspace, vmapped)."""
+    """Train PQ codebooks (k-means++ per subspace, vmapped).
+
+    `anisotropic_eta` > 1 switches to the score-aware anisotropic loss
+    (beyond-reference extension; best for inner-product/cosine corpora —
+    BASELINE config 4 names anisotropic-PQ for Deep10M)."""
     n, d = vectors.shape
     m = num_subspaces or default_num_subspaces(d)
     if d % m != 0:
@@ -128,6 +145,19 @@ def train_pq(
         x = x[jnp.asarray(np.sort(sel))]
     dsub = d // m
     x_sub = jnp.transpose(x.reshape(-1, m, dsub), (1, 0, 2))  # [M, n, dsub]
+    if anisotropic_eta is not None and anisotropic_eta > 1.0:
+        from opensearch_jvector_tpu.ops.kmeans import (
+            train_kmeans_subspaces_aniso,
+        )
+
+        codebooks = train_kmeans_subspaces_aniso(
+            x_sub, k, float(anisotropic_eta), iters,
+            jax.random.PRNGKey(seed),
+        )
+        return ProductQuantization(
+            codebooks=codebooks, center=center,
+            aniso_eta=jnp.float32(anisotropic_eta),
+        )
     codebooks = train_kmeans_subspaces(
         x_sub, k, iters, jax.random.PRNGKey(seed)
     )
@@ -139,18 +169,29 @@ def encode_pq(pq: ProductQuantization, vectors: jax.Array) -> jax.Array:
     """Encode [n, d] -> codes [n, M] uint8 (nearest centroid per subspace).
 
     One batched matmul per subspace (argmin over centroid distances).
+    Anisotropically-trained codebooks assign with the same score-aware
+    loss (the assignment metric is part of the trained state).
     """
     n, d = vectors.shape
     m, k, dsub = pq.codebooks.shape
     x = vectors - pq.center[None, :]
     x_sub = jnp.transpose(x.reshape(n, m, dsub), (1, 0, 2))  # [M, n, dsub]
 
-    def enc_one(xs, cb):  # [n, dsub], [K, dsub]
-        dots = jax.lax.dot_general(
-            xs, cb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        c2 = jnp.sum(cb * cb, axis=-1)[None, :]
-        return jnp.argmin(c2 - 2.0 * dots, axis=1)  # x^2 constant in argmin
+    if pq.aniso_eta is not None:
+        from opensearch_jvector_tpu.ops.kmeans import aniso_assign_scores
+
+        def enc_one(xs, cb):  # [n, dsub], [K, dsub]
+            return jnp.argmin(
+                aniso_assign_scores(xs, cb, pq.aniso_eta), axis=1
+            )
+    else:
+        def enc_one(xs, cb):  # [n, dsub], [K, dsub]
+            dots = jax.lax.dot_general(
+                xs, cb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            c2 = jnp.sum(cb * cb, axis=-1)[None, :]
+            return jnp.argmin(c2 - 2.0 * dots, axis=1)  # x^2 const in argmin
 
     codes = jax.vmap(enc_one)(x_sub, pq.codebooks)  # [M, n]
     return jnp.transpose(codes).astype(jnp.uint8)
@@ -218,11 +259,23 @@ def refine_pq(
         x = x[jnp.asarray(np.sort(sel))]
     x_sub = jnp.transpose(x.reshape(-1, m, dsub), (1, 0, 2))
 
-    def refine_one(xs, cb):
-        return jax.lax.fori_loop(0, iters, lambda _, c: _lloyd_iter(xs, c), cb)
+    if pq.aniso_eta is not None:
+        from opensearch_jvector_tpu.ops.kmeans import _lloyd_iter_aniso
+
+        def refine_one(xs, cb):
+            return jax.lax.fori_loop(
+                0, iters,
+                lambda _, c: _lloyd_iter_aniso(xs, c, pq.aniso_eta), cb,
+            )
+    else:
+        def refine_one(xs, cb):
+            return jax.lax.fori_loop(
+                0, iters, lambda _, c: _lloyd_iter(xs, c), cb
+            )
 
     codebooks = jax.vmap(refine_one)(x_sub, pq.codebooks)
-    return ProductQuantization(codebooks=codebooks, center=center)
+    return ProductQuantization(codebooks=codebooks, center=center,
+                               aniso_eta=pq.aniso_eta)
 
 
 @jax.tree_util.register_dataclass

@@ -97,3 +97,90 @@ def train_kmeans_subspaces(
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, x_sub.shape[0])
     return jax.vmap(lambda xs, kk: _train_one(xs, k, iters, kk))(x_sub, keys)
+
+
+# ---------------------------------------------------------------------------
+# Anisotropic (score-aware) clustering — ScaNN-style loss (Guo et al. 2020,
+# "Accelerating Large-Scale Inference with Anisotropic Vector Quantization"):
+# quantization error PARALLEL to the data point hurts inner-product ranking
+# more than the orthogonal error, so the loss weights it by eta > 1:
+#   loss(c; x) = ||c - x||^2 + (eta - 1) * ((c - x) . v)^2,   v = x/||x||
+# Assignment uses this loss; the centroid update solves the per-cluster
+# normal equations  [N I + (eta-1) S] c = sum x + (eta-1) sum v (v.x),
+# S = sum v v^T  (dsub x dsub, batched jnp.linalg.solve).
+# ---------------------------------------------------------------------------
+
+
+def aniso_assign_scores(
+    x: jax.Array, centroids: jax.Array, eta: jax.Array
+) -> jax.Array:
+    """Anisotropic assignment cost [n, k] (lower = better)."""
+    d2 = pairwise_sqdist(x, centroids)  # [n, k]
+    nrm = jnp.sqrt(jnp.sum(x * x, axis=-1))  # [n]
+    v = x / jnp.maximum(nrm, 1e-30)[:, None]  # unit directions
+    proj = jax.lax.dot_general(
+        v, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [n, k] = c . v
+    par = proj - nrm[:, None]  # (c - x) . v
+    return d2 + (eta - 1.0) * par * par
+
+
+def _lloyd_iter_aniso(x: jax.Array, centroids: jax.Array,
+                      eta: jax.Array) -> jax.Array:
+    """One anisotropic Lloyd step (weighted assignment + exact WLS update)."""
+    k, dsub = centroids.shape
+    assign = jnp.argmin(aniso_assign_scores(x, centroids, eta), axis=1)
+    onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # [n, k]
+    nrm = jnp.sqrt(jnp.sum(x * x, axis=-1))
+    v = x / jnp.maximum(nrm, 1e-30)[:, None]
+    counts = jnp.sum(onehot, axis=0)  # [k]
+    sum_x = jax.lax.dot_general(
+        onehot, x.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [k, dsub]
+    # rhs extra term: sum_i v_i (v_i . x_i) = sum_i v_i ||x_i||
+    vn = v * nrm[:, None]
+    sum_vn = jax.lax.dot_general(
+        onehot, vn.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [k, dsub]
+    # scatter matrices S_k = sum_i v_i v_i^T per cluster: einsum over the
+    # one-hot mask ([n,k],[n,a],[n,b] -> [k,a,b])
+    s = jnp.einsum("nk,na,nb->kab", onehot, v, v,
+                   preferred_element_type=jnp.float32)
+    lhs = (counts[:, None, None] * jnp.eye(dsub, dtype=jnp.float32)[None]
+           + (eta - 1.0) * s)
+    rhs = sum_x + (eta - 1.0) * sum_vn
+    # empty clusters: identity system keeps the previous centroid
+    safe_lhs = jnp.where(
+        (counts > 0)[:, None, None], lhs,
+        jnp.eye(dsub, dtype=jnp.float32)[None],
+    )
+    safe_rhs = jnp.where((counts > 0)[:, None], rhs,
+                         centroids.astype(jnp.float32))
+    new = jnp.linalg.solve(safe_lhs, safe_rhs[..., None])[..., 0]
+    return new.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def train_kmeans_subspaces_aniso(
+    x_sub: jax.Array, k: int, eta: float, iters: int = 8,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Anisotropic per-subspace training: [M, n, dsub] -> [M, k, dsub].
+
+    Seeds with plain k-means++ (the loss difference only matters once
+    clusters form), then runs anisotropic Lloyd iterations."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    eta = jnp.float32(eta)
+    keys = jax.random.split(key, x_sub.shape[0])
+
+    def one(xs, kk):
+        c0 = _kmeanspp_init(xs, k, kk)
+        return jax.lax.fori_loop(
+            0, iters, lambda _, c: _lloyd_iter_aniso(xs, c, eta), c0
+        )
+
+    return jax.vmap(one)(x_sub, keys)

@@ -254,3 +254,87 @@ def test_scalar_churn_delete_merge_retrain(tmp_path):
         assert not (got & set(range(0, 400, 5))), "deleted doc returned"
         hits += len(got & set(truth[i].tolist()))
     assert hits / (qn * k) >= 0.7, f"churn recall {hits/(qn*k):.3f}"
+
+
+def test_anisotropic_pq_beats_plain_on_mip(tmp_path):
+    """Score-aware (anisotropic) PQ training: better inner-product ranking
+    from the approximate phase at equal bytes/vector (BASELINE config 4
+    names anisotropic-PQ; ScaNN-style parallel-residual weighting)."""
+    import jax.numpy as jnp
+
+    from opensearch_jvector_tpu.models import pq as pq_mod
+    from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
+    rng = np.random.default_rng(0)
+    n, d, qn = 8000, 64, 96
+    basis = rng.standard_normal((8, d)).astype(np.float32)
+    v = (rng.standard_normal((n, 8)).astype(np.float32) @ basis
+         + 0.1 * rng.standard_normal((n, d))).astype(np.float32)
+    qv = (rng.standard_normal((qn, 8)).astype(np.float32) @ basis
+          + 0.1 * rng.standard_normal((qn, d))).astype(np.float32)
+    simf = SimilarityFunction.DOT_PRODUCT
+    truth = np.argsort(-(qv @ v.T), axis=1)[:, :10]
+
+    def adc_recall(pq):
+        codes = pq_mod.encode(pq, jnp.asarray(v), simf)
+        pqv = pq_mod.PQVectors(pq=pq, codes=codes)
+        scores = np.asarray(pqv.score_scan(jnp.asarray(qv), simf))
+        top = np.argsort(-scores, axis=1)[:, :10]
+        return sum(
+            len(set(top[i]) & set(truth[i])) for i in range(qn)
+        ) / (qn * 10)
+
+    plain = pq_mod.train_pq(jnp.asarray(v), simf, num_subspaces=16)
+    eta = pq_mod.eta_for_threshold(0.3, d)
+    aniso = pq_mod.train_pq(jnp.asarray(v), simf, num_subspaces=16,
+                            anisotropic_eta=eta)
+    r_plain, r_aniso = adc_recall(plain), adc_recall(aniso)
+    assert r_aniso >= r_plain + 0.02, (r_plain, r_aniso)
+
+    # refine preserves the anisotropic metric
+    refined = pq_mod.refine_pq(aniso, jnp.asarray(v), simf, iters=1)
+    assert refined.aniso_eta is not None
+
+
+def test_anisotropic_pq_config_and_roundtrip(tmp_path):
+    """pq_anisotropic_threshold plumbs mapping -> config -> flush; the
+    trained eta survives the segment roundtrip (merge re-encode must use
+    the same assignment metric)."""
+    from opensearch_jvector_tpu.api.config import DiskAnnConfig, SearchConfig
+    from opensearch_jvector_tpu.api.mapping import parse_knn_vector_mapping
+    from opensearch_jvector_tpu.index.index import VectorIndex
+    from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
+    cfg, _ = parse_knn_vector_mapping({
+        "type": "knn_vector", "dimension": 32, "space_type": "innerproduct",
+        "method": {"name": "disk_ann", "engine": "jvector", "parameters": {
+            "m": 8, "ef_construction": 32,
+            "advanced.num_pq_subspaces": 8,
+            "advanced.min_batch_size_for_quantization": 64,
+            "advanced.pq_anisotropic_threshold": 0.25,
+        }},
+    })
+    assert cfg.pq_anisotropic_threshold == 0.25
+
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((300, 32)).astype(np.float32)
+    idx = VectorIndex(tmp_path, cfg)
+    for i in range(300):
+        idx.add(i, v[i])
+    idx.flush()
+    seg = idx._reader(idx.segment_names[0]).seg
+    assert seg.pqv is not None and seg.pqv.pq.aniso_eta is not None
+
+    # reopen: eta restored from the container
+    idx2 = VectorIndex(tmp_path)
+    seg2 = idx2._reader(idx2.segment_names[0]).seg
+    assert seg2.pqv.pq.aniso_eta is not None
+    assert float(seg2.pqv.pq.aniso_eta) == pytest.approx(
+        float(seg.pqv.pq.aniso_eta))
+
+    res = idx2.search(v[7], SearchConfig(k=5))
+    assert res.doc_ids[0][0] == 7
+
+    # bad threshold rejected
+    with pytest.raises(Exception):
+        DiskAnnConfig(dim=32, pq_anisotropic_threshold=1.5)
