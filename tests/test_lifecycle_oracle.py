@@ -130,3 +130,72 @@ def test_lifecycle_filtered_subset(tmp_path):
         for d in row:
             if d >= 0:
                 assert int(d) in allowed
+
+
+def test_sharded_random_lifecycle_matches_oracle(tmp_path):
+    """The oracle walk over a mesh-attached ShardedVectorIndex: routing,
+    per-shard segment lifecycles, broadcast deletes, single-shard merges
+    (partial restacks) and the mesh/host path switch must all preserve the
+    live-set property."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+    from opensearch_jvector_tpu.parallel.distributed import (
+        ShardedVectorIndex,
+    )
+
+    rng = np.random.default_rng(99)
+    cfg = DiskAnnConfig(dim=DIM, similarity=SimilarityFunction.EUCLIDEAN,
+                        m=8, ef_construction=48, quantization_type="none")
+    mesh = sharded.make_mesh(jax.devices()[:2])
+    idx = ShardedVectorIndex(tmp_path, cfg, n_shards=2, mesh=mesh)
+    live: dict[int, np.ndarray] = {}
+    next_id = 0
+    min_recall = 1.0
+    mesh_served = 0
+
+    for step in range(10):
+        op = rng.choice(["add", "add", "delete", "merge_one"])
+        if op == "add" or not live:
+            n = int(rng.integers(10, 50))
+            vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+            ids = np.arange(next_id, next_id + n)
+            next_id += n
+            idx.add_batch(ids, vecs)
+            for i, v in zip(ids, vecs):
+                live[int(i)] = v
+        elif op == "delete":
+            take = rng.choice(list(live.keys()),
+                              size=min(len(live), int(rng.integers(1, 8))),
+                              replace=False)
+            idx.delete(take)
+            for i in take:
+                live.pop(int(i))
+        elif op == "merge_one":  # single-shard merge -> partial restack
+            s = int(rng.integers(0, idx.n_shards))
+            if len(idx.shards[s].segment_names) > 1:
+                idx.shards[s].force_merge()
+
+        idx.flush()
+        if not live:
+            continue
+        assert idx.doc_count() == len(live), f"step {step}"
+
+        queries = rng.standard_normal((3, DIM)).astype(np.float32)
+        k = min(K, len(live))
+        res = idx.search(queries, SearchConfig(k=k, ef_search=64,
+                                               overquery_factor=5))
+        if idx._mesh_state is not None:
+            mesh_served += 1
+        truth = _oracle_topk(live, queries, k)
+        for qi in range(queries.shape[0]):
+            got = [int(d) for d in res.doc_ids[qi] if d >= 0]
+            for d in got:
+                assert d in live, f"step {step}: dead/phantom doc {d}"
+            assert len(set(got)) == len(got), f"step {step}: dupes {got}"
+            if got:
+                rec = len(set(got) & truth[qi]) / max(len(truth[qi]), 1)
+                min_recall = min(min_recall, rec)
+
+    assert min_recall >= 0.85, f"sharded lifecycle min recall {min_recall}"
+    assert mesh_served > 0, "mesh path never served during the walk"
