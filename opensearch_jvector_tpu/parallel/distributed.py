@@ -14,6 +14,7 @@ broadcast (KNNStatsTransportAction.java:28,87-97).
 from __future__ import annotations
 
 import json
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -62,6 +63,10 @@ class ShardedVectorIndex:
         self.mesh = mesh
         self._mesh_state = None  # cached stacked device arrays
         self._mesh_segments = None  # segment names the cache was built from
+        # guards the (state, names) pair: two concurrent searches must not
+        # interleave their restacks, or a later partial restack would diff
+        # against mismatched names and slice-write the wrong shards
+        self._mesh_lock = threading.Lock()
 
     def attach_mesh(self, mesh) -> None:
         """Place shards on a device mesh (one shard per mesh device)."""
@@ -230,30 +235,33 @@ class ShardedVectorIndex:
         if shard_lists is None:
             return None
         names = [[s.name for s in lst] for lst in shard_lists]
-        if self._mesh_state is None or self._mesh_segments != names:
-            import time as _t
+        with self._mesh_lock:  # (state, names) must stay a matched pair
+            if self._mesh_state is None or self._mesh_segments != names:
+                import time as _t
 
-            t0 = _t.monotonic()
-            try:
-                # incremental when the stacked shapes allow it: only shards
-                # whose segment set changed are rebuilt + slice-written on
-                # device; unchanged shards are never re-uploaded
-                self._mesh_state, rebuilt = sharded.restack_engine_state(
-                    self._mesh_state, self._mesh_segments, shard_lists,
-                    names,
-                )
-            except ValueError:  # on_disk / mixed-quantization shards
-                return None
-            self._mesh_segments = names
-            # churn visibility: segment-set changes re-stack mesh state
-            partial = rebuilt < self.n_shards
-            for reg in self.shard_stats:
-                reg.increment(Counter.KNN_MESH_RESTACK_COUNT)
-                if partial:
-                    reg.increment(Counter.KNN_MESH_RESTACK_PARTIAL_COUNT)
-                reg.increment(Counter.KNN_MESH_RESTACK_TIME,
-                              int((_t.monotonic() - t0) * 1000))
-        state = self._mesh_state
+                t0 = _t.monotonic()
+                try:
+                    # incremental when the stacked shapes allow it: only
+                    # shards whose segment set changed are rebuilt +
+                    # slice-written on device; unchanged shards are never
+                    # re-uploaded
+                    self._mesh_state, rebuilt = sharded.restack_engine_state(
+                        self._mesh_state, self._mesh_segments, shard_lists,
+                        names,
+                    )
+                except ValueError:  # on_disk / mixed-quantization shards
+                    return None
+                self._mesh_segments = names
+                # churn visibility: segment-set changes re-stack mesh state
+                partial = rebuilt < self.n_shards
+                for reg in self.shard_stats:
+                    reg.increment(Counter.KNN_MESH_RESTACK_COUNT)
+                    if partial:
+                        reg.increment(
+                            Counter.KNN_MESH_RESTACK_PARTIAL_COUNT)
+                    reg.increment(Counter.KNN_MESH_RESTACK_TIME,
+                                  int((_t.monotonic() - t0) * 1000))
+            state = self._mesh_state
 
         # per-(shard, segment) ordinal accept masks (filter ∧ ¬tombstones)
         accept = None

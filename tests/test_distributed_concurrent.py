@@ -494,3 +494,59 @@ def test_mesh_scalar_shards_match_host_path(tmp_path):
     idx.delete([top0])
     res2 = idx.search(q, sc)
     assert top0 not in res2.doc_ids[0].tolist()
+
+
+def test_mesh_restack_race_concurrent_search_and_merge(tmp_path):
+    """Concurrent searches racing single-shard merges: every restack must
+    keep the (state, names) pair matched (a mismatch would slice-write the
+    wrong shards on the next partial restack) — results stay valid and
+    phantom-free throughout."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    rng = np.random.default_rng(81)
+    n_shards = 2
+    half = 256 * n_shards
+    v = rng.standard_normal((2 * half, DIM)).astype(np.float32)
+    cfg = _cfg(quantization_type="pq", num_pq_subspaces=8,
+               min_batch_size_for_quantization=64)
+    mesh = sharded.make_mesh(jax.devices()[:n_shards])
+    idx = ShardedVectorIndex(tmp_path, cfg, n_shards=n_shards, mesh=mesh)
+    idx.add_batch(np.arange(half), v[:half])
+    idx.flush()
+    idx.add_batch(np.arange(half, 2 * half), v[half:])
+    idx.flush()
+
+    q = rng.standard_normal((4, DIM)).astype(np.float32)
+    sc = SearchConfig(k=10, ef_search=64)
+    idx.search(q, sc)  # initial stack
+
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                res = idx.search(q, sc)
+                ids = res.doc_ids[res.doc_ids >= 0]
+                if ids.size and int(ids.max()) >= 2 * half:
+                    raise AssertionError(f"phantom doc {int(ids.max())}")
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=searcher) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for s in range(n_shards):  # serial merges racing the searches
+            idx.shards[s].force_merge()
+            idx.search(q, sc)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=120)
+    assert not errors, errors[0]
+    res = idx.search(q, sc)
+    assert (res.doc_ids >= 0).any()
