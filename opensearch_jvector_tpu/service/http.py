@@ -146,6 +146,17 @@ def _make_handler(mgr: IndexManager):
                 )
                 if m:
                     snap = STATS.snapshot()
+                    # sharded indexes carry their own per-shard registries
+                    # (the transport-broadcast analog): fold them in so the
+                    # node stats cover every index this service hosts
+                    with mgr._lock:
+                        indices = [dict(f) for f in mgr._indices.values()]
+                    for fields in indices:
+                        for idx in fields.values():
+                            agg = getattr(idx, "stats", None)
+                            if callable(agg):  # ShardedVectorIndex.stats()
+                                for k, val in agg().items():
+                                    snap[k] = snap.get(k, 0) + val
                     if m.group(1):
                         keys = m.group(1).split(",")
                         missing = [k for k in keys if k not in snap]

@@ -360,6 +360,12 @@ def test_sharded_index_over_rest(service):
             "rescore": {"oversample_factor": 2.0}}}}})
     assert status == 200 and out["hits"]["hits"][0]["_id"] == 23
 
+    # node stats fold in the sharded index's per-shard registries
+    status, out = _req(service, "GET", "/_plugins/_knn/stats")
+    assert status == 200
+    snap = out["nodes"]["local"]
+    assert snap.get("knn_query_count", 0) >= 3  # shardy queries counted
+
     status, _ = _req(service, "DELETE", "/shardy/_doc/17")
     status, out = _req(service, "POST", "/shardy/_search", {
         "size": 5, "query": {"knn": {"vec": {
