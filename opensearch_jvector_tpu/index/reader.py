@@ -187,7 +187,10 @@ class SegmentReader:
 
             n, d = self.seg.capacity(), self.seg.config.dim
             BREAKER.check(n * d * 2)
-            self._pq_decoded = self.seg.pqv.decode_bf16()
+            if self.seg.nvq is not None:  # NVQ scan tier: decode inline codes
+                self._pq_decoded = self.seg.nvq.decode().astype(jnp.bfloat16)
+            else:
+                self._pq_decoded = self.seg.pqv.decode_bf16()
             self._pq_decoded_sq = jnp.einsum(
                 "nd,nd->n", self._pq_decoded, self._pq_decoded,
                 preferred_element_type=jnp.float32,
@@ -268,6 +271,17 @@ class SegmentReader:
             # the tier bound: measured FASTER than fp32 graph traversal
             # (0.089 vs 0.119 ms/query at 100k x 128d) and slightly more
             # accurate (exhaustive approximate phase + exact rerank)
+            return self._scan_search(
+                queries, real_q, params, accept, accept_docs is not None
+            )
+        if (
+            seg.nvq is not None
+            and seg.capacity() <= self.SCAN_TIER_MAX_CODES
+        ):
+            # NVQ segments below the tier bound: exhaustive scan over the
+            # NVQ-decoded bf16 cache (same scan-beats-graph policy as PQ;
+            # the decode is once per segment load, rerank reads the same
+            # reconstruction the graph tier's NVQ rerank would)
             return self._scan_search(
                 queries, real_q, params, accept, accept_docs is not None
             )
@@ -406,7 +420,19 @@ class SegmentReader:
         else:
             valid = accept
         simf_id = seg.config.similarity.value
-        if seg.pqv is not None:
+        if seg.nvq is not None:
+            # NVQ scan tier: exhaustive scan over the NVQ-decoded cache
+            # (must come before the pqv branch — NVQ segments also carry
+            # the aux PQ, whose codes are NOT the rerank source)
+            decoded = self._decoded_cache()
+            dec_sq = self._pq_decoded_sq
+
+            def block_topr(lo, hi):
+                return _decoded_block_topr(
+                    queries, decoded[lo:hi], dec_sq[lo:hi], valid[lo:hi],
+                    simf_id, r,
+                )
+        elif seg.pqv is not None:
             luts = seg.pqv.build_query_luts(queries, seg.config.similarity)
 
             def block_topr(lo, hi):
@@ -423,7 +449,9 @@ class SegmentReader:
         qualify = approx > -jnp.inf
         if params.rerank_floor > 0.0:
             qualify &= approx >= params.rerank_floor
-        cand = seg.vectors[jnp.clip(cand_ids, 0)]
+        rerank_rows = (seg.vectors if seg.vectors is not None
+                       else self._decoded_cache())  # NVQ: same reconstruction
+        cand = rerank_rows[jnp.clip(cand_ids, 0)].astype(jnp.float32)
         exact = batched_candidate_scores(queries, cand,
                                          seg.config.similarity)
         exact = jnp.where(qualify, exact, -jnp.inf)
