@@ -131,10 +131,10 @@ class DiskAnnConfig:
         if self.nvq_num_subvectors < 1:
             raise ValidationError("nvq.num_subvectors must be >= 1")
         if self.pq_anisotropic_threshold is not None and not (
-            0.0 < self.pq_anisotropic_threshold < 1.0
+            0.0 <= self.pq_anisotropic_threshold < 1.0
         ):
             raise ValidationError(
-                "pq_anisotropic_threshold must be in (0, 1): "
+                "pq_anisotropic_threshold must be in [0, 1) (0 disables): "
                 f"{self.pq_anisotropic_threshold}"
             )
         if self.min_batch_size_for_quantization < 1:

@@ -167,11 +167,9 @@ def _merged_pq(cfg: DiskAnnConfig, lead: Segment, all_vectors, n_live):
         codes = pq_mod.encode(refined, all_vectors, cfg.similarity)
         return pq_mod.PQVectors(pq=refined, codes=codes)
     if n_live >= cfg.min_batch_size_for_quantization:
-        eta = (pq_mod.eta_for_threshold(cfg.pq_anisotropic_threshold, cfg.dim)
-               if cfg.pq_anisotropic_threshold else None)
         pq = pq_mod.train_pq(
             all_vectors, cfg.similarity, num_subspaces=cfg.num_pq_subspaces,
-            anisotropic_eta=eta,
+            anisotropic_eta=pq_mod.eta_from_config(cfg, all_vectors),
         )
         codes = pq_mod.encode(pq, all_vectors, cfg.similarity)
         return pq_mod.PQVectors(pq=pq, codes=codes)

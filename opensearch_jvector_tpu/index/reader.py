@@ -186,10 +186,13 @@ class SegmentReader:
             from opensearch_jvector_tpu.utils.circuit_breaker import BREAKER
 
             n, d = self.seg.capacity(), self.seg.config.dim
-            BREAKER.check(n * d * 2)
             if self.seg.nvq is not None:  # NVQ scan tier: decode inline codes
+                # account the TRANSIENT f32 decode (4B/dim) on top of the
+                # 2B/dim cache it is cast down to
+                BREAKER.check(n * d * 6)
                 self._pq_decoded = self.seg.nvq.decode().astype(jnp.bfloat16)
             else:
+                BREAKER.check(n * d * 2)
                 self._pq_decoded = self.seg.pqv.decode_bf16()
             self._pq_decoded_sq = jnp.einsum(
                 "nd,nd->n", self._pq_decoded, self._pq_decoded,
@@ -419,6 +422,8 @@ class SegmentReader:
             valid = jnp.asarray(m)
         else:
             valid = accept
+        from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+
         simf_id = seg.config.similarity.value
         if seg.nvq is not None:
             # NVQ scan tier: exhaustive scan over the NVQ-decoded cache
@@ -449,12 +454,21 @@ class SegmentReader:
         qualify = approx > -jnp.inf
         if params.rerank_floor > 0.0:
             qualify &= approx >= params.rerank_floor
-        rerank_rows = (seg.vectors if seg.vectors is not None
-                       else self._decoded_cache())  # NVQ: same reconstruction
-        cand = rerank_rows[jnp.clip(cand_ids, 0)].astype(jnp.float32)
-        exact = batched_candidate_scores(queries, cand,
-                                         seg.config.similarity)
-        exact = jnp.where(qualify, exact, -jnp.inf)
+        if (seg.nvq is not None
+                and seg.config.similarity is not SimilarityFunction.COSINE):
+            # NVQ rerank would re-score the SAME decoded rows the scan just
+            # scored — for L2/dot the approx scores ARE the exact scores of
+            # the reconstruction, so skip the redundant gather+matmul.
+            # (Cosine still reranks: the NVQ reconstruction is not
+            # normalized, so the scan's dot ordering needs the true cosine.)
+            exact = jnp.where(qualify, approx, -jnp.inf)
+        else:
+            rerank_rows = (seg.vectors if seg.vectors is not None
+                           else self._decoded_cache())  # NVQ reconstruction
+            cand = rerank_rows[jnp.clip(cand_ids, 0)].astype(jnp.float32)
+            exact = batched_candidate_scores(queries, cand,
+                                             seg.config.similarity)
+            exact = jnp.where(qualify, exact, -jnp.inf)
         kk = min(params.k, rr)
         top_s, idx = jax.lax.top_k(exact, kk)
         top_i = jnp.take_along_axis(cand_ids, idx, axis=1)

@@ -177,11 +177,9 @@ class IndexWriter:
                 int((time.monotonic() - t0) * 1000),
             )
             return None, None, (state, jnp.asarray(codes)), None
-        eta = (pq_mod.eta_for_threshold(cfg.pq_anisotropic_threshold, cfg.dim)
-               if cfg.pq_anisotropic_threshold else None)
         pq = pq_mod.train_pq(
             vectors, cfg.similarity, num_subspaces=cfg.num_pq_subspaces,
-            anisotropic_eta=eta,
+            anisotropic_eta=pq_mod.eta_from_config(cfg, vectors),
         )
         codes = pq_mod.encode(pq, vectors, cfg.similarity)
         pqv = pq_mod.PQVectors(pq=pq, codes=codes)

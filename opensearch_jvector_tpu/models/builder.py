@@ -348,8 +348,11 @@ class GraphIndexBuilder:
         self.extra_width = (min(2 * self.max_degree, 32)
                             if extra_width is None else int(extra_width))
         self.construction_expansions = int(construction_expansions)
-        self.overflow_chunk = (int(overflow_chunk) if overflow_chunk
-                               else self.batch_size)
+        oc = int(overflow_chunk) if overflow_chunk else self.batch_size
+        # snap DOWN to a pow2 so overflow chunks stay inside the pre-warmed
+        # pow2 program family (a 50k chunk would compile a one-off shape
+        # serially inside cleanup — the stall the warm threads exist to hide)
+        self.overflow_chunk = max(64, 1 << (oc.bit_length() - 1))
         self.counters = BuildCounters()
         self._has_tombstones = False
 

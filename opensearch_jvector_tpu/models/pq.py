@@ -116,6 +116,37 @@ def eta_for_threshold(threshold: float, dim: int) -> float:
     return max(1.0, (dim - 1) * t2 / max(1e-9, 1.0 - t2))
 
 
+def estimate_intrinsic_dim(vectors, max_rows: int = 16384) -> float:
+    """Participation ratio of the covariance spectrum: (sum l)^2 / sum l^2.
+
+    Real embedding corpora concentrate variance in far fewer directions
+    than the ambient dimension; feeding the ambient dim into
+    eta_for_threshold over-weights the parallel residual (measured recall
+    LOSS at 960 ambient / 32 latent). The PR equals the ambient dim for
+    isotropic data and the latent dim for low-rank data, so it is the
+    right plug-in for the eta formula without user input."""
+    x = np.asarray(vectors[:max_rows], np.float32)
+    x = x - x.mean(axis=0, keepdims=True)
+    cov = (x.T @ x) / max(1, x.shape[0] - 1)
+    ev = np.linalg.eigvalsh(cov)
+    ev = np.clip(ev, 0.0, None)
+    s1, s2 = float(ev.sum()), float((ev * ev).sum())
+    if s2 <= 0.0:
+        return float(x.shape[1])
+    return max(1.0, min(float(x.shape[1]), s1 * s1 / s2))
+
+
+def eta_from_config(cfg, vectors) -> float | None:
+    """Resolve the anisotropic weight for a config: threshold + ESTIMATED
+    intrinsic dimension (None when the feature is off)."""
+    t = getattr(cfg, "pq_anisotropic_threshold", None)
+    if not t:
+        return None
+    # slice BEFORE np.asarray: the estimator needs <=16k rows, not a full
+    # device->host fetch of the corpus
+    return eta_for_threshold(t, estimate_intrinsic_dim(vectors))
+
+
 def train_pq(
     vectors: jax.Array,  # [n, d]
     simf: SimilarityFunction,

@@ -179,15 +179,22 @@ class ShardedVectorIndex:
         return out
 
     def get_vectors(self, doc_ids):
-        """Bulk vector read-back, routed to owning shards (derived source)."""
+        """Bulk vector read-back across shards (derived source).
+
+        Broadcast like delete(): nested children live on their PARENT's
+        shard, so id-routing would miss them (rescore/MMR would silently
+        drop those hits). Shards fill only the ids they actually hold."""
         ids = np.asarray(doc_ids, np.int64).reshape(-1)
         vecs = np.zeros((ids.size, self.config.dim), np.float32)
         found = np.zeros(ids.size, bool)
-        for s in range(self.n_shards):
-            sel = (ids % self.n_shards) == s
-            if sel.any():
-                v, f = self.shards[s].get_vectors(ids[sel])
-                vecs[sel], found[sel] = v, f
+        for shard in self.shards:
+            missing = ~found
+            if not missing.any():
+                break
+            v, f = shard.get_vectors(ids[missing])
+            idx = np.flatnonzero(missing)[f]
+            vecs[idx] = v[f]
+            found[idx] = True
         return vecs, found
 
     # -- mesh fast path -------------------------------------------------------

@@ -36,6 +36,8 @@ from opensearch_jvector_tpu.query import knn as knn_mod
 from opensearch_jvector_tpu.query import mmr as mmr_mod
 from opensearch_jvector_tpu.query.builder import parse_knn_query
 
+_PENDING = object()  # registry reservation while an index is constructed
+
 
 class IndexManager:
     """Registry of named indices.
@@ -94,12 +96,20 @@ class IndexManager:
                                           n_shards=n_shards, mesh=mesh)
             return VectorIndex(self.root / name / f, config)
 
+        # reserve the name under the lock, construct OUTSIDE it (shard/dir
+        # setup must not stall every other request on the registry lock)
         with self._lock:
             if name in self._indices:
                 raise ValidationError(f"index {name} already exists")
-            self._indices[name] = {
-                f: make(f, config) for f, (config, _) in parsed.items()
-            }
+            self._indices[name] = _PENDING  # reservation (404 until ready)
+        try:
+            built = {f: make(f, config) for f, (config, _) in parsed.items()}
+        except BaseException:
+            with self._lock:
+                self._indices.pop(name, None)  # release the reservation
+            raise
+        with self._lock:
+            self._indices[name] = built
         first = knn_fields[0][0]
         return {"acknowledged": True, "index": name, "field": first,
                 "fields": [f for f, _ in knn_fields],
@@ -109,9 +119,10 @@ class IndexManager:
     def get(self, name: str) -> dict[str, VectorIndex]:
         """name -> {field: VectorIndex} (insertion-ordered)."""
         with self._lock:
-            if name not in self._indices:
+            val = self._indices.get(name)
+            if val is None or val is _PENDING:
                 raise KeyError(name)
-            return self._indices[name]
+            return val
 
 
 def _make_handler(mgr: IndexManager):
@@ -150,7 +161,8 @@ def _make_handler(mgr: IndexManager):
                     # (the transport-broadcast analog): fold them in so the
                     # node stats cover every index this service hosts
                     with mgr._lock:
-                        indices = [dict(f) for f in mgr._indices.values()]
+                        indices = [dict(f) for f in mgr._indices.values()
+                                   if isinstance(f, dict)]  # skip _PENDING
                     for fields in indices:
                         for idx in fields.values():
                             agg = getattr(idx, "stats", None)
@@ -231,6 +243,16 @@ def _make_handler(mgr: IndexManager):
                 if m := re.fullmatch(r"/([\w.-]+)/_bulk", path):
                     fields = mgr.get(m.group(1))
                     docs = self._body().get("docs") or []
+                    for i, doc in enumerate(docs):
+                        if not any(f in doc for f in fields):
+                            # same contract as the single-doc route: a doc
+                            # carrying NONE of the mapped fields is an
+                            # error, not a silent success
+                            return self._error(
+                                400, f"doc {i} (_id={doc.get('_id')}) has "
+                                     f"none of the mapped fields "
+                                     f"{list(fields)}"
+                            )
                     for doc in docs:
                         for f in fields:
                             if f in doc:
