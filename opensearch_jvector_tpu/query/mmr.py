@@ -81,6 +81,7 @@ def mmr_search(
     size: int,
     params: MMRParams | None = None,
     sc: SearchConfig | None = None,
+    vector_source: VectorIndex | None = None,
 ) -> QueryResult:
     """Oversampled search + MMR rerank (the full pipeline in one call).
 
@@ -89,6 +90,12 @@ def mmr_search(
     core TPU advantage — batch amortization), and the candidate vectors
     come back in ONE bulk `get_vectors`; only the tiny greedy selection
     loops per query on the host.
+
+    `vector_source` (the reference's `vector_field_path`,
+    MMRSearchExtBuilder): diversity vectors may come from a DIFFERENT
+    knn_vector field's index than the one searched; hits missing in the
+    source field are excluded from the selection (they carry no vector
+    to diversify against).
     """
     params = params or MMRParams()
     candidates = params.candidates or DEFAULT_CANDIDATE_MULTIPLIER * size
@@ -105,7 +112,8 @@ def mmr_search(
     # pull candidate vectors from the segments (derived-source analog:
     # vectors are fetched from the index storage, not duplicated in _source)
     # via the per-segment doc->ordinal inverse — O(hits), not O(N)
-    vecs, found = index.get_vectors(flat_ids)
+    src = vector_source if vector_source is not None else index
+    vecs, found = src.get_vectors(flat_ids)
     vecs = vecs.reshape(qn, c, -1)
     found = found.reshape(qn, c)
 
@@ -118,7 +126,7 @@ def mmr_search(
             continue
         rel = np.where(valid & found[qi], res.scores[qi], -np.inf)
         order = mmr_rerank(vecs[qi], rel, size, params.diversity,
-                           index.config.similarity)
+                           src.config.similarity)
         out_ids[qi, : order.size] = ids[order]
         out_scores[qi, : order.size] = res.scores[qi][order]
     return dataclasses.replace(res, doc_ids=out_ids, scores=out_scores)

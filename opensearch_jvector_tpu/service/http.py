@@ -338,6 +338,17 @@ def _make_handler(mgr: IndexManager):
                     diversity=float(mmr_body.get("diversity", 0.5)),
                     candidates=mmr_body.get("candidates"),
                 )
+                # vector_field_path (MMRSearchExtBuilder parity): diversity
+                # vectors may come from another mapped knn_vector field
+                vsrc = None
+                vpath = mmr_body.get("vector_field_path")
+                if vpath is not None and vpath != tgt:
+                    if vpath not in fields:
+                        return self._error(
+                            400, f"mmr.vector_field_path must name a "
+                                 f"mapped knn_vector field: {vpath}"
+                        )
+                    vsrc = fields[vpath]
                 res = mmr_mod.mmr_search(
                     idx, query.vector, size, params,
                     SearchConfig(
@@ -345,6 +356,7 @@ def _make_handler(mgr: IndexManager):
                         ef_search=query.ef_search,
                         overquery_factor=query.overquery_factor,
                     ),
+                    vector_source=vsrc,
                 )
             else:
                 res = knn_mod.execute_knn_query(idx, query)

@@ -410,3 +410,38 @@ def test_service_mesh_attached(tmp_path):
         assert idx._mesh_state is not None  # mesh program really served
     finally:
         svc.stop()
+
+
+def test_mmr_vector_field_path(service):
+    """ext.mmr.vector_field_path: diversity vectors come from a DIFFERENT
+    mapped knn_vector field than the one searched (MMRSearchExtBuilder
+    parity)."""
+    rng = np.random.default_rng(17)
+    a = rng.standard_normal((100, DIM)).astype(np.float32)
+    b = rng.standard_normal((100, DIM)).astype(np.float32)
+    _req(service, "PUT", "/mmrpath", {
+        "mappings": {"properties": {
+            "va": {"type": "knn_vector", "dimension": DIM,
+                   "space_type": "l2"},
+            "vb": {"type": "knn_vector", "dimension": DIM,
+                   "space_type": "l2"},
+        }}})
+    docs = [{"_id": i, "va": a[i].tolist(), "vb": b[i].tolist()}
+            for i in range(100)]
+    _req(service, "POST", "/mmrpath/_bulk", {"docs": docs})
+    _req(service, "POST", "/mmrpath/_flush")
+
+    status, out = _req(service, "POST", "/mmrpath/_search", {
+        "size": 5,
+        "query": {"knn": {"va": {"vector": a[3].tolist(), "k": 5}}},
+        "ext": {"mmr": {"diversity": 0.5, "vector_field_path": "vb"}}})
+    assert status == 200
+    hits = out["hits"]["hits"]
+    assert hits and hits[0]["_id"] == 3
+
+    # unknown path is a 400
+    status, _ = _req(service, "POST", "/mmrpath/_search", {
+        "size": 5,
+        "query": {"knn": {"va": {"vector": a[3].tolist(), "k": 5}}},
+        "ext": {"mmr": {"vector_field_path": "nope"}}})
+    assert status == 400
