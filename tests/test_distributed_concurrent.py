@@ -550,3 +550,34 @@ def test_mesh_restack_race_concurrent_search_and_merge(tmp_path):
     assert not errors, errors[0]
     res = idx.search(q, sc)
     assert (res.doc_ids >= 0).any()
+
+
+def test_restack_shape_fallbacks(tmp_path):
+    """restack_engine_state: unchanged names -> no rebuild; a segment-slot
+    (G) change -> full restack; only same-shape changes take the partial
+    path (pins the fallback semantics)."""
+    from opensearch_jvector_tpu.parallel import sharded
+
+    v = _vectors(512, seed=91)
+    idx = ShardedVectorIndex(tmp_path, _cfg(), n_shards=2)
+    idx.add_batch(np.arange(256), v[:256])
+    idx.flush()
+
+    lists = idx._mesh_ready_segments()
+    names = [[s.name for s in lst] for lst in lists]
+    state = sharded.stack_engine_state(lists)
+
+    # unchanged -> zero rebuilt, same object
+    st2, rebuilt = sharded.restack_engine_state(state, names, lists, names)
+    assert rebuilt == 0 and st2 is state
+
+    # one shard gains a second segment: g_max 1 -> 2 -> FULL restack
+    idx.shards[0].add_batch(np.arange(1000, 1064),
+                            _vectors(64, seed=92))
+    idx.shards[0].flush()
+    lists2 = idx._mesh_ready_segments()
+    names2 = [[s.name for s in lst] for lst in lists2]
+    st3, rebuilt2 = sharded.restack_engine_state(state, names, lists2,
+                                                 names2)
+    assert rebuilt2 == idx.n_shards  # shape changed -> full
+    assert st3.n_segments == 2
