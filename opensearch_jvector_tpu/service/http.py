@@ -124,6 +124,17 @@ class IndexManager:
                 raise KeyError(name)
             return val
 
+    def drop(self, name: str) -> None:
+        """Delete an index: unregister, then remove its storage."""
+        import shutil
+
+        with self._lock:
+            val = self._indices.get(name)
+            if val is None or val is _PENDING:
+                raise KeyError(name)
+            del self._indices[name]
+        shutil.rmtree(self.root / name, ignore_errors=True)
+
 
 def _make_handler(mgr: IndexManager):
     class Handler(BaseHTTPRequestHandler):
@@ -176,6 +187,26 @@ def _make_handler(mgr: IndexManager):
                             return self._error(400, f"unknown stats {missing}")
                         snap = {k: snap[k] for k in keys}
                     return self._send(200, {"nodes": {"local": snap}})
+                m = re.fullmatch(r"/([\w.-]+)", self.path)
+                if m and not m.group(1).startswith("_"):
+                    # index introspection: mapped fields + resolved configs
+                    fields = mgr.get(m.group(1))
+                    props = {}
+                    for f, idx in fields.items():
+                        cfg = idx.config
+                        props[f] = {
+                            "type": "knn_vector",
+                            "dimension": cfg.dim,
+                            "similarity": cfg.similarity.name.lower(),
+                            "quantization_type": cfg.quantization_type,
+                            "mode": cfg.mode,
+                            "m": cfg.m,
+                            "ef_construction": cfg.ef_construction,
+                            "shards": getattr(idx, "n_shards", 1),
+                        }
+                    return self._send(200, {
+                        m.group(1): {"mappings": {"properties": props}},
+                    })
                 m = re.fullmatch(r"/([\w.-]+)/_count", self.path)
                 if m:
                     fields = mgr.get(m.group(1))
@@ -211,11 +242,15 @@ def _make_handler(mgr: IndexManager):
         def do_DELETE(self):
             try:
                 m = re.fullmatch(r"/([\w.-]+)/_doc/(\d+)", self.path)
+                if m:
+                    for idx in mgr.get(m.group(1)).values():
+                        idx.delete(int(m.group(2)))
+                    return self._send(200, {"result": "deleted"})
+                m = re.fullmatch(r"/([\w.-]+)", self.path)
                 if not m:
                     return self._error(404, f"no route for DELETE {self.path}")
-                for idx in mgr.get(m.group(1)).values():
-                    idx.delete(int(m.group(2)))
-                self._send(200, {"result": "deleted"})
+                mgr.drop(m.group(1))  # delete index (storage removed)
+                self._send(200, {"acknowledged": True})
             except KeyError as e:
                 self._error(404, f"no such index {e}")
             except Exception as e:  # noqa: BLE001

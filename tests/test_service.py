@@ -445,3 +445,41 @@ def test_mmr_vector_field_path(service):
         "query": {"knn": {"va": {"vector": a[3].tolist(), "k": 5}}},
         "ext": {"mmr": {"vector_field_path": "nope"}}})
     assert status == 400
+
+
+def test_index_introspection_and_delete(tmp_path):
+    svc = KnnService(tmp_path)
+    svc.start()
+    try:
+        rng = np.random.default_rng(19)
+        v = rng.standard_normal((50, DIM)).astype(np.float32)
+        _req(svc, "PUT", "/dropme", {
+            "mappings": {"properties": {"vec": {
+                "type": "knn_vector", "dimension": DIM,
+                "space_type": "l2"}}}})
+        docs = [{"_id": i, "vec": v[i].tolist()} for i in range(50)]
+        _req(svc, "POST", "/dropme/_bulk", {"docs": docs})
+        _req(svc, "POST", "/dropme/_flush")
+
+        # GET /{index}: mapped fields + resolved config
+        status, out = _req(svc, "GET", "/dropme")
+        assert status == 200
+        props = out["dropme"]["mappings"]["properties"]
+        assert props["vec"]["dimension"] == DIM
+        assert props["vec"]["type"] == "knn_vector"
+
+        # DELETE /{index}: unregistered and storage removed
+        status, out = _req(svc, "DELETE", "/dropme")
+        assert status == 200 and out["acknowledged"]
+        status, _ = _req(svc, "GET", "/dropme/_count")
+        assert status == 404
+        status, _ = _req(svc, "DELETE", "/dropme")
+        assert status == 404
+        # name is reusable after deletion
+        status, out = _req(svc, "PUT", "/dropme", {
+            "mappings": {"properties": {"vec": {
+                "type": "knn_vector", "dimension": DIM,
+                "space_type": "l2"}}}})
+        assert status == 200
+    finally:
+        svc.stop()
