@@ -153,7 +153,10 @@ def _make_handler(mgr: IndexManager):
             n = int(self.headers.get("Content-Length", 0))
             if n == 0:
                 return {}
-            return json.loads(self.rfile.read(n))
+            try:
+                return json.loads(self.rfile.read(n))
+            except json.JSONDecodeError as e:
+                raise ValidationError(f"malformed JSON body: {e}") from e
 
         def _error(self, code: int, msg: str):
             self._send(code, {"error": msg, "status": code})

@@ -447,6 +447,16 @@ def test_mmr_vector_field_path(service):
     assert status == 400
 
 
+def test_malformed_json_is_400(service):
+    conn = http.client.HTTPConnection("127.0.0.1", service.port, timeout=60)
+    conn.request("POST", "/myidx/_search", "{not json",
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    body = json.loads(r.read())
+    conn.close()
+    assert r.status == 400 and "malformed" in body["error"]
+
+
 def test_index_introspection_and_delete(tmp_path):
     svc = KnnService(tmp_path)
     svc.start()
