@@ -134,3 +134,46 @@ def test_compression_level_mapping():
         parse_knn_vector_mapping({
             "type": "knn_vector", "dimension": 128, "compression_level": "x2",
         })
+
+
+@pytest.mark.slow  # ~1M-row ingest + scan on the CI host (several minutes)
+def test_flat_on_disk_one_million(tmp_path):
+    """>=1M-scale CI cell (the 10M bench tier's architecture at 1/10th
+    scale): flat on_disk index — PQ codes resident, fp32 rows in the
+    native store — bulk-ingested and served through the blocked scan
+    tier with exact rerank. Recall gate vs brute force."""
+    import numpy as np
+
+    from opensearch_jvector_tpu.api.config import DiskAnnConfig, SearchConfig
+    from opensearch_jvector_tpu.index.index import VectorIndex
+    from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+    from opensearch_jvector_tpu.utils.ground_truth import (
+        ground_truth_topk,
+        recall_at_k,
+    )
+
+    n, d = 1_000_000, 32
+    rng = np.random.default_rng(5)
+    lat = rng.standard_normal((8, d)).astype(np.float32)
+    v = (rng.standard_normal((n, 8)).astype(np.float32) @ lat
+         + 0.05 * rng.standard_normal((n, d)).astype(np.float32))
+    cfg = DiskAnnConfig(dim=d, similarity=SimilarityFunction.EUCLIDEAN,
+                        mode="on_disk", index_type="flat",
+                        quantization_type="pq", num_pq_subspaces=8)
+    idx = VectorIndex(tmp_path, cfg)
+    idx.add_batch(np.arange(n), v)
+    idx.flush()
+    assert idx.doc_count() == n
+
+    q = (rng.standard_normal((16, 8)).astype(np.float32) @ lat
+         + 0.05 * rng.standard_normal((16, d)).astype(np.float32))
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+    res = idx.search(q, SearchConfig(k=10, overquery_factor=10))
+    rec = recall_at_k(res.doc_ids, truth, 10)
+    assert rec >= 0.9, rec
+
+    # deletes hold at scale
+    top = int(res.doc_ids[0, 0])
+    idx.delete([top])
+    res2 = idx.search(q, SearchConfig(k=10, overquery_factor=10))
+    assert top not in res2.doc_ids[0].tolist()
