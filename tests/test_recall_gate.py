@@ -60,3 +60,37 @@ def test_recall_gate_10k_k100(space, tmp_path):
     truth = ground_truth_topk(q, v, K, simf)
     rec = recall_at_k(res.doc_ids, truth, K)
     assert rec >= floor, f"{space}: recall@{K}={rec:.4f} < {floor}"
+
+
+@pytest.mark.slow  # fresh 4-shard 10k build (~1 min on the CI host)
+def test_sharded_recall_gate_10k_k100(tmp_path):
+    """The distributed gate: the same 10k/k=100 corpus sharded 4 ways and
+    served over the mesh must hold the single-index floor (scatter-gather
+    + doc-level top-k merge lose nothing)."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+    from opensearch_jvector_tpu.parallel.distributed import (
+        ShardedVectorIndex,
+    )
+
+    simf, floor = FLOORS["l2"]
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((N_DOCS, DIM)).astype(np.float32)
+    q = rng.standard_normal((N_QUERIES, DIM)).astype(np.float32)
+
+    mesh = sharded.make_mesh(jax.devices()[:4])
+    idx = ShardedVectorIndex(
+        tmp_path,
+        DiskAnnConfig(dim=DIM, similarity=simf, m=16, ef_construction=64,
+                      quantization_type="none"),
+        n_shards=4, mesh=mesh,
+    )
+    idx.add_batch(np.arange(N_DOCS), v)
+    idx.flush()
+
+    res = idx.search(q, SearchConfig(k=K, ef_search=200))
+    assert idx._mesh_state is not None, "mesh path did not run"
+    truth = ground_truth_topk(q, v, K, simf)
+    rec = recall_at_k(res.doc_ids, truth, K)
+    assert rec >= floor, f"sharded: recall@{K}={rec:.4f} < {floor}"
