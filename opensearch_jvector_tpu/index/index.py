@@ -176,7 +176,7 @@ class VectorIndex:
         with self._lock:
             return any(self._segment_deletes.values())
 
-    def flush(self) -> str | None:
+    def flush(self, sort_map=None) -> str | None:
         # one flush at a time: a second concurrent flush would replace
         # _flush_pending and lose deletes raced against the first
         with self._flush_serial:
@@ -184,7 +184,7 @@ class VectorIndex:
                 pending: set[int] = set()
                 self._flush_pending = pending
             try:
-                path = self.writer.flush()
+                path = self.writer.flush(sort_map=sort_map)
             except BaseException:
                 with self._lock:
                     self._flush_pending = None
