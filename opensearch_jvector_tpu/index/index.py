@@ -90,6 +90,20 @@ class VectorIndex:
             if len(tail) == 2 and tail[1].isdigit():
                 counter = max(counter, int(tail[1]))
         self._merge_counter = counter
+        self._closed = False
+
+    def close(self) -> None:
+        """Quiesce the index: refuse new flushes/merges, join in-flight work.
+
+        Deletion paths MUST call this before removing storage — an
+        in-flight background merge or flush would otherwise recreate the
+        removed directory (segment mkdir parents=True + commits.json), and
+        a later index of the same name would resurrect the stale state.
+        """
+        self._closed = True
+        with self._flush_serial:  # barrier: an in-flight flush completes
+            pass
+        self.merge_scheduler.await_all()
 
     # -- commit model --------------------------------------------------------
 
@@ -177,6 +191,8 @@ class VectorIndex:
             return any(self._segment_deletes.values())
 
     def flush(self, sort_map=None) -> str | None:
+        if self._closed:
+            raise RuntimeError("index is closed")
         # one flush at a time: a second concurrent flush would replace
         # _flush_pending and lose deletes raced against the first
         with self._flush_serial:
@@ -202,6 +218,14 @@ class VectorIndex:
                     # deletes that raced this flush AFTER its buffer
                     # snapshot: scope them to the new segment
                     arr = np.fromiter(pending, np.int64)
+                    if sort_map is not None:
+                        # callers delete by PRE-sort id; the new segment's
+                        # docmap holds post-sort ids — translate before the
+                        # presence check (ids beyond the map can't be in
+                        # this flush)
+                        smap = np.asarray(sort_map)
+                        inb = (arr >= 0) & (arr < smap.shape[0])
+                        arr = smap[arr[inb]]
                     present = arr[
                         np.isin(arr, self._segment_docs(path.name))
                     ]
@@ -219,6 +243,8 @@ class VectorIndex:
         """Consult the merge policy; schedule a background merge if it
         selects segments. Returns the Future or None. Runs on the niced
         merge pool, concurrent with further ingest (scheduler parity)."""
+        if self._closed:
+            return None
         if not getattr(self.merge_policy, "auto", True):
             return None  # ForceMergesOnly: skip segment sizing entirely
         with self._lock:
@@ -510,6 +536,8 @@ class VectorIndex:
         default output name is counter-unique (a fixed name would be reused
         across successive force_merges and overwrite a committed segment's
         files in place)."""
+        if self._closed:
+            raise RuntimeError("index is closed")
         self.await_merges()
         with self._lock:
             names = [n for n in self._segments if n not in self._merging]

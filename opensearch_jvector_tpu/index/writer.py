@@ -25,6 +25,7 @@ from opensearch_jvector_tpu.api.config import (
     QUANT_NVQ,
     QUANT_PQ,
     DiskAnnConfig,
+    ValidationError,
 )
 from opensearch_jvector_tpu.api.stats import STATS, Counter, StatsRegistry
 from opensearch_jvector_tpu.index.docmap import DocMap
@@ -313,7 +314,23 @@ class IndexWriter:
 
         docmap = DocMap(doc_ids, parent_ids if has_nested else None)
         if sort_map is not None:
-            docmap = docmap.apply_sort(np.asarray(sort_map))
+            smap = np.asarray(sort_map)
+            if smap.ndim != 1 or not np.issubdtype(smap.dtype, np.integer):
+                raise ValidationError(
+                    "sort_map must be a 1-D integer array (old doc id -> "
+                    f"new doc id); got shape {smap.shape} dtype {smap.dtype}"
+                )
+            hi = int(doc_ids.max(initial=-1))
+            if hi >= smap.shape[0]:
+                raise ValidationError(
+                    f"sort_map (len {smap.shape[0]}) does not cover "
+                    f"buffered doc id {hi}"
+                )
+            if np.unique(smap).size != smap.size:
+                raise ValidationError(
+                    "sort_map must be injective (no duplicate new doc ids)"
+                )
+            docmap = docmap.apply_sort(smap)
 
         cap = graph.capacity
         if pqv is not None and cfg.index_type != "flat":

@@ -87,6 +87,12 @@ class ShardedVectorIndex:
         self.shards[self._route(route)].add(doc_id, vector,
                                             parent_id=parent_id)
 
+    def close(self) -> None:
+        """Quiesce every shard (see VectorIndex.close): required before
+        storage removal so an in-flight flush/merge can't resurrect it."""
+        for shard in self.shards:
+            shard.close()
+
     def delete(self, doc_ids) -> None:
         # broadcast: a doc lives in exactly one shard, but parent-routed
         # children are not findable from their own id; absent-doc deletes

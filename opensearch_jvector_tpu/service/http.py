@@ -36,7 +36,8 @@ from opensearch_jvector_tpu.query import knn as knn_mod
 from opensearch_jvector_tpu.query import mmr as mmr_mod
 from opensearch_jvector_tpu.query.builder import parse_knn_query
 
-_PENDING = object()  # registry reservation while an index is constructed
+_PENDING = object()   # registry reservation while an index is constructed
+_DELETING = object()  # registry tombstone while drop() removes storage
 
 
 class IndexManager:
@@ -99,6 +100,9 @@ class IndexManager:
         # reserve the name under the lock, construct OUTSIDE it (shard/dir
         # setup must not stall every other request on the registry lock)
         with self._lock:
+            if self._indices.get(name) is _DELETING:
+                raise ValidationError(
+                    f"index {name} is being deleted; retry shortly")
             if name in self._indices:
                 raise ValidationError(f"index {name} already exists")
             self._indices[name] = _PENDING  # reservation (404 until ready)
@@ -120,20 +124,35 @@ class IndexManager:
         """name -> {field: VectorIndex} (insertion-ordered)."""
         with self._lock:
             val = self._indices.get(name)
-            if val is None or val is _PENDING:
+            if val is None or val is _PENDING or val is _DELETING:
                 raise KeyError(name)
             return val
 
     def drop(self, name: str) -> None:
-        """Delete an index: unregister, then remove its storage."""
+        """Delete an index: quiesce, unregister, then remove its storage.
+
+        The name stays reserved (_DELETING) until rmtree finishes, so a
+        concurrent PUT of the same name cannot create storage that the
+        rmtree walk would silently delete. Each index is close()d first —
+        an in-flight background merge/flush would otherwise recreate the
+        directory (segment mkdir + commits.json) after removal and a later
+        index of the same name would resurrect the stale state.
+        """
         import shutil
 
         with self._lock:
             val = self._indices.get(name)
-            if val is None or val is _PENDING:
+            if val is None or val is _PENDING or val is _DELETING:
                 raise KeyError(name)
-            del self._indices[name]
-        shutil.rmtree(self.root / name, ignore_errors=True)
+            self._indices[name] = _DELETING  # name reserved during removal
+        try:
+            for idx in val.values():
+                idx.close()
+            shutil.rmtree(self.root / name, ignore_errors=True)
+        finally:
+            with self._lock:
+                if self._indices.get(name) is _DELETING:
+                    del self._indices[name]
 
 
 def _make_handler(mgr: IndexManager):
@@ -155,7 +174,9 @@ def _make_handler(mgr: IndexManager):
                 return {}
             try:
                 return json.loads(self.rfile.read(n))
-            except json.JSONDecodeError as e:
+            except (json.JSONDecodeError, UnicodeDecodeError, ValueError) as e:
+                # UnicodeDecodeError: invalid UTF-8 bytes are a client
+                # error too, not a 500
                 raise ValidationError(f"malformed JSON body: {e}") from e
 
         def _error(self, code: int, msg: str):
@@ -192,23 +213,64 @@ def _make_handler(mgr: IndexManager):
                     return self._send(200, {"nodes": {"local": snap}})
                 m = re.fullmatch(r"/([\w.-]+)", self.path)
                 if m and not m.group(1).startswith("_"):
-                    # index introspection: mapped fields + resolved configs
+                    # index introspection: the response round-trips — its
+                    # properties/settings replay into PUT /{index} and
+                    # resolve to the same configs (the standard GET-then-
+                    # reindex pattern)
+                    from opensearch_jvector_tpu.api.mapping import (
+                        SPACE_TO_SIMILARITY,
+                    )
+
+                    sim_to_space = {
+                        v: k for k, v in SPACE_TO_SIMILARITY.items()
+                        if k != "undefined"
+                    }
                     fields = mgr.get(m.group(1))
-                    props = {}
+                    props, n_shards = {}, 1
                     for f, idx in fields.items():
                         cfg = idx.config
+                        n_shards = getattr(idx, "n_shards", 1)
+                        params = {
+                            "m": cfg.m,
+                            "ef_construction": cfg.ef_construction,
+                            "advanced.alpha": cfg.alpha,
+                            "advanced.neighbor_overflow":
+                                cfg.neighbor_overflow,
+                            "advanced.hierarchy_enabled":
+                                cfg.hierarchy_enabled,
+                            "advanced.min_batch_size_for_quantization":
+                                cfg.min_batch_size_for_quantization,
+                            "advanced.quantization_type":
+                                cfg.quantization_type,
+                            "advanced.nvq.num_subvectors":
+                                cfg.nvq_num_subvectors,
+                            "advanced.leading_segment_merge_disabled":
+                                cfg.leading_segment_merge_disabled,
+                        }
+                        if cfg.num_pq_subspaces is not None:
+                            params["advanced.num_pq_subspaces"] = (
+                                cfg.num_pq_subspaces)
+                        if cfg.pq_anisotropic_threshold is not None:
+                            params["advanced.pq_anisotropic_threshold"] = (
+                                cfg.pq_anisotropic_threshold)
                         props[f] = {
                             "type": "knn_vector",
                             "dimension": cfg.dim,
-                            "similarity": cfg.similarity.name.lower(),
-                            "quantization_type": cfg.quantization_type,
+                            "space_type": sim_to_space[cfg.similarity],
                             "mode": cfg.mode,
-                            "m": cfg.m,
-                            "ef_construction": cfg.ef_construction,
-                            "shards": getattr(idx, "n_shards", 1),
+                            "method": {
+                                "name": "disk_ann",
+                                "engine": "jvector",
+                                "parameters": params,
+                            },
                         }
                     return self._send(200, {
-                        m.group(1): {"mappings": {"properties": props}},
+                        m.group(1): {
+                            "mappings": {"properties": props},
+                            "settings": {"index": {
+                                "number_of_shards": n_shards,
+                            }},
+                        },
                     })
                 m = re.fullmatch(r"/([\w.-]+)/_count", self.path)
                 if m:
@@ -319,9 +381,9 @@ def _make_handler(mgr: IndexManager):
                 self._error(500, str(e))
 
         def _search(self, index_name: str):
-            fields = mgr.get(index_name)
+            body = self._body()  # malformed body -> 400 even if the index
+            fields = mgr.get(index_name)  # doesn't exist (client error wins)
             default_field = next(iter(fields))
-            body = self._body()
             size = int(body.get("size", 10))
             qbody = body.get("query") or {}
 

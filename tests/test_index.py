@@ -254,3 +254,35 @@ def test_filtered_search_accept_docs(tmp_path):
     ids = res.doc_ids[res.doc_ids >= 0]
     assert ids.size > 0
     assert (ids < 100).all()
+
+
+def test_sort_map_validation(tmp_path):
+    idx = VectorIndex(tmp_path, _cfg())
+    v = _vectors(10)
+    for i in range(10):
+        idx.add(i, v[i])
+    with pytest.raises(ValidationError):  # too short for buffered ids
+        idx.flush(sort_map=np.arange(5))
+    with pytest.raises(ValidationError):  # not 1-D integer
+        idx.flush(sort_map=np.zeros((10, 2), np.int64))
+    with pytest.raises(ValidationError):  # duplicate new ids
+        idx.flush(sort_map=np.zeros(10, np.int64))
+    # buffer survives the refused flushes; a valid map still works
+    idx.flush(sort_map=np.arange(10)[::-1].copy())
+    assert idx.doc_count() == 10
+
+
+def test_close_quiesces_and_refuses_mutation(tmp_path):
+    idx = VectorIndex(tmp_path, _cfg())
+    v = _vectors(50)
+    for i in range(50):
+        idx.add(i, v[i])
+    idx.flush()
+    idx.close()
+    with pytest.raises(RuntimeError):
+        idx.flush()
+    with pytest.raises(RuntimeError):
+        idx.force_merge()
+    assert idx.maybe_merge() is None
+    # reads still work on the committed state (Lucene reader semantics)
+    assert idx.doc_count() == 50

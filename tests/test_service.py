@@ -493,3 +493,90 @@ def test_index_introspection_and_delete(tmp_path):
         assert status == 200
     finally:
         svc.stop()
+
+
+def test_invalid_utf8_body_is_400(service):
+    """Invalid UTF-8 bytes are a client error (400), not a 500."""
+    conn = http.client.HTTPConnection("127.0.0.1", service.port, timeout=60)
+    conn.request("POST", "/nosuch/_search", b"\xff\xfe\xfa",
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    body = json.loads(r.read())
+    conn.close()
+    assert r.status == 400 and "malformed" in body["error"]
+
+
+def test_get_index_round_trips_into_put(tmp_path):
+    """GET /{index} output replays into PUT (the introspect-then-reindex
+    pattern): the recreated index resolves to the SAME config."""
+    svc = KnnService(tmp_path)
+    svc.start()
+    try:
+        _req(svc, "PUT", "/orig", {
+            "mappings": {"properties": {"vec": {
+                "type": "knn_vector", "dimension": DIM,
+                "space_type": "innerproduct",
+                "method": {"name": "disk_ann", "parameters": {
+                    "m": 12, "ef_construction": 37,
+                    "advanced.quantization_type": "pq",
+                    "advanced.num_pq_subspaces": 4,
+                    "advanced.min_batch_size_for_quantization": 99,
+                }}}}},
+            "settings": {"index": {"number_of_shards": 2}},
+        })
+        status, out = _req(svc, "GET", "/orig")
+        assert status == 200
+        status, _ = _req(svc, "PUT", "/copy", {
+            "mappings": out["orig"]["mappings"],
+            "settings": out["orig"]["settings"],
+        })
+        assert status == 200
+        a = svc.manager.get("orig")["vec"]
+        b = svc.manager.get("copy")["vec"]
+        assert a.config == b.config
+        assert getattr(a, "n_shards", 1) == getattr(b, "n_shards", 1) == 2
+    finally:
+        svc.stop()
+
+
+def test_delete_recreate_does_not_resurrect_old_state(tmp_path):
+    """DELETE quiesces in-flight background merges before removing storage;
+    a PUT of the same name with a DIFFERENT mapping starts truly fresh
+    (no stale commits.json / segments resurrected by a racing merge)."""
+    svc = KnnService(tmp_path)
+    svc.start()
+    try:
+        rng = np.random.default_rng(29)
+        _req(svc, "PUT", "/phoenix", {
+            "mappings": {"properties": {"vec": {
+                "type": "knn_vector", "dimension": DIM,
+                "space_type": "l2"}}}})
+        # several small flushes under the DEFAULT tiered policy so a
+        # background merge is likely in flight at DELETE time
+        for chunk in range(4):
+            docs = [{"_id": chunk * 30 + i,
+                     "vec": rng.standard_normal(DIM).astype(
+                         np.float32).tolist()}
+                    for i in range(30)]
+            _req(svc, "POST", "/phoenix/_bulk", {"docs": docs})
+            _req(svc, "POST", "/phoenix/_flush")
+        status, _ = _req(svc, "DELETE", "/phoenix")
+        assert status == 200
+        # recreate with a different dimension: must NOT inherit old config
+        status, _ = _req(svc, "PUT", "/phoenix", {
+            "mappings": {"properties": {"vec": {
+                "type": "knn_vector", "dimension": DIM * 2,
+                "space_type": "l2"}}}})
+        assert status == 200
+        assert svc.manager.get("phoenix")["vec"].config.dim == DIM * 2
+        status, out = _req(svc, "GET", "/phoenix/_count")
+        assert status == 200 and out["count"] == 0
+        docs = [{"_id": i, "vec": rng.standard_normal(
+            DIM * 2).astype(np.float32).tolist()} for i in range(10)]
+        status, _ = _req(svc, "POST", "/phoenix/_bulk", {"docs": docs})
+        assert status == 200
+        _req(svc, "POST", "/phoenix/_flush")
+        status, out = _req(svc, "GET", "/phoenix/_count")
+        assert status == 200 and out["count"] == 10
+    finally:
+        svc.stop()
