@@ -121,3 +121,65 @@ def test_readers_stable_while_writer_churns(tmp_path):
     assert not np.isin(res.doc_ids, np.arange(100, 120)).any()
     idx.force_merge()
     assert idx.doc_count() == 830
+
+
+def test_close_races_ingest_and_search(tmp_path):
+    """close() during concurrent ingest/search: reads keep serving the
+    committed snapshot, racing flushes either complete or raise the
+    closed error, and the storage is quiescent afterwards (the DELETE
+    /{index} precondition)."""
+    rng = np.random.default_rng(41)
+    cfg = DiskAnnConfig(dim=DIM, similarity=SimilarityFunction.EUCLIDEAN,
+                        m=8, ef_construction=32, quantization_type="none")
+    idx = VectorIndex(tmp_path, cfg,
+                      merge_policy=TieredMergePolicy(max_segments=2,
+                                                     merge_factor=3))
+    v = rng.standard_normal((300, DIM)).astype(np.float32)
+    for i in range(100):
+        idx.add(i, v[i])
+    idx.flush()
+
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def writer():
+        i = 100
+        while not stop.is_set() and i < 300:
+            try:
+                idx.add(i, v[i])
+                if i % 25 == 0:
+                    idx.flush()
+            except RuntimeError:
+                return  # closed mid-churn: expected
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+                return
+            i += 1
+
+    def reader():
+        while not stop.is_set():
+            try:
+                res = idx.search(v[:4], SearchConfig(k=5, ef_search=32))
+                assert res.doc_ids.shape == (4, 5)
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=writer),
+               threading.Thread(target=reader)]
+    for t in threads:
+        t.start()
+    idx.close()
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    with pytest.raises(RuntimeError):
+        idx.flush()
+    assert idx.maybe_merge() is None
+    # committed state is intact and reopenable after the quiesce
+    idx2 = VectorIndex(tmp_path)
+    assert idx2.doc_count() >= 100
+    res = idx2.search(v[3], SearchConfig(k=3, ef_search=32))
+    assert res.doc_ids[0][0] == 3
