@@ -378,6 +378,38 @@ def main():
             extra["gaussian_graph_recall_at_k"] = round(float(g_rec), 4)
             extra["gaussian_graph_ms_per_query"] = round(g_ms, 4)
 
+            # tuned graph-tier point: the search-effort (ef, overquery)
+            # ladder — record the first config reaching recall >= 0.95 and
+            # its latency (the honest knob above the scan-tier bound, per
+            # docs/design.md "Graph quality on adversarial corpora")
+            from opensearch_jvector_tpu.models.searcher import SearchParams
+
+            for t_ef, t_oq in ((300, 10), (600, 20), (1200, 40)):
+                t_params = SearchParams(k=K, ef_search=t_ef,
+                                        overquery_factor=t_oq)
+                t_res = searcher.search(
+                    g_graph.adjacency, g_graph.live, g_graph.entry,
+                    g_queries, t_params, simf, vectors=g_vectors,
+                )
+                t_rec = recall_at_k(np.asarray(t_res.ids), g_truth, K)
+                if t_rec >= 0.95 or (t_ef, t_oq) == (1200, 40):
+                    t_ms = timed_batched(
+                        lambda qs, adj, live, ent, vec: searcher.search(
+                            adj, live, ent, qs, t_params, simf, vectors=vec,
+                        ).ids,
+                        g_queries, g_graph.adjacency, g_graph.live,
+                        g_graph.entry, g_vectors,
+                    )
+                    log(f"gaussian graph tier tuned (ef={t_ef}, "
+                        f"overquery={t_oq}): recall@{K}={t_rec:.4f}, "
+                        f"{t_ms:.4f} ms/query batched")
+                    extra["gaussian_graph_tuned_ef"] = t_ef
+                    extra["gaussian_graph_tuned_recall_at_k"] = round(
+                        float(t_rec), 4)
+                    extra["gaussian_graph_tuned_ms_per_query"] = round(
+                        t_ms, 4)
+                    break
+
             # PRODUCTION path for this config (in-memory PQ <= 256k codes):
             # the decoded-bf16 scan tier + exact rerank — exactly what
             # reader._scan_search runs (reader._decoded_block_topr). The
