@@ -262,7 +262,7 @@ class ShardedVectorIndex:
                         self._mesh_state, self._mesh_segments, shard_lists,
                         names,
                     )
-                except ValueError:  # on_disk / mixed-quantization shards
+                except ValueError:  # mixed-quantization / flat-disk shards
                     return None
                 self._mesh_segments = names
                 # churn visibility: segment-set changes re-stack mesh state
@@ -322,6 +322,14 @@ class ShardedVectorIndex:
         import jax as _jax
         import jax.numpy as jnp
 
+        if state.approx_only:
+            # on_disk shards: mesh beam over HBM codes, then host row
+            # paging + one batched device rerank (BASELINE config 5 shape)
+            return self._mesh_approx_search(
+                state, shard_lists, queries, padded, qn, params, sc,
+                accept, accept_docs,
+            )
+
         t0 = _time.monotonic()
         docs, scores, counters = sharded.sharded_engine_search(
             self.mesh, state, jnp.asarray(padded, jnp.float32), params,
@@ -351,6 +359,91 @@ class ShardedVectorIndex:
             visited=int(counters[:, 0].sum()),
             expanded=int(counters[:, 1].sum()),
             reranked=int(counters[:, 2].sum()),
+        )
+
+    def _mesh_approx_search(self, state, shard_lists, queries, padded, qn,
+                            params, sc, accept, accept_docs) -> QueryResult:
+        """on_disk mesh search: approximate phase on the mesh (PQ beam over
+        HBM-resident codes), fp32 rows paged from each segment's host
+        store, ONE batched device rerank. The two-phase split of the
+        reference (JVectorReader.java:353-366) crossing the mesh boundary."""
+        import time as _time
+
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from opensearch_jvector_tpu.parallel import sharded
+
+        t0 = _time.monotonic()
+        docs, locs, ascores, counters = sharded.sharded_engine_search_approx(
+            self.mesh, state, jnp.asarray(padded, jnp.float32), params,
+            self.config.similarity, accept=accept,
+        )
+        docs_np = np.asarray(docs)[:qn]
+        locs_np = np.asarray(locs)[:qn]
+        g_seg, n_loc = state.n_segments, state.n_local
+        dim = self.config.dim
+        r = docs_np.shape[1]
+
+        # page candidate rows grouped by (shard, segment): one gather per
+        # source store, scattered into the [Q, r, d] rerank operand
+        cand = np.zeros((qn, r, dim), np.float32)
+        valid = locs_np >= 0
+        shard_reranked = np.zeros(self.n_shards, np.int64)
+        if valid.any():
+            flat = locs_np[valid]
+            seg_ids = flat // n_loc  # shard * G + g
+            ords = flat % n_loc
+            rows_out = np.zeros((flat.shape[0], dim), np.float32)
+            for sid in np.unique(seg_ids):
+                d_idx, gi = divmod(int(sid), g_seg)
+                m = seg_ids == sid
+                rows_out[m] = shard_lists[d_idx][gi].row_store.gather(
+                    ords[m])
+                shard_reranked[d_idx] += int(m.sum())
+            cand[valid] = rows_out
+
+        bucket = padded.shape[0]
+        docs_in, cand_in = docs_np, cand
+        if bucket != qn:  # rerank at the same query bucket (pad rows inert)
+            docs_in = np.full((bucket, r), -1, docs_np.dtype)
+            docs_in[:qn] = docs_np
+            cand_in = np.zeros((bucket, r, dim), np.float32)
+            cand_in[:qn] = cand
+        rerank = sharded._make_paged_rerank_fn(
+            params.k, params.threshold, self.config.similarity
+        )
+        del ascores  # candidates already merged by approx score on-mesh
+        top_d, top_s, _ = rerank(
+            jnp.asarray(padded, jnp.float32), jnp.asarray(cand_in),
+            jnp.asarray(docs_in),
+        )
+        _jax.block_until_ready(top_d)
+        elapsed_ms = int((_time.monotonic() - t0) * 1000)
+
+        counters = np.asarray(counters)  # [S, 3] visited/expanded/0
+        for s in range(self.n_shards):
+            reg = self.shard_stats[s]
+            reg.increment(Counter.KNN_QUERY_COUNT, qn)
+            if accept_docs is not None:
+                reg.increment(Counter.KNN_QUERY_WITH_FILTER_COUNT, qn)
+            reg.increment(Counter.KNN_QUERY_VISITED_NODES,
+                          int(counters[s, 0]))
+            reg.increment(Counter.KNN_QUERY_EXPANDED_NODES,
+                          int(counters[s, 1]))
+            reg.increment(
+                Counter.KNN_QUERY_EXPANDED_BASE_LAYER_NODES,
+                int(counters[s, 1]),
+            )
+            reg.increment(Counter.KNN_QUERY_RERANKED_COUNT,
+                          int(shard_reranked[s]))
+            reg.increment(Counter.KNN_GRAPH_SEARCH_TIME, elapsed_ms)
+        return QueryResult(
+            doc_ids=np.asarray(top_d)[:qn].astype(np.int64),
+            scores=np.asarray(top_s)[:qn],
+            visited=int(counters[:, 0].sum()),
+            expanded=int(counters[:, 1].sum()),
+            reranked=int(shard_reranked.sum()),
         )
 
     def search(self, queries, sc: SearchConfig,

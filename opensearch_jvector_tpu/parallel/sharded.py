@@ -173,6 +173,11 @@ class ShardedEngineState:
     # codes + fp32 rerank (same composition as the host searcher)
     scalar_codes: jax.Array | None = None  # [D, G, n, B] u8 bit-packed
     scalar_thresholds: jax.Array | None = None  # [D, G, levels, d] f32
+    # on_disk shards (fp32 rows in the per-segment host store): the mesh
+    # runs the PQ approximate phase only and returns candidate locators;
+    # the caller pages rows and reranks in one batched device program
+    # (BASELINE config 5: larger-than-memory sharded over the mesh)
+    approx_only: bool = False
 
     @property
     def n_shards(self) -> int:
@@ -232,6 +237,7 @@ def stack_engine_state(segments) -> ShardedEngineState:
         scalar_codes=jnp.asarray(stacked["sc_c"]) if use_scalar else None,
         scalar_thresholds=(jnp.asarray(stacked["sc_t"])
                            if use_scalar else None),
+        approx_only=mode["use_disk"],
     )
 
 
@@ -249,17 +255,32 @@ def _stack_mode(segments):
     use_pq = all_segs[0].pqv is not None
     use_nvq = all_segs[0].nvq is not None
     use_scalar = all_segs[0].scalar_codes is not None
+    # on_disk shards: rows live in the host store, so the mesh runs the PQ
+    # approximate phase only (approx_only) and the caller pages + reranks
+    use_disk = all_segs[0].row_store is not None
     for s in all_segs:
-        if s.row_store is not None:
-            raise ValueError("mesh path requires device-resident segments")
+        if (s.row_store is not None) != use_disk:
+            raise ValueError("mesh path requires uniform storage mode")
+        if use_disk and s.config.index_type == "flat":
+            raise ValueError(
+                "flat on_disk segments have no graph to beam on the mesh"
+            )
         if (s.scalar_codes is not None) != use_scalar:
             raise ValueError("mesh path requires uniform quantization")
         if (s.nvq is not None) != use_nvq:
             raise ValueError("mesh path requires uniform quantization")
-        if not use_nvq and s.vectors is None:
+        if not use_nvq and not use_disk and s.vectors is None:
             raise ValueError("mesh path requires device-resident fp32 rows")
         if (s.pqv is not None) != use_pq:
             raise ValueError("mesh path requires uniform quantization")
+    if use_disk and (not use_pq or use_nvq or use_scalar):
+        raise ValueError(
+            "on_disk mesh shards require the PQ beam (codes in HBM)"
+        )
+    if use_disk and len(shard_lists) * g_max * n > np.iinfo(np.int32).max:
+        raise ValueError(
+            "on_disk mesh locator space exceeds int32; host fallback"
+        )
     sc_shapes = None
     if use_scalar:
         shapes = {
@@ -285,7 +306,7 @@ def _stack_mode(segments):
         cb_shape = next(iter(shapes))
     mode = dict(
         g_max=g_max, n=n, use_pq=use_pq, use_nvq=use_nvq, cb_shape=cb_shape,
-        use_scalar=use_scalar, sc_shapes=sc_shapes,
+        use_scalar=use_scalar, sc_shapes=sc_shapes, use_disk=use_disk,
         dim=all_segs[0].config.dim,
         m_deg=np.asarray(all_segs[0].graph.adjacency).shape[1],
         nvq_nsub=(int(np.asarray(all_segs[0].nvq.params).shape[1])
@@ -317,14 +338,16 @@ def _shard_grid(lst, mode):
         # from its OWN length to the common width
         dpad = n - o2d.shape[0]
         o2d = np.pad(o2d, (0, dpad), constant_values=-1) if dpad else o2d
-        if use_nvq:
-            # dummy fp32 row (rerank decodes NVQ codes instead)
+        if use_nvq or mode["use_disk"]:
+            # dummy fp32 row (NVQ rerank decodes codes; on_disk reranks
+            # host-paged rows outside the mesh program)
             v = np.zeros((1, dim), np.float32)
-            nb = np.asarray(s.nvq.bytes_, np.uint8)
-            npar = np.asarray(s.nvq.params, np.float32)
-            if pad:
-                nb = np.pad(nb, ((0, pad), (0, 0)))
-                npar = np.pad(npar, ((0, pad), (0, 0), (0, 0)))
+            if use_nvq:
+                nb = np.asarray(s.nvq.bytes_, np.uint8)
+                npar = np.asarray(s.nvq.params, np.float32)
+                if pad:
+                    nb = np.pad(nb, ((0, pad), (0, 0)))
+                    npar = np.pad(npar, ((0, pad), (0, 0), (0, 0)))
         else:
             v = np.asarray(s.vectors, np.float32)
             v = np.pad(v, ((0, pad), (0, 0))) if pad else v
@@ -350,7 +373,10 @@ def _shard_grid(lst, mode):
             live=np.zeros((n,), bool),
             ent=0,
             o2d=np.full((n,), -1, np.int32),
-            v=np.zeros((1, dim) if use_nvq else (n, dim), np.float32),
+            v=np.zeros(
+                (1, dim) if (use_nvq or mode["use_disk"]) else (n, dim),
+                np.float32,
+            ),
         )
         if use_nvq:
             row["nvq_b"] = np.zeros((n, dim), np.uint8)
@@ -430,6 +456,7 @@ def restack_engine_state(prev_state: ShardedEngineState, prev_names,
             or (mode["use_pq"] and mode["cb_shape"] != cb)
             or (mode["use_nvq"]
                 and mode["nvq_nsub"] != prev_state.nvq_params.shape[-2])
+            or mode["use_disk"] != prev_state.approx_only
             or mode["use_scalar"] != prev_state.use_scalar
             or (mode["use_scalar"] and (
                 tuple(prev_state.scalar_thresholds.shape[2:])
@@ -652,6 +679,142 @@ def _make_engine_fn(mesh: Mesh, params: SearchParams,
     return run
 
 
+def sharded_engine_search_approx(
+    mesh: Mesh,
+    state: ShardedEngineState,
+    queries: jax.Array,  # [Q, d] (replicated)
+    params: SearchParams,
+    simf: SimilarityFunction,
+    accept: jax.Array | None = None,  # [D, G, n]
+):
+    """Approximate phase of the on_disk mesh search (approx_only states).
+
+    Runs the PQ/ADC beam over every shard's HBM-resident codes and merges
+    the per-shard candidate lists globally by APPROXIMATE score — rows stay
+    in each segment's host store. Returns
+      (docs [Q, R] int32, locators [Q, R] int32, approx_scores [Q, R] f32,
+       counters [D, 3])
+    with R = k * overquery_factor and locator = shard*(G*n) + seg*n + ord
+    (-1 for empty slots); the caller pages the rows and reranks exactly
+    (reference two-phase split: approximate traversal vs rerank source,
+    JVectorReader.java:353-366 — here the split crosses the mesh boundary).
+    """
+    assert state.approx_only and state.use_pq
+    if accept is None:
+        accept = state.live
+    run = _make_approx_fn(mesh, params, simf)
+    return run(state.adjacency, state.live, state.entries, state.ord_to_doc,
+               accept, state.pq_codes, state.pq_codebooks, state.pq_center,
+               queries)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_approx_fn(mesh: Mesh, params: SearchParams,
+                    simf: SimilarityFunction):
+    """Cached jitted program for sharded_engine_search_approx."""
+    r = max(params.k * params.overquery_factor, params.k)
+    ef = max(params.ef_search, r)
+    e = params.expansions_per_iter
+    iters = params.max_iters or max(8, -(-ef // e))
+
+    def shard_fn(adj, liv, ent, o2d, acc, cod, cb, ctr, q):
+        adj, liv, o2d, acc = adj[0], liv[0], o2d[0], acc[0]
+        ent, cod, cb, ctr = ent[0], cod[0], cb[0], ctr[0]
+        g, n = adj.shape[0], adj.shape[1]
+        shard_idx = jax.lax.axis_index(AXIS)
+
+        def one_segment(adj_g, liv_g, ent_g, o2d_g, acc_g, cod_g, cb_g,
+                        ctr_g):
+            centered = q - ctr_g[None, :]
+            if simf is SimilarityFunction.COSINE:
+                centered = centered * jax.lax.rsqrt(
+                    jnp.sum(centered * centered, -1, keepdims=True) + 1e-30
+                )
+            ids, scores, visited, expanded = searcher_mod.beam_search(
+                adj_g, liv_g, ent_g, centered,
+                {"codes": cod_g, "codebooks": cb_g}, acc_g,
+                searcher_mod.make_pq_provider(simf.value),
+                L=ef, E=e, R=r, max_iters=iters, vma_axis=AXIS,
+            )
+            qualify = ids >= 0
+            if params.rerank_floor > 0.0:
+                qualify &= scores >= params.rerank_floor
+            docs = o2d_g[jnp.clip(ids, 0)]
+            qualify &= docs >= 0
+            return (
+                jnp.where(qualify, ids, -1),
+                jnp.where(qualify, docs, -1),
+                jnp.where(qualify, scores, -jnp.inf),
+                visited, expanded,
+            )
+
+        ords_g, docs_g, scores_g, visited, expanded = jax.vmap(one_segment)(
+            adj, liv, ent, o2d, acc, cod, cb, ctr
+        )  # [G, Q, r]
+        seg_base = (shard_idx * g + jnp.arange(g, dtype=jnp.int32)) * n
+        locs_g = jnp.where(
+            ords_g >= 0, seg_base[:, None, None] + ords_g, -1
+        )
+        qn = q.shape[0]
+        flat_scores = jnp.transpose(scores_g, (1, 0, 2)).reshape(qn, -1)
+        flat_locs = jnp.transpose(locs_g, (1, 0, 2)).reshape(qn, -1)
+        flat_docs = jnp.transpose(docs_g, (1, 0, 2)).reshape(qn, -1)
+        top_s, idx = jax.lax.top_k(flat_scores, r)
+        top_l = jnp.take_along_axis(flat_locs, idx, axis=1)
+        top_d = jnp.take_along_axis(flat_docs, idx, axis=1)
+        counters = jnp.stack(
+            [jnp.sum(visited), jnp.sum(expanded), jnp.zeros((), jnp.int32)]
+        ).astype(jnp.int32)
+        return top_d[None], top_l[None], top_s[None], counters[None]
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 8 + (P(),),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+    )
+
+    @jax.jit
+    def run(adjacency, live, entries, o2d, accept, cod, cb, ctr, queries):
+        all_d, all_l, all_s, counters = fn(
+            adjacency, live, entries, o2d, accept, cod, cb, ctr, queries,
+        )  # [D, Q, r] x3, [D, 3]
+        qn = queries.shape[0]
+        flat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(qn, -1)
+        flat_l = jnp.transpose(all_l, (1, 0, 2)).reshape(qn, -1)
+        flat_d = jnp.transpose(all_d, (1, 0, 2)).reshape(qn, -1)
+        top_s, idx = jax.lax.top_k(flat_s, r)
+        top_l = jnp.take_along_axis(flat_l, idx, axis=1)
+        top_d = jnp.take_along_axis(flat_d, idx, axis=1)
+        keep = top_s > -jnp.inf
+        return (jnp.where(keep, top_d, -1), jnp.where(keep, top_l, -1),
+                top_s, counters)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_paged_rerank_fn(k: int, threshold: float,
+                          simf: SimilarityFunction):
+    """Cached exact-rerank program for host-paged candidate rows."""
+
+    @jax.jit
+    def run(queries, cand, docs):
+        # cand [Q, R, d] fp32 rows paged from the host stores; invalid
+        # slots carry doc -1 and zero rows
+        exact = batched_candidate_scores(queries, cand, simf)
+        valid = docs >= 0
+        exact = jnp.where(valid, exact, -jnp.inf)
+        if threshold > 0.0:
+            exact = jnp.where(exact >= threshold, exact, -jnp.inf)
+        top_s, idx = jax.lax.top_k(exact, k)
+        top_d = jnp.take_along_axis(docs, idx, axis=1)
+        top_d = jnp.where(top_s > -jnp.inf, top_d, -1)
+        return top_d, top_s, jnp.sum(valid, axis=1).astype(jnp.int32)
+
+    return run
+
+
 def dryrun_engine(mesh: Mesh, n_devices: int) -> None:
     """Tiny end-to-end exercise of the full-engine mesh path (driver dryrun):
     synthetic PQ shards with TWO segments per shard (the steady-state
@@ -702,6 +865,23 @@ def dryrun_engine(mesh: Mesh, n_devices: int) -> None:
     )
     jax.block_until_ready(docs2)
     assert docs2.shape == (4, kq)
+
+    # on_disk shards: approx-only mesh program (PQ beam -> candidate
+    # locators; the caller pages rows and reranks outside the mesh)
+    disk_state = dataclasses.replace(
+        state,
+        vectors=jnp.zeros((d_sh, g, 1, dim), jnp.float32),
+        approx_only=True,
+    )
+    p3 = SearchParams(k=kq, ef_search=32)
+    docs3, locs3, sc3, ctr3 = sharded_engine_search_approx(
+        mesh, disk_state, queries, p3, SimilarityFunction.EUCLIDEAN,
+    )
+    jax.block_until_ready(docs3)
+    r3 = max(p3.k * p3.overquery_factor, p3.k)
+    assert docs3.shape == (4, r3) and locs3.shape == (4, r3)
+    assert int(jnp.max(locs3)) < d_sh * g * n
+    assert ctr3.shape == (n_devices, 3)
 
 
 def build_sharded(

@@ -359,10 +359,11 @@ def test_compute_pools():
     assert pools is ComputePools.instance()  # singleton
 
 
-def test_mesh_falls_back_to_host_loop_for_on_disk_shards(tmp_path):
-    """on_disk shards cannot stack onto the mesh (fp32 rows page from the
-    host row store): ShardedVectorIndex must silently serve through the
-    host scatter-gather with identical result semantics."""
+def test_mesh_falls_back_to_host_loop_for_flat_disk_shards(tmp_path):
+    """FLAT on_disk shards (graph-less scan tier) cannot beam on the mesh:
+    ShardedVectorIndex must silently serve through the host scatter-gather
+    with identical result semantics. (Vamana on_disk shards DO serve on
+    the mesh — test_mesh_on_disk_shards_match_host_path.)"""
     import jax
 
     from opensearch_jvector_tpu.parallel import sharded
@@ -370,7 +371,8 @@ def test_mesh_falls_back_to_host_loop_for_on_disk_shards(tmp_path):
     n = 600
     v = _vectors(n, seed=9)
     cfg = _cfg(quantization_type="pq", num_pq_subspaces=8,
-               min_batch_size_for_quantization=64, mode="on_disk")
+               min_batch_size_for_quantization=64, mode="on_disk",
+               index_type="flat")
     mesh = sharded.make_mesh(jax.devices()[:2])
     idx = ShardedVectorIndex(tmp_path, cfg, n_shards=2, mesh=mesh)
     for i in range(n):
@@ -581,3 +583,66 @@ def test_restack_shape_fallbacks(tmp_path):
                                                  names2)
     assert rebuilt2 == idx.n_shards  # shape changed -> full
     assert st3.n_segments == 2
+
+
+def test_mesh_on_disk_shards_match_host_path(tmp_path):
+    """on_disk shards serve on the mesh: PQ beam over HBM codes inside the
+    mesh program, fp32 rows paged from each segment's host store, one
+    batched device rerank (BASELINE config 5's larger-than-memory sharded
+    shape). Must agree with the host loop, incl. deletes and filters."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    n = 1600
+    v = _vectors(n, seed=31)
+    cfg = _cfg(mode="on_disk", quantization_type="pq", num_pq_subspaces=8,
+               min_batch_size_for_quantization=64)
+    n_shards = 4
+    mesh = sharded.make_mesh(jax.devices()[:n_shards])
+    idx = ShardedVectorIndex(tmp_path, cfg, n_shards=n_shards, mesh=mesh)
+    for i in range(n):
+        idx.add(i, v[i])
+    idx.flush()
+    for shard in idx.shards:  # on_disk: rows in the host store, codes HBM
+        seg = shard._reader(shard._segments[0]).seg
+        assert seg.row_store is not None and seg.pqv is not None
+
+    q = _vectors(16, seed=32)
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+    sc = SearchConfig(k=10, ef_search=64)
+
+    res_mesh = idx.search(q, sc)
+    assert idx._mesh_state is not None, "mesh path did not run"
+    assert idx._mesh_state.approx_only
+    rec_mesh = recall_at_k(res_mesh.doc_ids, truth, 10)
+
+    idx_host = ShardedVectorIndex(tmp_path)  # reopened: no mesh
+    res_host = idx_host.search(q, sc)
+    rec_host = recall_at_k(res_host.doc_ids, truth, 10)
+
+    assert rec_mesh >= 0.9, rec_mesh
+    assert abs(rec_mesh - rec_host) <= 0.05, (rec_mesh, rec_host)
+    assert res_mesh.reranked > 0 and res_mesh.visited > 0
+
+    stats = idx.stats()
+    assert stats["knn_query_count"] == n_shards * 16
+    assert stats["knn_query_reranked_count"] > 0
+
+    # tombstones mask inside the mesh approximate phase
+    top0 = int(res_mesh.doc_ids[0, 0])
+    idx.delete([top0])
+    res2 = idx.search(q[:1], sc)
+    assert top0 not in res2.doc_ids[0].tolist()
+
+    # filters ride the same ordinal accept masks
+    accept = np.arange(n // 2)
+    res3 = idx.search(q, sc, accept_docs=accept)
+    ids = res3.doc_ids[res3.doc_ids >= 0]
+    assert ids.size and (ids < n // 2).all()
+
+    # exact-score agreement: mesh rerank scores are fp32-exact
+    res4 = idx.search(v[77], SearchConfig(k=1, ef_search=64))
+    assert int(res4.doc_ids[0, 0]) == 77
+    np.testing.assert_allclose(
+        res4.scores[0, 0], 1.0, rtol=1e-5)  # self-match (L2 score 1.0)
