@@ -94,3 +94,40 @@ def test_sharded_recall_gate_10k_k100(tmp_path):
     truth = ground_truth_topk(q, v, K, simf)
     rec = recall_at_k(res.doc_ids, truth, K)
     assert rec >= floor, f"sharded: recall@{K}={rec:.4f} < {floor}"
+
+
+@pytest.mark.slow  # fresh 4-shard on_disk 10k build (~1 min on the CI host)
+def test_sharded_on_disk_recall_gate_10k_k100(tmp_path):
+    """The BASELINE config-5 shape at gate scale: on_disk shards served
+    over the mesh (beam on-device, rows host-paged, batched rerank) must
+    hold the same 10k/k=100 floor as the in-memory gates."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+    from opensearch_jvector_tpu.parallel.distributed import (
+        ShardedVectorIndex,
+    )
+
+    simf, floor = FLOORS["l2"]
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((N_DOCS, DIM)).astype(np.float32)
+    q = rng.standard_normal((N_QUERIES, DIM)).astype(np.float32)
+
+    mesh = sharded.make_mesh(jax.devices()[:4])
+    idx = ShardedVectorIndex(
+        tmp_path,
+        DiskAnnConfig(dim=DIM, similarity=simf, m=16, ef_construction=64,
+                      mode="on_disk", quantization_type="pq",
+                      num_pq_subspaces=8,
+                      min_batch_size_for_quantization=64),
+        n_shards=4, mesh=mesh,
+    )
+    idx.add_batch(np.arange(N_DOCS), v)
+    idx.flush()
+
+    res = idx.search(q, SearchConfig(k=K, ef_search=200,
+                                     overquery_factor=5))
+    assert idx._mesh_state is not None and idx._mesh_state.approx_only
+    truth = ground_truth_topk(q, v, K, simf)
+    rec = recall_at_k(res.doc_ids, truth, K)
+    assert rec >= floor, f"on_disk sharded: recall@{K}={rec:.4f} < {floor}"
