@@ -385,6 +385,8 @@ def main():
             from opensearch_jvector_tpu.models.searcher import SearchParams
 
             for t_ef, t_oq in ((300, 10), (600, 20), (1200, 40)):
+                if over_budget("gaussian tuned ladder"):
+                    break  # never crowd out the 1M/10M tier sections
                 t_params = SearchParams(k=K, ef_search=t_ef,
                                         overquery_factor=t_oq)
                 t_res = searcher.search(
