@@ -406,6 +406,7 @@ def main():
                         f"overquery={t_oq}): recall@{K}={t_rec:.4f}, "
                         f"{t_ms:.4f} ms/query batched")
                     extra["gaussian_graph_tuned_ef"] = t_ef
+                    extra["gaussian_graph_tuned_overquery"] = t_oq
                     extra["gaussian_graph_tuned_recall_at_k"] = round(
                         float(t_rec), 4)
                     extra["gaussian_graph_tuned_ms_per_query"] = round(

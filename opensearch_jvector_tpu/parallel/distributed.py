@@ -326,8 +326,7 @@ class ShardedVectorIndex:
             # on_disk shards: mesh beam over HBM codes, then host row
             # paging + one batched device rerank (BASELINE config 5 shape)
             return self._mesh_approx_search(
-                state, shard_lists, queries, padded, qn, params, sc,
-                accept, accept_docs,
+                state, shard_lists, padded, qn, params, accept, accept_docs,
             )
 
         t0 = _time.monotonic()
@@ -361,8 +360,8 @@ class ShardedVectorIndex:
             reranked=int(counters[:, 2].sum()),
         )
 
-    def _mesh_approx_search(self, state, shard_lists, queries, padded, qn,
-                            params, sc, accept, accept_docs) -> QueryResult:
+    def _mesh_approx_search(self, state, shard_lists, padded, qn,
+                            params, accept, accept_docs) -> QueryResult:
         """on_disk mesh search: approximate phase on the mesh (PQ beam over
         HBM-resident codes), fp32 rows paged from each segment's host
         store, ONE batched device rerank. The two-phase split of the
@@ -375,7 +374,7 @@ class ShardedVectorIndex:
         from opensearch_jvector_tpu.parallel import sharded
 
         t0 = _time.monotonic()
-        docs, locs, ascores, counters = sharded.sharded_engine_search_approx(
+        docs, locs, _, counters = sharded.sharded_engine_search_approx(
             self.mesh, state, jnp.asarray(padded, jnp.float32), params,
             self.config.similarity, accept=accept,
         )
@@ -394,8 +393,15 @@ class ShardedVectorIndex:
             flat = locs_np[valid]
             seg_ids = flat // n_loc  # shard * G + g
             ords = flat % n_loc
+            uniq = np.unique(seg_ids)
+            for sid in uniq:  # kick off threaded readahead for every store
+                d_idx, gi = divmod(int(sid), g_seg)
+                store = shard_lists[d_idx][gi].row_store
+                prefetch = getattr(store, "prefetch", None)
+                if prefetch is not None:
+                    prefetch(ords[seg_ids == sid])
             rows_out = np.zeros((flat.shape[0], dim), np.float32)
-            for sid in np.unique(seg_ids):
+            for sid in uniq:
                 d_idx, gi = divmod(int(sid), g_seg)
                 m = seg_ids == sid
                 rows_out[m] = shard_lists[d_idx][gi].row_store.gather(
@@ -413,7 +419,6 @@ class ShardedVectorIndex:
         rerank = sharded._make_paged_rerank_fn(
             params.k, params.threshold, self.config.similarity
         )
-        del ascores  # candidates already merged by approx score on-mesh
         top_d, top_s, _ = rerank(
             jnp.asarray(padded, jnp.float32), jnp.asarray(cand_in),
             jnp.asarray(docs_in),

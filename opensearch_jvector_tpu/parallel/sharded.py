@@ -211,10 +211,13 @@ def stack_engine_state(segments) -> ShardedEngineState:
     (multi-segment shards — steady-state ingest with un-merged flushes).
 
     Requirements (caller falls back to the host scatter-gather otherwise):
-    every segment is device-resident (no on_disk row store) and uniformly
-    quantized — all-fp32, all-PQ (identical codebook shapes), or all-NVQ
-    (aux-PQ beam + NVQ-decoded rerank; identical subvector counts). Doc ids
-    must fit int32 (device-side mapping).
+    uniformly quantized segments — all-fp32, all-PQ (identical codebook
+    shapes), or all-NVQ (aux-PQ beam + NVQ-decoded rerank; identical
+    subvector counts) — with a graph to beam on (no flat segments). Doc
+    ids must fit int32 (device-side mapping). on_disk (row-store) segments
+    stack as approx_only states: codes/graph on device, rows stay in the
+    host store, and the caller must use sharded_engine_search_approx plus
+    its own paged rerank.
     """
     shard_lists, mode = _stack_mode(segments)
     grids = [_shard_grid(lst, mode) for lst in shard_lists]
@@ -261,9 +264,9 @@ def _stack_mode(segments):
     for s in all_segs:
         if (s.row_store is not None) != use_disk:
             raise ValueError("mesh path requires uniform storage mode")
-        if use_disk and s.config.index_type == "flat":
+        if s.config.index_type == "flat":
             raise ValueError(
-                "flat on_disk segments have no graph to beam on the mesh"
+                "flat segments have no graph to beam on the mesh"
             )
         if (s.scalar_codes is not None) != use_scalar:
             raise ValueError("mesh path requires uniform quantization")
@@ -574,6 +577,10 @@ def sharded_engine_search(
     Returns (doc_ids [Q, k] int32, scores [Q, k] f32,
              counters [D, 3] int32 = per-shard [visited, expanded, reranked]).
     """
+    assert not state.approx_only, (
+        "approx_only (on_disk) states have no on-device rerank rows; use "
+        "sharded_engine_search_approx + a paged rerank"
+    )
     if accept is None:
         accept = state.live
     use_pq = state.use_pq

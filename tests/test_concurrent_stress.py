@@ -169,10 +169,12 @@ def test_close_races_ingest_and_search(tmp_path):
                threading.Thread(target=reader)]
     for t in threads:
         t.start()
-    idx.close()
-    stop.set()
-    for t in threads:
-        t.join()
+    try:
+        idx.close()
+    finally:  # a close() failure must not leave the reader spinning
+        stop.set()
+        for t in threads:
+            t.join()
     assert not errors, errors
 
     with pytest.raises(RuntimeError):
