@@ -580,3 +580,47 @@ def test_delete_recreate_does_not_resurrect_old_state(tmp_path):
         assert status == 200 and out["count"] == 10
     finally:
         svc.stop()
+
+
+def test_service_mesh_on_disk_sharded(tmp_path):
+    """REST end-to-end for the BASELINE config-5 shape: an on_disk sharded
+    index attached to the mesh serves searches through the approx-beam +
+    paged-rerank path (mode plumb-through from the mapping)."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    mesh = sharded.make_mesh(jax.devices()[:2])
+    svc = KnnService(tmp_path, mesh=mesh)
+    svc.start()
+    try:
+        rng = np.random.default_rng(37)
+        v = rng.standard_normal((300, DIM)).astype(np.float32)
+        status, out = _req(svc, "PUT", "/diskmesh", {
+            "settings": {"index": {"number_of_shards": 2}},
+            "mappings": {"properties": {"vec": {
+                "type": "knn_vector", "dimension": DIM,
+                "space_type": "l2", "mode": "on_disk",
+                "method": {"name": "disk_ann", "parameters": {
+                    "m": 8, "ef_construction": 32,
+                    "advanced.quantization_type": "pq",
+                    "advanced.num_pq_subspaces": 4,
+                    "advanced.min_batch_size_for_quantization": 64,
+                }}}}},
+        })
+        assert status == 200 and out["shards"] == 2
+        docs = [{"_id": i, "vec": v[i].tolist()} for i in range(300)]
+        _req(svc, "POST", "/diskmesh/_bulk", {"docs": docs})
+        _req(svc, "POST", "/diskmesh/_flush")
+        status, out = _req(svc, "POST", "/diskmesh/_search", {
+            "size": 5, "query": {"knn": {"vec": {
+                "vector": v[7].tolist(), "k": 5,
+                "method_parameters": {"ef_search": 64}}}}})
+        assert status == 200 and out["hits"]["hits"][0]["_id"] == 7
+        idx = svc.manager.get("diskmesh")["vec"]
+        assert idx._mesh_state is not None and idx._mesh_state.approx_only
+        for shard in idx.shards:
+            seg = shard._reader(shard._segments[0]).seg
+            assert seg.row_store is not None
+    finally:
+        svc.stop()
