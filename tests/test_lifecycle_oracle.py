@@ -132,11 +132,13 @@ def test_lifecycle_filtered_subset(tmp_path):
                 assert int(d) in allowed
 
 
-def test_sharded_random_lifecycle_matches_oracle(tmp_path):
+@pytest.mark.parametrize("mode", ["in_memory", "on_disk"])
+def test_sharded_random_lifecycle_matches_oracle(tmp_path, mode):
     """The oracle walk over a mesh-attached ShardedVectorIndex: routing,
     per-shard segment lifecycles, broadcast deletes, single-shard merges
     (partial restacks) and the mesh/host path switch must all preserve the
-    live-set property."""
+    live-set property. The on_disk variant walks the approx-beam +
+    paged-rerank mesh path (PQ segments, rows in the host store)."""
     import jax
 
     from opensearch_jvector_tpu.parallel import sharded
@@ -145,8 +147,14 @@ def test_sharded_random_lifecycle_matches_oracle(tmp_path):
     )
 
     rng = np.random.default_rng(99)
-    cfg = DiskAnnConfig(dim=DIM, similarity=SimilarityFunction.EUCLIDEAN,
-                        m=8, ef_construction=48, quantization_type="none")
+    if mode == "on_disk":  # approx-only mesh path needs the PQ beam
+        cfg = DiskAnnConfig(dim=DIM, similarity=SimilarityFunction.EUCLIDEAN,
+                            m=8, ef_construction=48, mode="on_disk",
+                            quantization_type="pq", num_pq_subspaces=8,
+                            min_batch_size_for_quantization=1)
+    else:
+        cfg = DiskAnnConfig(dim=DIM, similarity=SimilarityFunction.EUCLIDEAN,
+                            m=8, ef_construction=48, quantization_type="none")
     mesh = sharded.make_mesh(jax.devices()[:2])
     idx = ShardedVectorIndex(tmp_path, cfg, n_shards=2, mesh=mesh)
     live: dict[int, np.ndarray] = {}
@@ -187,6 +195,7 @@ def test_sharded_random_lifecycle_matches_oracle(tmp_path):
                                                overquery_factor=5))
         if idx._mesh_state is not None:
             mesh_served += 1
+            assert idx._mesh_state.approx_only == (mode == "on_disk")
         truth = _oracle_topk(live, queries, k)
         for qi in range(queries.shape[0]):
             got = [int(d) for d in res.doc_ids[qi] if d >= 0]
