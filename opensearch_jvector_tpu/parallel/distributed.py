@@ -67,6 +67,10 @@ class ShardedVectorIndex:
         # interleave their restacks, or a later partial restack would diff
         # against mismatched names and slice-write the wrong shards
         self._mesh_lock = threading.Lock()
+        # segment name -> synthetic donor-codebook PQVectors for fp32
+        # segments below the quantization min batch (homogenize_pq);
+        # segments are immutable so name-keyed entries never go stale
+        self._synth_pq_cache: dict[str, object] = {}
 
     def attach_mesh(self, mesh) -> None:
         """Place shards on a device mesh (one shard per mesh device)."""
@@ -247,7 +251,16 @@ class ShardedVectorIndex:
         shard_lists = self._mesh_ready_segments()
         if shard_lists is None:
             return None
+        # min-batch steady state: small fresh fp32 flushes next to PQ
+        # segments get synthetic donor-codebook codes so the mesh keeps
+        # serving (rerank stays exact fp32); cache keyed by segment name
+        shard_lists = sharded.homogenize_pq(
+            shard_lists, self.config.similarity, cache=self._synth_pq_cache,
+        )
         names = [[s.name for s in lst] for lst in shard_lists]
+        live_keys = {(i, n) for i, lst in enumerate(names) for n in lst}
+        for stale in set(self._synth_pq_cache) - live_keys:
+            del self._synth_pq_cache[stale]  # merged-away segments
         with self._mesh_lock:  # (state, names) must stay a matched pair
             if self._mesh_state is None or self._mesh_segments != names:
                 import time as _t

@@ -204,6 +204,59 @@ class ShardedEngineState:
         return self.scalar_codes is not None
 
 
+def homogenize_pq(shard_lists, similarity, cache=None):
+    """Make a PQ/fp32-mixed segment set mesh-stackable.
+
+    The min-batch quantization policy (JVectorWriter.quantizeForFlush:
+    263-283) leaves small fresh flushes fp32 next to PQ segments — the
+    most common steady-state mix. Rather than dropping the whole index to
+    the host loop, encode the fp32 segments' rows with a donor segment's
+    codebooks (largest PQ segment): the beam rides ADC codes uniformly
+    and the rerank still reads the exact fp32 rows. Segments are
+    immutable, so `cache` (name -> synthetic PQVectors) avoids
+    re-encoding on every restack.
+
+    Returns shard_lists (with synthetic-pqv replacements), or the input
+    unchanged when no mixing (or a non-PQ mix) is present.
+    """
+    import dataclasses as _dc
+
+    from opensearch_jvector_tpu.models import pq as pq_mod
+
+    all_segs = [s for lst in shard_lists for s in lst]
+    have = [s for s in all_segs if s.pqv is not None]
+    need = [s for s in all_segs if s.pqv is None]
+    if not have or not need:
+        return shard_lists  # already uniform (all fp32 or all PQ)
+    for s in need:
+        if (s.vectors is None or s.row_store is not None
+                or s.nvq is not None or s.scalar_codes is not None
+                or s.config.index_type == "flat"):
+            return shard_lists  # other mixes: host loop handles them
+    donor = max(have, key=lambda s: s.docmap.num_ordinals).pqv.pq
+    cache = cache if cache is not None else {}
+    out = []
+    for shard_idx, lst in enumerate(shard_lists):
+        row = []
+        for s in lst:
+            if s.pqv is None:
+                # cache key MUST include the shard: segment names repeat
+                # across shards (each shard numbers its own segments)
+                key = (shard_idx, s.name)
+                pqv = cache.get(key)
+                if pqv is None:
+                    # encode the FULL capacity-padded row array (segment
+                    # codes cover the capacity bucket; padding rows are
+                    # live=False so their garbage codes are never scored)
+                    codes = pq_mod.encode(donor, s.vectors, similarity)
+                    pqv = pq_mod.PQVectors(pq=donor, codes=codes)
+                    cache[key] = pqv
+                s = _dc.replace(s, pqv=pqv)
+            row.append(s)
+        out.append(row)
+    return out
+
+
 def stack_engine_state(segments) -> ShardedEngineState:
     """Stack per-shard segment lists into mesh-ready [D, G, ...] arrays.
 

@@ -646,3 +646,57 @@ def test_mesh_on_disk_shards_match_host_path(tmp_path):
     assert int(res4.doc_ids[0, 0]) == 77
     np.testing.assert_allclose(
         res4.scores[0, 0], 1.0, rtol=1e-5)  # self-match (L2 score 1.0)
+
+
+def test_mesh_mixed_pq_fp32_shards_serve_via_synthetic_codes(tmp_path):
+    """The min-batch steady state: a big PQ segment plus a small fresh
+    fp32 flush in each shard. The mesh keeps serving by encoding the
+    small segments with donor codebooks (synthetic codes; rerank stays
+    exact fp32) instead of dropping to the host loop."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    n = 1200
+    v = _vectors(n + 100, seed=41)
+    cfg = _cfg(quantization_type="pq", num_pq_subspaces=8,
+               min_batch_size_for_quantization=128)
+    n_shards = 2
+    mesh = sharded.make_mesh(jax.devices()[:n_shards])
+    idx = ShardedVectorIndex(tmp_path, cfg, n_shards=n_shards, mesh=mesh)
+    for i in range(n):
+        idx.add(i, v[i])
+    idx.flush()
+    for i in range(n, n + 100):  # < min batch per shard -> fp32 segments
+        idx.add(i, v[i])
+    idx.flush()
+    kinds = set()
+    for shard in idx.shards:
+        for name in shard._segments:
+            kinds.add(shard._reader(name).seg.pqv is not None)
+    assert kinds == {True, False}  # genuinely mixed on disk
+
+    q = _vectors(12, seed=42)
+    truth = ground_truth_topk(q, v[: n + 100], 10,
+                              SimilarityFunction.EUCLIDEAN)
+    sc = SearchConfig(k=10, ef_search=64)
+    res_mesh = idx.search(q, sc)
+    assert idx._mesh_state is not None, "mesh path did not serve the mix"
+    assert idx._mesh_state.use_pq and not idx._mesh_state.approx_only
+    assert idx._synth_pq_cache  # synthetic codes were built + cached
+    rec_mesh = recall_at_k(res_mesh.doc_ids, truth, 10)
+
+    idx_host = ShardedVectorIndex(tmp_path)  # no mesh: host loop
+    res_host = idx_host.search(q, sc)
+    rec_host = recall_at_k(res_host.doc_ids, truth, 10)
+    assert rec_mesh >= 0.9, rec_mesh
+    assert abs(rec_mesh - rec_host) <= 0.05, (rec_mesh, rec_host)
+
+    # docs in the small fp32 segments are findable through the mesh
+    res2 = idx.search(v[n + 5], SearchConfig(k=1, ef_search=64))
+    assert int(res2.doc_ids[0, 0]) == n + 5
+
+    # after a merge the mix disappears and the cache prunes itself
+    idx.force_merge()
+    idx.search(q, sc)
+    assert not idx._synth_pq_cache
