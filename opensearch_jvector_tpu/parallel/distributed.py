@@ -411,14 +411,17 @@ class ShardedVectorIndex:
                 d_idx, gi = divmod(int(sid), g_seg)
                 store = shard_lists[d_idx][gi].row_store
                 prefetch = getattr(store, "prefetch", None)
-                if prefetch is not None:
+                if store is not None and prefetch is not None:
                     prefetch(ords[seg_ids == sid])
             rows_out = np.zeros((flat.shape[0], dim), np.float32)
             for sid in uniq:
                 d_idx, gi = divmod(int(sid), g_seg)
                 m = seg_ids == sid
-                rows_out[m] = shard_lists[d_idx][gi].row_store.gather(
-                    ords[m])
+                seg = shard_lists[d_idx][gi]
+                if seg.row_store is not None:
+                    rows_out[m] = seg.row_store.gather(ords[m])
+                else:  # small below-min-batch flush: fp32 stayed resident
+                    rows_out[m] = np.asarray(seg.vectors)[ords[m]]
                 shard_reranked[d_idx] += int(m.sum())
             cand[valid] = rows_out
 

@@ -223,15 +223,19 @@ def homogenize_pq(shard_lists, similarity, cache=None):
 
     from opensearch_jvector_tpu.models import pq as pq_mod
 
+    import jax.numpy as _jnp
+
+    from opensearch_jvector_tpu.models.graph import pad_rows as _pad_rows
+
     all_segs = [s for lst in shard_lists for s in lst]
     have = [s for s in all_segs if s.pqv is not None]
     need = [s for s in all_segs if s.pqv is None]
     if not have or not need:
         return shard_lists  # already uniform (all fp32 or all PQ)
     for s in need:
-        if (s.vectors is None or s.row_store is not None
-                or s.nvq is not None or s.scalar_codes is not None
-                or s.config.index_type == "flat"):
+        if (s.nvq is not None or s.scalar_codes is not None
+                or s.config.index_type == "flat"
+                or (s.vectors is None and s.row_store is None)):
             return shard_lists  # other mixes: host loop handles them
     donor = max(have, key=lambda s: s.docmap.num_ordinals).pqv.pq
     cache = cache if cache is not None else {}
@@ -245,10 +249,20 @@ def homogenize_pq(shard_lists, similarity, cache=None):
                 key = (shard_idx, s.name)
                 pqv = cache.get(key)
                 if pqv is None:
+                    if s.vectors is not None:
+                        rows = s.vectors  # [capacity, d]
+                    else:  # on_disk small flush: page its rows once
+                        import numpy as _np
+
+                        rows = _pad_rows(
+                            _jnp.asarray(s.row_store.gather(
+                                _np.arange(s.row_store.num_rows))),
+                            s.capacity(),
+                        )
                     # encode the FULL capacity-padded row array (segment
                     # codes cover the capacity bucket; padding rows are
                     # live=False so their garbage codes are never scored)
-                    codes = pq_mod.encode(donor, s.vectors, similarity)
+                    codes = pq_mod.encode(donor, rows, similarity)
                     pqv = pq_mod.PQVectors(pq=donor, codes=codes)
                     cache[key] = pqv
                 s = _dc.replace(s, pqv=pqv)
@@ -312,11 +326,14 @@ def _stack_mode(segments):
     use_nvq = all_segs[0].nvq is not None
     use_scalar = all_segs[0].scalar_codes is not None
     # on_disk shards: rows live in the host store, so the mesh runs the PQ
-    # approximate phase only (approx_only) and the caller pages + reranks
-    use_disk = all_segs[0].row_store is not None
+    # approximate phase only (approx_only) and the caller pages + reranks.
+    # ANY row-store segment switches the whole state to approx_only; small
+    # below-min-batch flushes keep fp32 in memory (vectors) and their rows
+    # are paged from that copy instead.
+    use_disk = any(s.row_store is not None for s in all_segs)
     for s in all_segs:
-        if (s.row_store is not None) != use_disk:
-            raise ValueError("mesh path requires uniform storage mode")
+        if use_disk and s.row_store is None and s.vectors is None:
+            raise ValueError("mesh path requires a row source per segment")
         if s.config.index_type == "flat":
             raise ValueError(
                 "flat segments have no graph to beam on the mesh"

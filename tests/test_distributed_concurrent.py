@@ -700,3 +700,41 @@ def test_mesh_mixed_pq_fp32_shards_serve_via_synthetic_codes(tmp_path):
     idx.force_merge()
     idx.search(q, sc)
     assert not idx._synth_pq_cache
+
+
+def test_mesh_on_disk_mixed_small_flush_stays_on_mesh(tmp_path):
+    """An on_disk index with a small fresh flush (below the quantization
+    min batch, so no codes of its own) still serves on the approx mesh
+    path: the small segments' rows are paged once and encoded with donor
+    codebooks at stack time."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    n = 1200
+    v = _vectors(n + 80, seed=51)
+    cfg = _cfg(mode="on_disk", quantization_type="pq", num_pq_subspaces=8,
+               min_batch_size_for_quantization=128)
+    mesh = sharded.make_mesh(jax.devices()[:2])
+    idx = ShardedVectorIndex(tmp_path, cfg, n_shards=2, mesh=mesh)
+    for i in range(n):
+        idx.add(i, v[i])
+    idx.flush()
+    for i in range(n, n + 80):  # < min batch per shard -> no codes
+        idx.add(i, v[i])
+    idx.flush()
+    kinds = {shard._reader(name).seg.pqv is not None
+             for shard in idx.shards for name in shard._segments}
+    assert kinds == {True, False}  # genuinely mixed
+
+    q = _vectors(8, seed=52)
+    truth = ground_truth_topk(q, v[: n + 80], 10,
+                              SimilarityFunction.EUCLIDEAN)
+    res = idx.search(q, SearchConfig(k=10, ef_search=64))
+    assert idx._mesh_state is not None and idx._mesh_state.approx_only
+    assert idx._synth_pq_cache
+    assert recall_at_k(res.doc_ids, truth, 10) >= 0.9
+
+    # a doc in the small (synthetic-codes) segment is findable at k=1
+    res2 = idx.search(v[n + 3], SearchConfig(k=1, ef_search=64))
+    assert int(res2.doc_ids[0, 0]) == n + 3
