@@ -9,8 +9,11 @@ Routes mirror the reference's user-facing API shape:
   POST /{index}/_bulk                     [{"_id": ..., field: [...]}, ...]
   POST /{index}/_flush                    flush buffered docs to a segment
   POST /{index}/_forcemerge               merge all segments
-  POST /{index}/_search                   {"query": {"knn": {field: {...}}},
-                                           "size": N, "ext": {"mmr": {...}}}
+  POST /{index}/_search                   {"query": {"knn": {field: {...}}}
+                                           | {"match_all": {}}, "size": N,
+                                           "from": N, "docvalue_fields":
+                                           [field|{"field": ...}],
+                                           "ext": {"mmr": {...}}}
   DELETE /{index}/_doc/{id}               tombstone a document
   GET  /{index}/_count                    live doc count
 
@@ -336,9 +339,12 @@ def _make_handler(mgr: IndexManager):
                             400, f"doc has none of the mapped fields "
                                  f"{list(fields)}"
                         )
+                    parent = body.get("_parent")
                     for f in present:
-                        fields[f].add(int(m.group(2)),
-                                      np.asarray(body[f], np.float32))
+                        fields[f].add(
+                            int(m.group(2)), np.asarray(body[f], np.float32),
+                            parent_id=None if parent is None else int(parent),
+                        )
                     return self._send(201, {"result": "created"})
                 if m := re.fullmatch(r"/([\w.-]+)/_bulk", path):
                     fields = mgr.get(m.group(1))
@@ -354,10 +360,17 @@ def _make_handler(mgr: IndexManager):
                                      f"{list(fields)}"
                             )
                     for doc in docs:
+                        # `_parent` marks a nested child vector (the REST
+                        # analog of indexing a nested knn_vector path)
+                        parent = doc.get("_parent")
                         for f in fields:
                             if f in doc:
-                                fields[f].add(int(doc["_id"]),
-                                              np.asarray(doc[f], np.float32))
+                                fields[f].add(
+                                    int(doc["_id"]),
+                                    np.asarray(doc[f], np.float32),
+                                    parent_id=(None if parent is None
+                                               else int(parent)),
+                                )
                     return self._send(200, {"indexed": len(docs)})
                 if m := re.fullmatch(r"/([\w.-]+)/_flush", path):
                     segs = {f: i.flush() for f, i in mgr.get(m.group(1)).items()}
@@ -385,7 +398,73 @@ def _make_handler(mgr: IndexManager):
             fields = mgr.get(index_name)  # doesn't exist (client error wins)
             default_field = next(iter(fields))
             size = int(body.get("size", 10))
+            frm = int(body.get("from", 0))
+            if size < 0 or frm < 0:
+                return self._error(400, "size and from must be >= 0")
             qbody = body.get("query") or {}
+
+            # docvalue_fields parity (DocValueFieldsIT.java): hits carry the
+            # stored vector(s) re-read from index storage — the single-copy
+            # derived-source path (VectorIndex.get_vectors). Entries may be
+            # strings or {"field": ..., "format": ...}; knn_vector doc
+            # values have no custom format (custom format -> 400, matching
+            # testDocValueFields_customFormat_throwsError). Unmapped field
+            # names are silently omitted (docs simply lack the field).
+            dv_names = []
+            for entry in body.get("docvalue_fields") or []:
+                if isinstance(entry, str):
+                    fname, fmt = entry, None
+                elif isinstance(entry, dict):
+                    fname, fmt = entry.get("field"), entry.get("format")
+                else:
+                    return self._error(
+                        400, "docvalue_fields entries must be field names "
+                             "or {field, format} objects"
+                    )
+                if fmt is not None:
+                    return self._error(
+                        400, f"knn_vector doc values do not support a "
+                             f"custom format: [{fname}]"
+                    )
+                if fname in fields:
+                    dv_names.append(fname)
+
+            def attach_docvalues(hit_lists):
+                """One batched get_vectors per requested field across every
+                hit of every response; hits missing the field get no entry
+                (missing-field semantics)."""
+                if not dv_names:
+                    return
+                all_ids = sorted({h["_id"] for hl in hit_lists for h in hl})
+                if not all_ids:
+                    return
+                for f in dv_names:
+                    vecs, found = fields[f].get_vectors(all_ids)
+                    vmap = {
+                        d: v for d, v, ok in zip(all_ids, vecs, found) if ok
+                    }
+                    for hl in hit_lists:
+                        for h in hl:
+                            v = vmap.get(h["_id"])
+                            if v is not None:
+                                h.setdefault("fields", {})[f] = [
+                                    [float(x) for x in v]
+                                ]
+
+            if "match_all" in qbody:
+                # match_all + docvalue_fields: enumerate live docs (doc-id
+                # union across mapped fields, served from cached docmaps —
+                # no segment upload), paginate with from/size
+                unions = [i.live_doc_ids() for i in fields.values()]
+                all_ids = (np.unique(np.concatenate(unions)) if unions
+                           else np.empty(0, np.int64))
+                hits = [{"_id": int(d), "_score": 1.0}
+                        for d in all_ids[frm:frm + size]]
+                attach_docvalues([hits])
+                return self._send(200, {
+                    "hits": {"total": {"value": int(all_ids.size)},
+                             "hits": hits},
+                })
 
             # painless-style script_score (knn_score engine parity):
             # {"script_score": {"script": {"source": "knn_score",
@@ -404,12 +483,13 @@ def _make_handler(mgr: IndexManager):
                     return self._error(400, f"unknown field {sfield}")
                 res = knn_mod.execute_script_score(
                     fields[sfield], p.get("space_type", "l2"),
-                    p["query_value"], k=size,
+                    p["query_value"], k=frm + size,
                 )
                 hits = [
                     {"_id": int(d), "_score": float(s)}
                     for d, s in zip(res.doc_ids[0], res.scores[0]) if d >= 0
-                ]
+                ][frm:frm + size]
+                attach_docvalues([hits])
                 return self._send(200, {
                     "hits": {"total": {"value": len(hits)}, "hits": hits},
                 })
@@ -467,9 +547,9 @@ def _make_handler(mgr: IndexManager):
                     if doc < 0:
                         continue
                     hits.append({"_id": int(doc), "_score": float(score)})
-                    if len(hits) >= size:
+                    if len(hits) >= frm + size:
                         break
-                return hits
+                return hits[frm:frm + size]
 
             profile = {
                 "visited": res.visited,
@@ -478,18 +558,22 @@ def _make_handler(mgr: IndexManager):
             }
             if np.asarray(query.vector).ndim == 2:
                 # batched query surface (msearch-style): Q query vectors ran
-                # as ONE device dispatch; one response per vector
+                # as ONE device dispatch; one response per vector (and ONE
+                # batched doc-value read-back across all responses)
+                hit_lists = [
+                    hits_for(res.doc_ids[i], res.scores[i])
+                    for i in range(res.doc_ids.shape[0])
+                ]
+                attach_docvalues(hit_lists)
                 responses = [
                     {"hits": {"total": {"value": len(h)}, "hits": h}}
-                    for h in (
-                        hits_for(res.doc_ids[i], res.scores[i])
-                        for i in range(res.doc_ids.shape[0])
-                    )
+                    for h in hit_lists
                 ]
                 return self._send(200, {
                     "responses": responses, "profile": profile,
                 })
             hits = hits_for(res.doc_ids[0], res.scores[0])
+            attach_docvalues([hits])
             return self._send(200, {
                 "hits": {"total": {"value": len(hits)}, "hits": hits},
                 "profile": profile,
