@@ -15,6 +15,7 @@ Routes mirror the reference's user-facing API shape:
                                            [field|{"field": ...}],
                                            "ext": {"mmr": {...}}}
   DELETE /{index}/_doc/{id}               tombstone a document
+  GET  /{index}/_doc/{id}                 derived-source doc retrieval
   GET  /{index}/_count                    live doc count
 
 This is a thin control plane: all heavy work stays in the index layer.
@@ -274,6 +275,29 @@ def _make_handler(mgr: IndexManager):
                                 "number_of_shards": n_shards,
                             }},
                         },
+                    })
+                m = re.fullmatch(r"/([\w.-]+)/_doc/(\d+)", self.path)
+                if m:
+                    # derived-source document retrieval (DerivedSourceIT):
+                    # _source is re-synthesized from the vector index — the
+                    # vector is stored ONCE, in the segment, and re-injected
+                    # at read time (codec/derivedsource/ behavior, default-on
+                    # for knn indices — JVectorKNNPlugin.java:217-228)
+                    fields = mgr.get(m.group(1))
+                    doc = int(m.group(2))
+                    src = {}
+                    for f, idx in fields.items():
+                        vecs, found = idx.get_vectors([doc])
+                        if found[0]:
+                            src[f] = [float(x) for x in vecs[0]]
+                    if not src:
+                        return self._send(404, {
+                            "_index": m.group(1), "_id": m.group(2),
+                            "found": False,
+                        })
+                    return self._send(200, {
+                        "_index": m.group(1), "_id": m.group(2),
+                        "found": True, "_source": src,
                     })
                 m = re.fullmatch(r"/([\w.-]+)/_count", self.path)
                 if m:

@@ -298,6 +298,39 @@ def test_nested_collapse_empty_expand_returns_child_vectors(service):
             childvec[h["_id"]], rtol=1e-6, atol=1e-6)
 
 
+def test_get_doc_returns_derived_source(service, corpus):
+    """DerivedSourceIT analog: GET /{index}/_doc/{id} re-synthesizes
+    _source from index storage — every mapped field the doc carries."""
+    v, a = corpus
+    status, out = _req(service, "GET", "/dv/_doc/12")
+    assert status == 200 and out["found"]
+    np.testing.assert_allclose(
+        np.asarray(out["_source"]["vec"], np.float32), v[12], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out["_source"]["aux"], np.float32), a[12], rtol=1e-6)
+    # doc 100 has no aux vector: _source carries only vec
+    status, out = _req(service, "GET", "/dv/_doc/100")
+    assert status == 200 and set(out["_source"]) == {"vec"}
+    # absent doc -> found: false, 404
+    status, out = _req(service, "GET", "/dv/_doc/99999")
+    assert status == 404 and out["found"] is False
+
+
+def test_get_doc_after_delete_not_found(service):
+    rng = np.random.default_rng(21)
+    v = rng.standard_normal((40, DIM)).astype(np.float32)
+    status, _ = _req(service, "PUT", "/dvget", _mapping("vec"))
+    assert status == 200
+    _req(service, "POST", "/dvget/_bulk", {
+        "docs": [{"_id": i, "vec": v[i].tolist()} for i in range(40)]})
+    _req(service, "POST", "/dvget/_flush")
+    status, out = _req(service, "GET", "/dvget/_doc/5")
+    assert status == 200 and out["found"]
+    _req(service, "DELETE", "/dvget/_doc/5")
+    status, out = _req(service, "GET", "/dvget/_doc/5")
+    assert status == 404 and out["found"] is False
+
+
 def test_negative_from_or_size_rejected(service, corpus):
     for bad in ({"from": -1}, {"size": -2}):
         body = {"query": {"match_all": {}}, **bad}
