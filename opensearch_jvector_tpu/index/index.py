@@ -233,6 +233,20 @@ class VectorIndex:
                         self._segment_deletes.setdefault(
                             path.name, set()
                         ).update(int(d) for d in present)
+                # update semantics ACROSS segments (Lucene updateDocument:
+                # the flushed copy supersedes committed copies): tombstone
+                # the new segment's doc ids wherever a PRIOR segment still
+                # holds them live. Folded into graphs at the next merge.
+                new_docs = self._segment_docs(path.name)
+                new_docs = new_docs[new_docs >= 0]
+                for prior in self._segments[:-1]:
+                    stale = new_docs[
+                        np.isin(new_docs, self._segment_docs(prior))
+                    ]
+                    if stale.size:
+                        self._segment_deletes.setdefault(
+                            prior, set()
+                        ).update(int(d) for d in stale)
                 self._commit()
         self.maybe_merge()
         return path.name

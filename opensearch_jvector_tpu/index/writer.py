@@ -269,13 +269,24 @@ class IndexWriter:
             blocks[0][2] if len(blocks) == 1
             else np.concatenate([b[2] for b in blocks])
         )
+        doc_ids = np.concatenate([b[0] for b in blocks])
+        parent_ids = np.concatenate([b[1] for b in blocks])
+        if np.unique(doc_ids).size != doc_ids.size:
+            # update semantics WITHIN the buffer (Lucene updateDocument:
+            # indexing an _id again replaces the earlier copy): keep the
+            # LAST occurrence of each doc id, preserving ingest order
+            _, last_rev = np.unique(doc_ids[::-1], return_index=True)
+            keep = np.sort(doc_ids.size - 1 - last_rev)
+            doc_ids, parent_ids = doc_ids[keep], parent_ids[keep]
+            vectors = vectors[keep]
+            count = int(doc_ids.size)
+            name = f"seg_{counter:06d}_{count}" if name.startswith(
+                "seg_") else name
         if not flat:
             # graph build needs device-resident rows; flat ingest keeps the
             # corpus HOST-side (train samples on host, encode streams
             # chunks, rows go straight to the native store)
             vectors = jnp.asarray(vectors)
-        doc_ids = np.concatenate([b[0] for b in blocks])
-        parent_ids = np.concatenate([b[1] for b in blocks])
         has_nested = bool((parent_ids >= 0).any())
 
         cfg = self.config
