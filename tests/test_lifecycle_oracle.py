@@ -48,7 +48,8 @@ def test_random_lifecycle_matches_oracle(tmp_path, index_type):
     # covers the longer sequence
     steps = 14 if index_type == "vamana" else 24
     for step in range(steps):
-        op = rng.choice(["add", "add", "add", "delete", "flush", "merge"])
+        op = rng.choice(["add", "add", "add", "delete", "update", "flush",
+                         "merge"])
         if op == "add" or not live:
             n = int(rng.integers(5, 40))
             vecs = rng.standard_normal((n, DIM)).astype(np.float32)
@@ -56,6 +57,16 @@ def test_random_lifecycle_matches_oracle(tmp_path, index_type):
             next_id += n
             idx.add_batch(ids, vecs)
             for i, v in zip(ids, vecs):
+                live[int(i)] = v
+        elif op == "update":
+            # re-index existing ids with fresh vectors (updateDocument
+            # semantics: the new copy must fully supersede the old one)
+            take = rng.choice(list(live.keys()),
+                              size=min(len(live), int(rng.integers(1, 8))),
+                              replace=False)
+            vecs = rng.standard_normal((take.size, DIM)).astype(np.float32)
+            idx.add_batch(take, vecs)
+            for i, v in zip(take, vecs):
                 live[int(i)] = v
         elif op == "delete":
             take = rng.choice(list(live.keys()),
@@ -163,7 +174,7 @@ def test_sharded_random_lifecycle_matches_oracle(tmp_path, mode):
     mesh_served = 0
 
     for step in range(10):
-        op = rng.choice(["add", "add", "delete", "merge_one"])
+        op = rng.choice(["add", "add", "delete", "update", "merge_one"])
         if op == "add" or not live:
             n = int(rng.integers(10, 50))
             vecs = rng.standard_normal((n, DIM)).astype(np.float32)
@@ -171,6 +182,14 @@ def test_sharded_random_lifecycle_matches_oracle(tmp_path, mode):
             next_id += n
             idx.add_batch(ids, vecs)
             for i, v in zip(ids, vecs):
+                live[int(i)] = v
+        elif op == "update":
+            take = rng.choice(list(live.keys()),
+                              size=min(len(live), int(rng.integers(1, 6))),
+                              replace=False)
+            vecs = rng.standard_normal((take.size, DIM)).astype(np.float32)
+            idx.add_batch(take, vecs)
+            for i, v in zip(take, vecs):
                 live[int(i)] = v
         elif op == "delete":
             take = rng.choice(list(live.keys()),
