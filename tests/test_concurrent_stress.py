@@ -185,3 +185,58 @@ def test_close_races_ingest_and_search(tmp_path):
     assert idx2.doc_count() >= 100
     res = idx2.search(v[3], SearchConfig(k=3, ef_search=32))
     assert res.doc_ids[0][0] == 3
+
+
+def test_concurrent_updaters_converge_to_final_versions(tmp_path):
+    """Three updater threads re-index DISJOINT id ranges (several versions
+    each) while flushes and tiered merges churn. After the final flush,
+    every id must serve exactly its thread's LAST version — update
+    tombstones must not lose copies or resurrect stale ones under
+    concurrency."""
+    rng = np.random.default_rng(17)
+    cfg = DiskAnnConfig(dim=DIM, similarity=SimilarityFunction.EUCLIDEAN,
+                        m=8, ef_construction=32, quantization_type="none")
+    idx = VectorIndex(tmp_path, cfg, merge_policy=TieredMergePolicy())
+    base = rng.standard_normal((90, DIM)).astype(np.float32)
+    idx.add_batch(np.arange(90), base)
+    idx.flush()
+
+    finals: dict[int, np.ndarray] = {}
+    errors: list[BaseException] = []
+    lock = threading.Lock()
+
+    def updater(lo: int, hi: int, seed: int):
+        try:
+            r = np.random.default_rng(seed)
+            for version in range(4):
+                for d in range(lo, hi):
+                    v = r.standard_normal(DIM).astype(np.float32)
+                    idx.add(d, v)
+                    with lock:
+                        finals[d] = v
+                idx.flush()
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=updater, args=(lo, lo + 30, 100 + lo))
+               for lo in (0, 30, 60)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    idx.flush()
+
+    assert idx.doc_count() == 90
+    ids = np.arange(90)
+    vecs, found = idx.get_vectors(ids)
+    assert found.all()
+    for d in range(90):
+        np.testing.assert_allclose(vecs[d], finals[d], rtol=1e-6,
+                                   err_msg=f"doc {d} serves a stale version")
+    # merges must not bring stale copies back
+    idx.force_merge()
+    vecs2, found2 = idx.get_vectors(ids)
+    assert found2.all()
+    np.testing.assert_allclose(vecs2, vecs, rtol=1e-6)
+    idx.close()
