@@ -325,8 +325,13 @@ def read_segment(path: str | Path, verify: bool = True) -> Segment:
 
 
 def check_integrity(path: str | Path) -> bool:
-    """Re-verify every container checksum (checkIntegrity parity)."""
+    """Re-verify every container checksum (checkIntegrity parity) — the
+    .jvtpu containers AND the raw on_disk row files (CRC sidecars)."""
+    from opensearch_jvector_tpu.utils.native_store import verify_row_file
+
     d = Path(path)
     for f in sorted(d.glob("*.jvtpu")):
         store.read_container(f, verify=True)
+    for f in sorted(d.glob("*.f32")):
+        verify_row_file(f)
     return True

@@ -145,5 +145,62 @@ class PagedVectorStore:
 
 
 def write_row_file(path: str | Path, vectors: np.ndarray) -> None:
-    """Write vectors [n, d] to the raw row format this store reads."""
-    np.ascontiguousarray(vectors, dtype=np.float32).tofile(str(path))
+    """Write vectors [n, d] to the raw row format this store reads, plus a
+    CRC sidecar ({path}.crc) so check_integrity can verify the row file —
+    the reference puts a CodecUtil footer on EVERY segment file and
+    checkIntegrity re-reads them all (JVectorReader.java:84-96). A footer
+    inside the row file would break the store's size/row_bytes arithmetic
+    (and the mmap offsets the C++ gather uses), so the checksum rides
+    beside it."""
+    import struct
+    import zlib
+
+    arr = np.ascontiguousarray(vectors, dtype=np.float32)
+    arr.tofile(str(path))
+    # stream the CRC over a flat view (no full-array copy — the 10M tier
+    # writes multi-GB row files)
+    flat = memoryview(arr).cast("B")
+    crc, step = 0, 1 << 24
+    for s in range(0, len(flat), step):
+        crc = zlib.crc32(flat[s:s + step], crc)
+    Path(str(path) + ".crc").write_bytes(
+        struct.pack("<QQ", crc & 0xFFFFFFFF, arr.nbytes))
+
+
+def verify_row_file(path: str | Path, chunk_bytes: int = 1 << 24) -> bool:
+    """Stream-verify a row file against its CRC sidecar (checkIntegrity
+    leg for the raw row tier). Missing sidecar -> True (pre-sidecar
+    segments stay readable, BWC); mismatch or truncation -> raises."""
+    import struct
+    import zlib
+
+    from opensearch_jvector_tpu.index.store import CorruptSegmentError
+
+    sidecar = Path(str(path) + ".crc")
+    if not sidecar.exists():
+        return True
+    blob = sidecar.read_bytes()
+    if len(blob) != 16:
+        raise CorruptSegmentError(
+            f"{sidecar}: malformed CRC sidecar ({len(blob)} bytes, want 16)"
+        )
+    want_crc, want_bytes = struct.unpack("<QQ", blob)
+    p = Path(path)
+    if p.stat().st_size != want_bytes:
+        raise CorruptSegmentError(
+            f"{p}: row file is {p.stat().st_size} bytes, sidecar says "
+            f"{want_bytes}"
+        )
+    crc = 0
+    with open(p, "rb") as f:
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                break
+            crc = zlib.crc32(chunk, crc)
+    if (crc & 0xFFFFFFFF) != want_crc:
+        raise CorruptSegmentError(
+            f"{p}: row checksum mismatch ({crc & 0xFFFFFFFF:#x} != "
+            f"{want_crc:#x})"
+        )
+    return True

@@ -159,3 +159,49 @@ def test_duplicate_vectors_and_tiny_corpus(tmp_path):
                       SearchConfig(k=10, ef_search=32))
     ids = res.doc_ids[0]
     assert (ids >= 0).all() and len(set(ids.tolist())) == 10  # deduped ids
+
+
+def test_every_byte_flip_is_caught_by_check_integrity(tmp_path):
+    """Corruption fuzz (CodecUtil-footer parity): flipping ANY byte of ANY
+    committed segment file — containers, raw on_disk row file, or its CRC
+    sidecar — must surface as CorruptSegmentError from check_integrity,
+    never pass silently. Truncation too."""
+    from opensearch_jvector_tpu.index.segment import check_integrity
+    from opensearch_jvector_tpu.index.store import CorruptSegmentError
+
+    rng = np.random.default_rng(33)
+    v = _vectors(300, seed=33)
+    cfg = _cfg(mode="on_disk", quantization_type="pq", num_pq_subspaces=4,
+               min_batch_size_for_quantization=64)
+    idx = VectorIndex(tmp_path, cfg)
+    idx.add_batch(np.arange(300), v)
+    idx.flush()
+    seg_dir = tmp_path / idx.segment_names[0]
+    idx.close()
+
+    files = sorted(
+        list(seg_dir.glob("*.jvtpu")) + list(seg_dir.glob("*.f32"))
+        + list(seg_dir.glob("*.f32.crc"))
+    )
+    assert any(f.suffix == ".jvtpu" for f in files)
+    assert any(f.name.endswith(".f32") for f in files)
+    assert any(f.name.endswith(".crc") for f in files)
+    assert check_integrity(seg_dir)
+
+    for f in files:
+        raw = bytearray(f.read_bytes())
+        offsets = rng.integers(0, len(raw), size=min(12, len(raw)))
+        for off in np.unique(offsets):
+            orig = raw[off]
+            raw[off] = orig ^ 0xA5
+            f.write_bytes(bytes(raw))
+            with pytest.raises(CorruptSegmentError):
+                check_integrity(seg_dir)
+            raw[off] = orig
+        # truncation by one byte must also be caught
+        f.write_bytes(bytes(raw[:-1]))
+        with pytest.raises(CorruptSegmentError):
+            check_integrity(seg_dir)
+        f.write_bytes(bytes(raw))
+
+    assert check_integrity(seg_dir)  # restored tree verifies clean
