@@ -5,6 +5,9 @@ Routes mirror the reference's user-facing API shape:
        (+ legacy /_opendistro/_knn/stats alias — RestKNNStatsHandler.java:
        56-64, JVectorKNNPlugin.java:128-129)
   PUT  /{index}                           create index (knn_vector mapping)
+  PUT  /{index}/_mapping                  add knn_vector fields to a live
+                                          index (identical re-sends no-op;
+                                          conflicting updates 400)
   POST /{index}/_doc/{id}                 index one document
   POST /{index}/_bulk                     [{"_id": ..., field: [...]}, ...]
   POST /{index}/_flush                    flush buffered docs to a segment
@@ -123,6 +126,66 @@ class IndexManager:
                 "fields": [f for f, _ in knn_fields],
                 "shards": n_shards,
                 "mode": parsed[first][1]["mode"]}
+
+    def add_fields(self, name: str, mappings: dict) -> dict:
+        """PUT /{index}/_mapping: add NEW knn_vector fields to a live
+        index (the OpenSearch dynamic-mapping-update surface). Existing
+        fields may be re-sent only with an IDENTICAL mapping (no-op);
+        conflicting updates are rejected, as core rejects incompatible
+        mapper changes. New fields inherit the index's shard count."""
+        props = (mappings or {}).get("properties") or {}
+        knn_fields = [
+            (f, m) for f, m in props.items()
+            if isinstance(m, dict) and m.get("type") == "knn_vector"
+        ]
+        if not knn_fields:
+            raise ValidationError(
+                "mapping update needs at least one knn_vector field"
+            )
+        current = self.get(name)  # raises KeyError -> 404 if absent
+        parsed = {f: parse_knn_vector_mapping(m) for f, m in knn_fields}
+        fresh = {}
+        for f, (config, _) in parsed.items():
+            if f in current:
+                if current[f].config != config:
+                    raise ValidationError(
+                        f"mapper for [{f}] cannot be changed from its "
+                        f"current mapping"
+                    )
+                continue  # identical re-send: no-op
+            fresh[f] = config
+        if fresh:
+            any_idx = next(iter(current.values()))
+            n_shards = getattr(any_idx, "n_shards", 1)
+
+            def make(f, config):
+                if n_shards > 1:
+                    from opensearch_jvector_tpu.parallel.distributed import (
+                        ShardedVectorIndex,
+                    )
+
+                    mesh = self.mesh
+                    if mesh is not None and int(
+                        np.prod(mesh.devices.shape)
+                    ) != n_shards:
+                        mesh = None
+                    return ShardedVectorIndex(
+                        self.root / name / f, config,
+                        n_shards=n_shards, mesh=mesh)
+                return VectorIndex(self.root / name / f, config)
+
+            built = {f: make(f, c) for f, c in fresh.items()}
+            with self._lock:
+                val = self._indices.get(name)
+                if not isinstance(val, dict):
+                    for idx in built.values():  # index dropped mid-update
+                        idx.close()
+                    raise KeyError(name)
+                # replace with a NEW dict: readers iterate the old snapshot
+                self._indices[name] = {**val, **built}
+        return {"acknowledged": True,
+                "added": sorted(fresh),
+                "fields": sorted(set(current) | set(fresh))}
 
     def get(self, name: str) -> dict[str, VectorIndex]:
         """name -> {field: VectorIndex} (insertion-ordered)."""
@@ -319,6 +382,14 @@ def _make_handler(mgr: IndexManager):
 
         def do_PUT(self):
             try:
+                if m := re.fullmatch(r"/([\w.-]+)/_mapping", self.path):
+                    body = self._body()
+                    # accept both {"properties": ...} (core shape) and a
+                    # {"mappings": {"properties": ...}} wrapper
+                    mappings = (body if "properties" in body
+                                else body.get("mappings") or {})
+                    return self._send(
+                        200, mgr.add_fields(m.group(1), mappings))
                 m = re.fullmatch(r"/([\w.-]+)", self.path)
                 if not m:
                     return self._error(404, f"no route for PUT {self.path}")
@@ -326,6 +397,8 @@ def _make_handler(mgr: IndexManager):
                 out = mgr.create(m.group(1), body.get("mappings") or {},
                                  body.get("settings"))
                 self._send(200, out)
+            except KeyError as e:
+                self._error(404, f"no such index {e}")
             except ValidationError as e:
                 self._error(400, str(e))
             except Exception as e:  # noqa: BLE001

@@ -624,3 +624,64 @@ def test_service_mesh_on_disk_sharded(tmp_path):
             assert seg.row_store is not None
     finally:
         svc.stop()
+
+
+def test_mapping_update_adds_field(service):
+    """PUT /{index}/_mapping: dynamic mapping updates add knn_vector
+    fields to a live index; identical re-sends no-op; conflicting
+    updates are rejected (core mapper-conflict semantics)."""
+    rng = np.random.default_rng(55)
+    v = rng.standard_normal((100, DIM)).astype(np.float32)
+    w = rng.standard_normal((100, DIM)).astype(np.float32)
+
+    base_mapping = {"vec": {
+        "type": "knn_vector", "dimension": DIM, "space_type": "l2",
+        "method": {"name": "disk_ann", "engine": "jvector",
+                   "parameters": {"m": 8, "ef_construction": 32}}}}
+    status, _ = _req(service, "PUT", "/mapupd", {
+        "mappings": {"properties": dict(base_mapping)}})
+    assert status == 200
+    _req(service, "POST", "/mapupd/_bulk", {"docs": [
+        {"_id": i, "vec": v[i].tolist()} for i in range(100)]})
+    _req(service, "POST", "/mapupd/_flush")
+
+    # add a second field
+    status, out = _req(service, "PUT", "/mapupd/_mapping", {
+        "properties": {"vec2": {
+            "type": "knn_vector", "dimension": DIM, "space_type": "l2",
+            "method": {"name": "disk_ann", "engine": "jvector",
+                       "parameters": {"m": 8, "ef_construction": 32}}}}})
+    assert status == 200 and out["added"] == ["vec2"]
+    assert sorted(out["fields"]) == ["vec", "vec2"]
+
+    # ingest + search the new field; the old field still serves
+    _req(service, "POST", "/mapupd/_bulk", {"docs": [
+        {"_id": i, "vec2": w[i].tolist()} for i in range(100)]})
+    _req(service, "POST", "/mapupd/_flush")
+    status, out = _req(service, "POST", "/mapupd/_search", {
+        "size": 3, "query": {"knn": {"vec2": {"vector": w[9].tolist(),
+                                              "k": 3}}}})
+    assert status == 200 and out["hits"]["hits"][0]["_id"] == 9
+    status, out = _req(service, "POST", "/mapupd/_search", {
+        "size": 3, "query": {"knn": {"vec": {"vector": v[9].tolist(),
+                                             "k": 3}}}})
+    assert status == 200 and out["hits"]["hits"][0]["_id"] == 9
+
+    # identical re-send: acknowledged no-op
+    status, out = _req(service, "PUT", "/mapupd/_mapping", {
+        "properties": dict(base_mapping)})
+    assert status == 200 and out["added"] == []
+
+    # conflicting update (different dimension) -> 400
+    status, out = _req(service, "PUT", "/mapupd/_mapping", {
+        "properties": {"vec": {"type": "knn_vector",
+                               "dimension": DIM * 2}}})
+    assert status == 400 and "cannot be changed" in out["error"]
+
+    # absent index -> 404; no knn fields -> 400
+    status, _ = _req(service, "PUT", "/nosuchidx/_mapping", {
+        "properties": dict(base_mapping)})
+    assert status == 404
+    status, _ = _req(service, "PUT", "/mapupd/_mapping", {
+        "properties": {"txt": {"type": "text"}}})
+    assert status == 400
