@@ -2,6 +2,8 @@
 
 Routes mirror the reference's user-facing API shape:
   GET  /_plugins/_knn/stats[/{stat}]      node stats
+  GET/PUT /_cluster/settings              dynamic settings registry
+       (typed + validated; change consumers fire, KNNSettings parity)
        (+ legacy /_opendistro/_knn/stats alias — RestKNNStatsHandler.java:
        56-64, JVectorKNNPlugin.java:128-129)
   PUT  /{index}                           create index (knn_vector mapping)
@@ -253,6 +255,13 @@ def _make_handler(mgr: IndexManager):
 
         def do_GET(self):
             try:
+                if self.path == "/_cluster/settings":
+                    from opensearch_jvector_tpu.api.settings import (
+                        GLOBAL_SETTINGS,
+                    )
+
+                    return self._send(
+                        200, {"persistent": GLOBAL_SETTINGS.snapshot()})
                 m = re.fullmatch(
                     r"/(?:_plugins|_opendistro)/_knn/stats(?:/([\w,]+))?",
                     self.path,
@@ -382,6 +391,35 @@ def _make_handler(mgr: IndexManager):
 
         def do_PUT(self):
             try:
+                if self.path == "/_cluster/settings":
+                    # dynamic cluster settings (KNNSettings registry): the
+                    # typed/validated registry applies each value and fires
+                    # its change consumers (e.g. thread-qty pool rebuild)
+                    from opensearch_jvector_tpu.api.settings import (
+                        GLOBAL_SETTINGS,
+                    )
+
+                    body = self._body()
+                    updates = {}
+                    for tier in ("persistent", "transient"):
+                        sub = body.get(tier) or {}
+                        if not isinstance(sub, dict):
+                            return self._error(
+                                400, f"{tier} must be an object")
+                        updates.update(sub)
+                    if not updates:
+                        return self._error(
+                            400, "no persistent/transient settings given")
+                    try:
+                        for k, val in updates.items():
+                            GLOBAL_SETTINGS.put(k, val)
+                    except (KeyError, ValueError) as e:
+                        return self._error(400, str(e))
+                    return self._send(200, {
+                        "acknowledged": True,
+                        "persistent": {
+                            k: GLOBAL_SETTINGS.get(k) for k in updates},
+                    })
                 if m := re.fullmatch(r"/([\w.-]+)/_mapping", self.path):
                     body = self._body()
                     # accept both {"properties": ...} (core shape) and a

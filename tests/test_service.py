@@ -685,3 +685,34 @@ def test_mapping_update_adds_field(service):
     status, _ = _req(service, "PUT", "/mapupd/_mapping", {
         "properties": {"txt": {"type": "text"}}})
     assert status == 400
+
+
+def test_cluster_settings_roundtrip(service):
+    """GET/PUT /_cluster/settings drives the typed dynamic-settings
+    registry (KNNSettings parity): valid updates apply and read back,
+    unknown names and invalid values return 400, and non-dynamic
+    settings refuse re-update."""
+    status, out = _req(service, "GET", "/_cluster/settings")
+    assert status == 200
+    snap = out["persistent"]
+    assert "knn.memory.circuit_breaker.limit" in snap
+
+    status, out = _req(service, "PUT", "/_cluster/settings", {
+        "persistent": {"knn.memory.circuit_breaker.limit": 60.0}})
+    assert status == 200 and out["acknowledged"]
+    status, out = _req(service, "GET", "/_cluster/settings")
+    assert out["persistent"]["knn.memory.circuit_breaker.limit"] == 60.0
+
+    # restore, via the transient tier (both tiers apply)
+    status, _ = _req(service, "PUT", "/_cluster/settings", {
+        "transient": {"knn.memory.circuit_breaker.limit": 50.0}})
+    assert status == 200
+
+    status, out = _req(service, "PUT", "/_cluster/settings", {
+        "persistent": {"knn.no.such.setting": 1}})
+    assert status == 400 and "unknown setting" in out["error"]
+    status, out = _req(service, "PUT", "/_cluster/settings", {
+        "persistent": {"knn.memory.circuit_breaker.limit": 400.0}})
+    assert status == 400 and "invalid value" in out["error"]
+    status, out = _req(service, "PUT", "/_cluster/settings", {})
+    assert status == 400
