@@ -850,8 +850,18 @@ class GraphIndexBuilder:
             )
         )[:real]
         ids = np.asarray(ids)
-        st.dev = st.dev.at[jnp.asarray(ids)].set(jnp.asarray(st.pad_rows(sel)))
         st.deg[ids] = (sel >= 0).sum(axis=1)
+        # reverse edges, exactly like an insert round (addGraphNode adds
+        # bidirectional links): a forward-only kNN bootstrap leaves
+        # multi-cluster corpora as one-way islands — nodes whose prune
+        # keeps intra-cluster edges only are unreachable from the entry
+        # until orphan repair, and repair should be the backstop, not the
+        # routine connectivity mechanism.
+        dst, slot, src, overflowed, extras = self._compute_back_edges(
+            st.deg, ids, sel, self.overflow_degree
+        )
+        st.dev = self._apply_edges(st, ids, sel, dst, slot, src)
+        self._prune_overflow(st, overflowed, vectors, simf, extras=extras)
 
     def add_nodes(
         self,
@@ -1009,9 +1019,9 @@ class GraphIndexBuilder:
         import jax.numpy as jnp_
 
         touched: dict[int, np.ndarray] = {}
-        overwrite_ptr: dict[int, int] = {}  # full hosts: distinct slots
         hostable = live & reach
         hostable_dev = jnp_.asarray(hostable)
+        host_of: dict[int, list[int]] = {}  # host -> its orphan group
         for s in range(0, orphans.size, 512):
             ob = orphans[s : s + 512]
             real = ob.size
@@ -1028,23 +1038,41 @@ class GraphIndexBuilder:
             hosts = np.asarray(jnp_.argmax(sc, axis=1))[:real]
             ob = ob[:real]
             for h, o in zip(hosts, ob):
-                h = int(h)
-                row = touched.get(h)
-                if row is None:
-                    row = adj_host[h].copy()
-                    touched[h] = row
-                if o in row:
-                    continue
-                # stay within the max_degree bound cleanup just enforced:
-                # append while below it, else overwrite from the tail
-                # (distinct slots per host so repairs don't evict each other)
-                if st.deg[h] < self.max_degree:
-                    slot = int(st.deg[h])
-                    st.deg[h] += 1
-                else:
-                    slot = overwrite_ptr.get(h, self.max_degree - 1)
-                    overwrite_ptr[h] = max(0, slot - 1)
-                row[slot] = o
+                host_of.setdefault(int(h), []).append(int(o))
+
+        def _row(nid: int) -> np.ndarray:
+            row = touched.get(nid)
+            if row is None:
+                row = adj_host[nid].copy()
+                touched[nid] = row
+            return row
+
+        def _link(src: int, dst: int) -> None:
+            """One edge src -> dst: append below max_degree, else overwrite
+            the tail slot (a single eviction per src)."""
+            row = _row(src)
+            if dst in row:
+                return
+            if st.deg[src] < self.max_degree:
+                slot = int(st.deg[src])
+                st.deg[src] += 1
+            else:
+                slot = self.max_degree - 1
+            row[slot] = dst
+
+        # CHAIN each host's orphan group: host -> o1 -> o2 -> ... . A whole
+        # unreachable island maps its orphans onto the same (nearest)
+        # boundary host; writing them all into the host's max_degree row
+        # would thrash it — later writes evict earlier repairs AND the
+        # host's own edges, disconnecting what was reachable (observed:
+        # multi-cluster corpora lost the entry's own cluster to this).
+        # Chaining costs the host ONE slot and each orphan at most one
+        # tail-slot eviction of its own (still-intact) row, and makes the
+        # whole group reachable through the chain.
+        for h, group in host_of.items():
+            _link(h, group[0])
+            for prev, nxt in zip(group, group[1:]):
+                _link(prev, nxt)
         if touched:
             hid = np.fromiter(touched.keys(), np.int32, len(touched))
             hrows = np.stack([touched[int(h)] for h in hid])

@@ -153,3 +153,74 @@ def test_bf16_scored_build_recall(data):
 def test_score_dtype_validation():
     with pytest.raises(ValueError):
         GraphIndexBuilder(dim=D, score_dtype="fp16")
+
+
+def _bfs_reachable(adjacency, live, entry):
+    adj = np.asarray(adjacency)
+    lv = np.asarray(live)
+    seen = np.zeros(lv.shape[0], bool)
+    seen[entry] = True
+    frontier = np.asarray([entry])
+    while frontier.size:
+        nb = adj[frontier].reshape(-1)
+        nb = nb[nb >= 0]
+        nb = nb[lv[nb] & ~seen[nb]]
+        if nb.size == 0:
+            break
+        nb = np.unique(nb)
+        seen[nb] = True
+        frontier = nb
+    return seen
+
+
+def test_multi_cluster_islands_fully_reachable():
+    """Regression: separated clusters built a one-way island graph — the
+    forward-only bootstrap left whole clusters without in-edges, and orphan
+    repair then thrashed the single boundary host's row (all repairs landed
+    on the same max_degree slots, evicting the entry cluster's own edges).
+    Every live node must be reachable from the entry, and recall at each
+    cluster's center must be perfect at full-corpus ef."""
+    dim = 8
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((3, dim)).astype(np.float32) * 6
+    vecs = np.concatenate([
+        centers[i] + 0.6 * rng.standard_normal((40, dim)).astype(np.float32)
+        for i in range(3)
+    ])
+    simf = SimilarityFunction.EUCLIDEAN
+    b = GraphIndexBuilder(dim=dim, max_degree=8, beam_width=32)
+    g = b.build(jnp.asarray(vecs), simf)
+    seen = _bfs_reachable(g.adjacency, g.live, int(g.entry))
+    n_live = int(np.asarray(g.live).sum())
+    assert int(seen.sum()) == n_live, (
+        f"only {int(seen.sum())}/{n_live} nodes reachable from entry"
+    )
+    vpad = jnp.asarray(np.pad(vecs, ((0, g.capacity - len(vecs)), (0, 0))))
+    res = searcher.search(
+        g.adjacency, g.live, g.entry, jnp.asarray(centers),
+        SearchParams(k=10, ef_search=64), simf, vectors=vpad,
+    )
+    truth = ground_truth_topk(jnp.asarray(centers), jnp.asarray(vecs), 10,
+                              simf)
+    rec = recall_at_k(np.asarray(res.ids), truth, 10)
+    assert rec >= 0.99, f"cluster-center recall@10={rec:.3f}"
+
+
+def test_orphan_chain_repair_bounded_eviction():
+    """The chained orphan repair must cost each host/orphan row at most one
+    slot: after repair, every node keeps >= max_degree - 1 of its original
+    edges (no row is wholesale overwritten)."""
+    dim = 8
+    rng = np.random.default_rng(33)
+    # two far clusters; the small one becomes the orphan island
+    a = rng.standard_normal((60, dim)).astype(np.float32)
+    bclust = rng.standard_normal((20, dim)).astype(np.float32) + 40.0
+    vecs = np.concatenate([a, bclust])
+    simf = SimilarityFunction.EUCLIDEAN
+    b = GraphIndexBuilder(dim=dim, max_degree=8, beam_width=32)
+    g = b.build(jnp.asarray(vecs), simf)
+    seen = _bfs_reachable(g.adjacency, g.live, int(g.entry))
+    assert int(seen.sum()) == int(np.asarray(g.live).sum())
+    deg = np.asarray((np.asarray(g.adjacency)[: len(vecs)] >= 0).sum(axis=1))
+    # every node with any edges keeps a meaningful neighborhood
+    assert (deg[deg > 0] >= 2).all()
