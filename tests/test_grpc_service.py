@@ -1,0 +1,124 @@
+"""End-to-end gRPC query service tests (KNNQueryGrpcIT parity).
+
+The reference drives KNN queries over OpenSearch's gRPC transport
+(KNNQueryGrpcIT.java: index over REST, query over gRPC, same hits).
+Here: ingest through the IndexManager, query over a real grpcio channel,
+and assert the gRPC hits agree with the in-process query path.
+"""
+
+import grpc
+import numpy as np
+import pytest
+
+from opensearch_jvector_tpu.grpc import knn_query_pb2 as pb
+from opensearch_jvector_tpu.grpc.server import KnnGrpcService, search_stub
+from opensearch_jvector_tpu.query import knn as knn_mod
+from opensearch_jvector_tpu.query.builder import KnnQuery
+from opensearch_jvector_tpu.service.http import IndexManager
+
+DIM = 16
+N = 300
+
+
+@pytest.fixture(scope="module")
+def grpc_env(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((N, DIM)).astype(np.float32)
+    mgr = IndexManager(tmp_path_factory.mktemp("grpcsvc"))
+    mgr.create("gidx", {"properties": {"vec": {
+        "type": "knn_vector", "dimension": DIM, "space_type": "l2",
+        "method": {"name": "disk_ann", "engine": "jvector",
+                   "parameters": {"m": 8, "ef_construction": 32}},
+    }}})
+    idx = mgr.get("gidx")["vec"]
+    for i in range(N):
+        idx.add(i, vecs[i])
+    idx.flush()
+    svc = KnnGrpcService(mgr)
+    svc.start()
+    channel = grpc.insecure_channel(f"127.0.0.1:{svc.port}")
+    yield mgr, vecs, search_stub(channel)
+    channel.close()
+    svc.stop()
+
+
+def _request(index, field, vector, k=None, size=None, **knn_kwargs):
+    q = pb.KnnQuery(field=field, vector=[float(x) for x in vector],
+                    **knn_kwargs)
+    if k is not None:
+        q.k = k
+    req = pb.SearchRequest(index=index,
+                           query=pb.QueryContainer(knn=q))
+    if size is not None:
+        req.size = size
+    return req
+
+
+def test_grpc_search_matches_inprocess_path(grpc_env):
+    mgr, vecs, search = grpc_env
+    resp = search(_request("gidx", "vec", vecs[42], k=5))
+    assert [h.id for h in resp.hits][0] == 42
+    assert resp.visited > 0
+    # same hits as the in-process query pipeline (one execution path)
+    res = knn_mod.execute_knn_query(
+        mgr.get("gidx")["vec"], KnnQuery(vector=vecs[42], k=5))
+    want = [int(d) for d in res.doc_ids[0] if d >= 0][:5]
+    assert [h.id for h in resp.hits] == want
+    # scores are descending and finite
+    scores = [h.score for h in resp.hits]
+    assert scores == sorted(scores, reverse=True)
+    assert all(np.isfinite(scores))
+
+
+def test_grpc_method_parameters_and_size(grpc_env):
+    _, vecs, search = grpc_env
+    resp = search(_request(
+        "gidx", "vec", vecs[7], k=10, size=3,
+        method_parameters=pb.MethodParameters(ef_search=64),
+    ))
+    assert len(resp.hits) == 3
+    assert resp.hits[0].id == 7
+
+
+def test_grpc_filter_ids(grpc_env):
+    _, vecs, search = grpc_env
+    allowed = [3, 9, 27, 81]
+    resp = search(_request("gidx", "vec", vecs[3], k=4,
+                           filter_ids=allowed))
+    got = [h.id for h in resp.hits]
+    assert set(got) <= set(allowed)
+    assert got[0] == 3
+
+
+def test_grpc_radial_min_score(grpc_env):
+    _, vecs, search = grpc_env
+    q = pb.KnnQuery(field="vec", vector=[float(x) for x in vecs[0]])
+    q.min_score = 0.999  # l2 score 1/(1+d^2): only the exact doc survives
+    resp = search(pb.SearchRequest(
+        index="gidx", query=pb.QueryContainer(knn=q)))
+    assert [h.id for h in resp.hits] == [0]
+
+
+def test_grpc_error_statuses(grpc_env):
+    _, vecs, search = grpc_env
+    with pytest.raises(grpc.RpcError) as e:
+        search(_request("nope", "vec", vecs[0], k=3))
+    assert e.value.code() == grpc.StatusCode.NOT_FOUND
+
+    with pytest.raises(grpc.RpcError) as e:
+        search(_request("gidx", "missing_field", vecs[0], k=3))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+    # k and max_distance are mutually exclusive (radial exclusivity)
+    q = pb.KnnQuery(field="vec", vector=[float(x) for x in vecs[0]])
+    q.k = 3
+    q.max_distance = 1.0
+    with pytest.raises(grpc.RpcError) as e:
+        search(pb.SearchRequest(index="gidx",
+                                query=pb.QueryContainer(knn=q)))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+    # empty container (no knn oneof)
+    with pytest.raises(grpc.RpcError) as e:
+        search(pb.SearchRequest(index="gidx", query=pb.QueryContainer()))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
