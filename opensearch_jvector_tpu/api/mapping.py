@@ -57,6 +57,24 @@ def parse_knn_vector_mapping(body: dict) -> tuple[DiskAnnConfig, dict]:
     if mode not in MODES:
         raise ValidationError(f"mode must be one of {MODES}: {mode}")
 
+    # data_type parity: the jVector engine supports float vectors only
+    # (VectorDataType.java:28 "jVector supports float data type"; byte
+    # vectors throw UnsupportedOperationException in the codec —
+    # KNNJVectorTests.testJVectorKnnIndex_simpleCase_withBinaryVector).
+    # byte/binary are recognized-but-rejected (distinct message); anything
+    # else is an unknown data type.
+    data_type = str(body.get("data_type", "float")).lower()
+    if data_type in ("byte", "binary"):
+        raise ValidationError(
+            f"data_type {data_type} is not supported by the jvector "
+            f"engine (float only)"
+        )
+    if data_type != "float":
+        raise ValidationError(
+            f"unknown data_type {data_type}; supported types are "
+            f"[float, byte, binary]"
+        )
+
     # CompressionLevel parity (CompressionLevel.java:49-61 + Mode pairing):
     # "x32" style levels translate to a PQ subspace count hitting that
     # bytes-per-vector ratio, with the level's default rescore oversample

@@ -173,6 +173,28 @@ class TestMapping:
         with pytest.raises(ValidationError):
             parse_knn_vector_mapping({"type": "dense_vector", "dimension": 4})
 
+    def test_data_type_float_accepted(self):
+        cfg, _ = parse_knn_vector_mapping(
+            {"type": "knn_vector", "dimension": 8, "data_type": "float"}
+        )
+        assert cfg.dim == 8
+
+    @pytest.mark.parametrize("dt", ["byte", "binary", "BYTE"])
+    def test_data_type_byte_binary_rejected(self, dt):
+        """jVector engine is float-only (VectorDataType.java:28; byte
+        vectors throw in the codec — testJVectorKnnIndex_simpleCase_
+        withBinaryVector)."""
+        with pytest.raises(ValidationError, match="not supported"):
+            parse_knn_vector_mapping(
+                {"type": "knn_vector", "dimension": 8, "data_type": dt}
+            )
+
+    def test_data_type_unknown_rejected(self):
+        with pytest.raises(ValidationError, match="unknown data_type"):
+            parse_knn_vector_mapping(
+                {"type": "knn_vector", "dimension": 8, "data_type": "int4"}
+            )
+
     def test_missing_dimension(self):
         with pytest.raises(ValidationError, match="dimension"):
             parse_knn_vector_mapping({"type": "knn_vector"})
