@@ -25,8 +25,26 @@ def knn_query_from_proto(container: pb.QueryContainer) -> tuple[str, KnnQuery]:
         raise ValidationError("knn query requires a field")
     mp = p.method_parameters
 
+    if p.query_vectors:
+        # batched surface: Q rows -> the engine's native [Q, d] batch
+        # (one device dispatch); mutually exclusive with `vector`
+        if p.vector:
+            raise ValidationError(
+                "knn query takes either vector or query_vectors, not both"
+            )
+        lens = {len(row.values) for row in p.query_vectors}
+        if len(lens) != 1:
+            raise ValidationError(
+                f"query_vectors rows must share one length (got {sorted(lens)})"
+            )
+        vector = np.asarray(
+            [list(row.values) for row in p.query_vectors], np.float32
+        )
+    else:
+        vector = np.asarray(list(p.vector), np.float32)
+
     kwargs = dict(
-        vector=np.asarray(list(p.vector), np.float32),
+        vector=vector,
         k=int(p.k) if p.HasField("k") else None,
         max_distance=p.max_distance if p.HasField("max_distance") else None,
         min_score=p.min_score if p.HasField("min_score") else None,
@@ -59,4 +77,23 @@ def response_to_proto(doc_ids, scores, visited=0, expanded=0,
         if d < 0:
             continue
         resp.hits.add(id=int(d), score=float(s))
+    return resp
+
+
+def batched_response_to_proto(doc_ids, scores, size: int, visited=0,
+                              expanded=0, reranked=0) -> pb.SearchResponse:
+    """Batched [Q, k] result arrays -> SearchResponse with one HitGroup per
+    query row; `hits` carries row 0 so single-query clients keep working."""
+    resp = pb.SearchResponse(visited=int(visited), expanded=int(expanded),
+                             reranked=int(reranked))
+    ids = np.asarray(doc_ids)
+    sc = np.asarray(scores)
+    for qi in range(ids.shape[0]):
+        group = resp.responses.add()
+        for d, s in zip(ids[qi][:size], sc[qi][:size]):
+            if d < 0:
+                continue
+            group.hits.add(id=int(d), score=float(s))
+        if qi == 0:
+            resp.hits.extend(group.hits)
     return resp

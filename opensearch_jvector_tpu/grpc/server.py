@@ -26,6 +26,7 @@ import grpc
 from opensearch_jvector_tpu.api.config import ValidationError
 from opensearch_jvector_tpu.grpc import knn_query_pb2 as pb
 from opensearch_jvector_tpu.grpc.converter import (
+    batched_response_to_proto,
     knn_query_from_proto,
     response_to_proto,
 )
@@ -58,6 +59,14 @@ class _SearchHandler:
         size = int(request.size) if request.HasField("size") else (
             int(query.k) if query.k else 10
         )
+        if query.vector.ndim == 2:
+            # batched request (query_vectors): one HitGroup per query row,
+            # all rows served by the single device dispatch above
+            return batched_response_to_proto(
+                res.doc_ids, res.scores, size,
+                visited=res.visited, expanded=res.expanded,
+                reranked=res.reranked,
+            )
         return response_to_proto(
             res.doc_ids[0][:size], res.scores[0][:size],
             visited=res.visited, expanded=res.expanded,

@@ -99,6 +99,50 @@ def test_grpc_radial_min_score(grpc_env):
     assert [h.id for h in resp.hits] == [0]
 
 
+def test_grpc_batched_query_vectors(grpc_env):
+    """Batched surface: Q query vectors in one RPC -> one HitGroup per
+    row, each agreeing with the in-process batched path (ONE device
+    dispatch server-side)."""
+    mgr, vecs, search = grpc_env
+    rows = [4, 17, 99, 250]
+    q = pb.KnnQuery(field="vec", k=5)
+    for r in rows:
+        q.query_vectors.add(values=[float(x) for x in vecs[r]])
+    resp = search(pb.SearchRequest(index="gidx",
+                                   query=pb.QueryContainer(knn=q)))
+    assert len(resp.responses) == len(rows)
+    res = knn_mod.execute_knn_query(
+        mgr.get("gidx")["vec"],
+        KnnQuery(vector=vecs[rows], k=5))
+    for qi, group in enumerate(resp.responses):
+        want = [int(d) for d in res.doc_ids[qi] if d >= 0][:5]
+        assert [h.id for h in group.hits] == want
+        assert group.hits[0].id == rows[qi]
+    # single-query clients keep reading `hits` (row 0)
+    assert [h.id for h in resp.hits] == [h.id for h in resp.responses[0].hits]
+
+
+def test_grpc_batched_validation(grpc_env):
+    _, vecs, search = grpc_env
+    # ragged rows
+    q = pb.KnnQuery(field="vec", k=3)
+    q.query_vectors.add(values=[1.0] * DIM)
+    q.query_vectors.add(values=[1.0] * (DIM - 1))
+    with pytest.raises(grpc.RpcError) as e:
+        search(pb.SearchRequest(index="gidx",
+                                query=pb.QueryContainer(knn=q)))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+    # vector and query_vectors are mutually exclusive
+    q = pb.KnnQuery(field="vec", k=3,
+                    vector=[float(x) for x in vecs[0]])
+    q.query_vectors.add(values=[float(x) for x in vecs[1]])
+    with pytest.raises(grpc.RpcError) as e:
+        search(pb.SearchRequest(index="gidx",
+                                query=pb.QueryContainer(knn=q)))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
 def test_grpc_error_statuses(grpc_env):
     _, vecs, search = grpc_env
     with pytest.raises(grpc.RpcError) as e:
