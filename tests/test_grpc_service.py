@@ -143,6 +143,55 @@ def test_grpc_batched_validation(grpc_env):
     assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
 
 
+def test_grpc_over_sharded_mesh_index(tmp_path):
+    """Transport x distribution composition: a 2-shard mesh-attached index
+    served over a real gRPC channel — single and batched requests agree
+    with the in-process scatter-gather path, and the mesh program really
+    serves (not the host fallback)."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    rng = np.random.default_rng(29)
+    vecs = rng.standard_normal((240, DIM)).astype(np.float32)
+    mesh = sharded.make_mesh(jax.devices()[:2])
+    mgr = IndexManager(tmp_path, mesh=mesh)
+    mgr.create("gmesh", {
+        "properties": {"vec": {
+            "type": "knn_vector", "dimension": DIM, "space_type": "l2",
+            "method": {"name": "disk_ann", "engine": "jvector",
+                       "parameters": {"m": 8, "ef_construction": 32}},
+        }}}, settings={"index": {"number_of_shards": 2}})
+    idx = mgr.get("gmesh")["vec"]
+    for i in range(240):
+        idx.add(i, vecs[i])
+    idx.flush()
+    svc = KnnGrpcService(mgr)
+    svc.start()
+    channel = grpc.insecure_channel(f"127.0.0.1:{svc.port}")
+    try:
+        search = search_stub(channel)
+        resp = search(_request("gmesh", "vec", vecs[11], k=5))
+        assert resp.hits[0].id == 11
+        assert idx._mesh_state is not None  # mesh program served
+
+        rows = [5, 60, 180]
+        q = pb.KnnQuery(field="vec", k=4)
+        for r in rows:
+            q.query_vectors.add(values=[float(x) for x in vecs[r]])
+        bresp = search(pb.SearchRequest(
+            index="gmesh", query=pb.QueryContainer(knn=q)))
+        res = knn_mod.execute_knn_query(idx, KnnQuery(vector=vecs[rows], k=4))
+        assert len(bresp.responses) == len(rows)
+        for qi, group in enumerate(bresp.responses):
+            want = [int(d) for d in res.doc_ids[qi] if d >= 0][:4]
+            assert [h.id for h in group.hits] == want
+            assert group.hits[0].id == rows[qi]
+    finally:
+        channel.close()
+        svc.stop()
+
+
 def test_grpc_error_statuses(grpc_env):
     _, vecs, search = grpc_env
     with pytest.raises(grpc.RpcError) as e:
