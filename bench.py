@@ -53,6 +53,25 @@ def over_budget(section: str) -> bool:
     return False
 
 
+def upload_unaffordable(section: str, n_bytes: float, mb_per_s,
+                        passes: int = 2) -> bool:
+    """Skip a big-corpus section when the measured host->device bandwidth
+    cannot move its data within the remaining budget (the dev tunnel
+    ranges 4-44 MB/s day to day; a 10M x 128d section needs ~2 corpus
+    passes = 10 GB, which at the low end would blow any driver timeout
+    without this gate)."""
+    if not mb_per_s:
+        return False
+    need_s = passes * n_bytes / (mb_per_s * 1e6)
+    remain_s = BUDGET_S - (time.time() - _T0)
+    if need_s > max(remain_s, 0) * 1.1:
+        log(f"{section}: projected upload {need_s:.0f}s at "
+            f"{mb_per_s:.0f} MB/s exceeds remaining budget "
+            f"{remain_s:.0f}s -> skipping")
+        return True
+    return False
+
+
 def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
@@ -699,6 +718,11 @@ def main():
             )
 
             n1 = int(os.environ.get("BENCH_N_TIER1", 1_000_000))
+            if upload_unaffordable(
+                "1M on_disk graph-tier section", n1 * DIM * 4,
+                extra.get("host_upload_mb_per_s"),
+            ):
+                return
             v1_np, q1_np = make_data(np.random.default_rng(23), DATA, n1, Q)
             root = tempfile.mkdtemp(prefix="bench1m_")
             try:
@@ -753,6 +777,11 @@ def main():
             )
 
             n10 = int(os.environ.get("BENCH_N_TIER2", 10_000_000))
+            if upload_unaffordable(
+                "10M flat on_disk section", n10 * DIM * 4,
+                extra.get("host_upload_mb_per_s"),
+            ):
+                return
             rng10 = np.random.default_rng(31)
             latent = 16
             a10 = rng10.standard_normal((latent, DIM)).astype(np.float32)
