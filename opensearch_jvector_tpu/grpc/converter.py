@@ -37,6 +37,8 @@ def knn_query_from_proto(container: pb.QueryContainer) -> tuple[str, KnnQuery]:
             raise ValidationError(
                 f"query_vectors rows must share one length (got {sorted(lens)})"
             )
+        if 0 in lens:
+            raise ValidationError("query_vectors rows must be non-empty")
         vector = np.asarray(
             [list(row.values) for row in p.query_vectors], np.float32
         )

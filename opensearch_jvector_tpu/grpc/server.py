@@ -53,6 +53,12 @@ class _SearchHandler:
                 raise ValidationError(
                     f"knn query must target one of {sorted(fields)}"
                 )
+            dim = fields[field].config.dim
+            if query.vector.shape[-1] != dim:
+                raise ValidationError(
+                    f"query vector dimension {query.vector.shape[-1]} does "
+                    f"not match field {field!r} dimension {dim}"
+                )
             res = knn_mod.execute_knn_query(fields[field], query)
         except ValidationError as e:
             context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))

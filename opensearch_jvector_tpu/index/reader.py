@@ -515,16 +515,20 @@ class SegmentReader:
                        filtered: bool, force_scan: bool = False
                        ) -> QueryResult:
         """on_disk mode: ADC approximate phase on device, fp32 rows paged
-        from the native host store for the rerank. HBM cost per vector is
-        M bytes (codes) + max_degree*4 (adjacency) vs dim*4 for a fully
-        resident segment — the BigANN-scale tier (BASELINE.json config 5).
+        from the native host store for the rerank — the BigANN-scale tier
+        (BASELINE.json config 5).
 
-        Scan tier scoring prefers the decoded-bf16 cache (one MXU matmul,
-        ~128x less compute than the one-hot ADC kernel) when the memory
-        circuit breaker allows the 2*d bytes/vector cache; it degrades to
-        the Pallas fused-ADC kernel over raw codes when memory is tight.
-        `force_scan` pins flat (graph-less) segments to the scan tier at
-        any capacity.
+        HBM cost per vector: M bytes (codes) + max_degree*4 (adjacency,
+        beam tier only), PLUS — when the memory circuit breaker allows it —
+        a 2*d-byte decoded-bf16 scoring cache that both tiers prefer
+        (scan: one MXU matmul, ~64x less compute than the one-hot ADC
+        kernel; beam: row gathers + MXU einsum). When the breaker refuses
+        the cache, both tiers degrade to codes-only scoring at M bytes/
+        vector: the scan tier via the Pallas fused-ADC kernel, the beam
+        tier via the fused decode-in-VMEM Pallas scan (TPU) or the
+        decode-then-score "pq" provider (gathered codebook rows + MXU
+        einsum) during traversal. `force_scan` pins flat (graph-less)
+        segments to the scan tier at any capacity.
         """
         from opensearch_jvector_tpu.ops.distances import (
             batched_candidate_scores,
@@ -594,15 +598,28 @@ class SegmentReader:
             # in-graph ADC tier (>SCAN_TIER_MAX_CODES): beam candidates are
             # scored from the decoded-bf16 cache (row gathers + MXU einsum)
             # — the TPU-native fused-ADC equivalent; see
-            # PQVectors.decode_bf16 for the economics
+            # PQVectors.decode_bf16 for the economics. Memory-tight
+            # segments (breaker refuses the 2*d-byte cache) degrade to
+            # codes-only traversal: the "pq" provider gathers candidates'
+            # codebook rows and scores on the MXU — HBM stays at M bytes/
+            # vector, the designated larger-than-memory configuration.
+            from opensearch_jvector_tpu.utils.circuit_breaker import (
+                CircuitBreakerException,
+            )
+
             kwargs: dict = {}
             if seg.graph.upper_adjacency is not None:
                 kwargs["upper_adjacency"] = seg.graph.upper_adjacency
+            try:
+                kwargs["pq_decoded"] = self._decoded_cache()
+            except CircuitBreakerException:
+                kwargs["pq_codes"] = seg.pqv.codes
+                kwargs["pq_codebooks"] = seg.pqv.pq.codebooks
+                kwargs["pq_center"] = seg.pqv.pq.center
             res = searcher_mod.search(
                 seg.graph.adjacency, seg.graph.live, seg.graph.entry, queries,
                 dataclasses.replace(params, k=r),
                 seg.config.similarity,
-                pq_decoded=self._decoded_cache(),
                 accept=accept,
                 **kwargs,
             )

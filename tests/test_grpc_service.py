@@ -215,3 +215,31 @@ def test_grpc_error_statuses(grpc_env):
     with pytest.raises(grpc.RpcError) as e:
         search(pb.SearchRequest(index="gidx", query=pb.QueryContainer()))
     assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
+def test_grpc_wrong_dim_and_empty_rows_are_invalid_argument(grpc_env):
+    """Wrong-dimension and zero-length query vectors surface as
+    INVALID_ARGUMENT, not an engine shape error (UNKNOWN)."""
+    _, vecs, search = grpc_env
+    # single vector, wrong dim
+    with pytest.raises(grpc.RpcError) as e:
+        search(_request("gidx", "vec", vecs[0][: DIM // 2], k=5))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    assert "dimension" in e.value.details()
+    # batched rows, wrong dim
+    q = pb.KnnQuery(field="vec", k=5)
+    for row in vecs[:2, : DIM // 2]:
+        q.query_vectors.add(values=[float(x) for x in row])
+    with pytest.raises(grpc.RpcError) as e:
+        search(pb.SearchRequest(index="gidx",
+                                query=pb.QueryContainer(knn=q)))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    # batched zero-length rows
+    q = pb.KnnQuery(field="vec", k=5)
+    q.query_vectors.add(values=[])
+    q.query_vectors.add(values=[])
+    with pytest.raises(grpc.RpcError) as e:
+        search(pb.SearchRequest(index="gidx",
+                                query=pb.QueryContainer(knn=q)))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    assert "non-empty" in e.value.details()
