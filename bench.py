@@ -5,20 +5,32 @@ Mirrors the reference's JMH FormatBenchmarkQueryWithRandomVectors setup
 (README.md:163-174). Baseline: jvector fp32 at 100k docs = 0.451 ms/op
 single-query (BASELINE.md).
 
-Metrics emitted (one JSON line; extras under "extra"):
+Prints ONE JSON line on stdout (extras under "extra"). Delivery contract
+(the r03 run was killed by the driver before its JSON emit — never again):
+  * the headline record is kept up to date IN MEMORY as sections finish;
+  * a watchdog thread force-emits it and exits 0 at BUDGET_S + grace,
+    so a section overrun can cost that section, never the record;
+  * SIGTERM (driver timeout) emits before dying;
+  * sections are ordered by information value — the 10M tier and the
+    per-codec cells run BEFORE sections that already have recorded
+    numbers (VERDICT r03 #1) — and each is individually crash-guarded.
+
+Metrics emitted:
   * search_ms_per_query batched (batch=512) — TPU batch amortization
+  * 10M flat on_disk tier: build/search/recall/HBM-per-vector
+  * per-codec cells: fp32, PQ (graph + scan), 1-bit scalar, NVQ
+  * config-4 analog: aniso-PQ quantized build -> incremental merge ->
+    codebook refine -> search (+ the plain-vs-aniso ADC comparison)
   * search_ms_per_op at batch=1 and batch=8 — the JMH-comparable numbers
-  * recall@10 on the sift-like corpus AND the adversarial gaussian corpus
   * build vectors/sec cold (includes XLA compile) and warm (steady state)
   * incremental (10k delta into 90k) vs full-rebuild merge seconds
-
-All phases share one compiled-program family (same N/batch shapes) so the
-remote-compile cost is paid once, in the cold build.
 """
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -39,27 +51,95 @@ FULL = os.environ.get("BENCH_FULL", "1") != "0"  # 0 -> headline only
 # "gaussian": i.i.d. N(0,1) — the adversarial concentrated-distance case.
 DATA = os.environ.get("BENCH_DATA", "sift")
 BASELINE_MS = 0.451  # reference jvector fp32, 100k docs, dim 128 (README.md:92)
-# Soft wall-clock budget: once exceeded, remaining FULL sections are skipped
-# so the final JSON line is always emitted even under a driver timeout
-# (remote XLA compiles make cold runs unpredictable).
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2300))
+# Wall-clock budget. The r03 driver kill landed somewhere past ~1,300s of
+# bench wall; 1,150s + 50s watchdog grace keeps the emit safely inside any
+# plausible driver timeout. Sections are skipped (cheapest-information
+# first) once the budget is spent; the watchdog guarantees the JSON line
+# regardless.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1150))
+GRACE_S = 50.0
 _T0 = time.time()
+
+# ---------------------------------------------------------------------------
+# single-emit machinery: exactly ONE JSON line, no matter how the run ends
+# ---------------------------------------------------------------------------
+
+extra: dict = {}
+_record: dict = {
+    "metric": "bench_incomplete (headline section did not finish)",
+    "value": 0,
+    "unit": "error",
+    "vs_baseline": 0,
+    "extra": extra,
+}
+_emit_lock = threading.Lock()
+_emitted = False
+
+
+def emit() -> None:
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return
+        _emitted = True
+    try:
+        sys.stdout.flush()
+    except Exception:  # noqa: BLE001
+        pass
+    # fd-level write: not subject to Python stdout buffering, safe from
+    # watchdog/signal context
+    os.write(1, (json.dumps(_record) + "\n").encode())
+
+
+def _watchdog() -> None:
+    deadline = _T0 + BUDGET_S + GRACE_S
+    while True:
+        rem = deadline - time.time()
+        if rem <= 0:
+            break
+        time.sleep(min(rem, 5.0))
+        if _emitted:
+            return
+    log(f"watchdog: {BUDGET_S + GRACE_S:.0f}s deadline hit -> emitting "
+        f"and exiting 0")
+    extra.setdefault("watchdog_fired", True)
+    emit()
+    os._exit(0)
+
+
+def _on_sigterm(signum, frame):  # driver timeout kills with TERM first
+    log("SIGTERM -> emitting record and exiting")
+    extra.setdefault("sigterm", True)
+    emit()
+    os._exit(0)
 
 
 def over_budget(section: str) -> bool:
     if time.time() - _T0 > BUDGET_S:
         log(f"budget {BUDGET_S:.0f}s exceeded -> skipping {section}")
+        extra.setdefault("skipped_sections", []).append(section)
         return True
     return False
+
+
+def need(section: str, est_s: float) -> bool:
+    """False (-> skip) when the remaining budget can't plausibly cover the
+    section's estimated cost. Estimates are deliberately rough; the
+    watchdog is the hard backstop."""
+    remain = BUDGET_S - (time.time() - _T0)
+    if remain < est_s:
+        log(f"{section}: estimated {est_s:.0f}s exceeds remaining budget "
+            f"{remain:.0f}s -> skipping")
+        extra.setdefault("skipped_sections", []).append(section)
+        return False
+    return True
 
 
 def upload_unaffordable(section: str, n_bytes: float, mb_per_s,
                         passes: int = 2) -> bool:
     """Skip a big-corpus section when the measured host->device bandwidth
     cannot move its data within the remaining budget (the dev tunnel
-    ranges 4-44 MB/s day to day; a 10M x 128d section needs ~2 corpus
-    passes = 10 GB, which at the low end would blow any driver timeout
-    without this gate)."""
+    ranges 4-44 MB/s day to day)."""
     if not mb_per_s:
         return False
     need_s = passes * n_bytes / (mb_per_s * 1e6)
@@ -68,6 +148,7 @@ def upload_unaffordable(section: str, n_bytes: float, mb_per_s,
         log(f"{section}: projected upload {need_s:.0f}s at "
             f"{mb_per_s:.0f} MB/s exceeds remaining budget "
             f"{remain_s:.0f}s -> skipping")
+        extra.setdefault("skipped_sections", []).append(section)
         return True
     return False
 
@@ -76,16 +157,17 @@ def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def make_data(rng, kind, n, q):
+def make_data(rng, kind, n, q, dim=None):
+    dim = dim or DIM
     if kind == "gaussian":
-        return (rng.standard_normal((n, DIM)).astype(np.float32),
-                rng.standard_normal((q, DIM)).astype(np.float32))
+        return (rng.standard_normal((n, dim)).astype(np.float32),
+                rng.standard_normal((q, dim)).astype(np.float32))
     latent = 16
-    a = rng.standard_normal((latent, DIM)).astype(np.float32) / np.sqrt(latent)
+    a = rng.standard_normal((latent, dim)).astype(np.float32) / np.sqrt(latent)
     vectors = (rng.standard_normal((n, latent)).astype(np.float32) @ a
-               + 0.05 * rng.standard_normal((n, DIM)).astype(np.float32))
+               + 0.05 * rng.standard_normal((n, dim)).astype(np.float32))
     queries = (rng.standard_normal((q, latent)).astype(np.float32) @ a
-               + 0.05 * rng.standard_normal((q, DIM)).astype(np.float32))
+               + 0.05 * rng.standard_normal((q, dim)).astype(np.float32))
     return vectors, queries
 
 
@@ -106,7 +188,6 @@ def main():
     rng = np.random.default_rng(7)
     v_np, q_np = make_data(rng, DATA, N, Q)
     vectors, queries = jnp.asarray(v_np), jnp.asarray(q_np)
-    extra = {}
     extra_pq_cache = {}
 
     def build(builder=None):
@@ -115,6 +196,7 @@ def main():
         )
         return builder.build(vectors, simf)
 
+    # ---------------- headline: cold/warm build + batched search ----------
     t0 = time.time()
     graph = build()
     build_cold = time.time() - t0
@@ -191,7 +273,7 @@ def main():
                 f"ms (subtracted from chained-batch walls)")
             # host->device upload bandwidth: bounds every bulk-ingest
             # number (a real TPU host does multi-GB/s over PCIe; the dev
-            # tunnel measures ~25-44 MB/s)
+            # tunnel measures ~25-60 MB/s)
             up = np.empty((16 << 20,), np.float32)  # 64MB
             t0 = time.time()
             d = jax.device_put(up)
@@ -232,645 +314,790 @@ def main():
     )
     log(f"batched (batch={Q}): {ms_batched:.4f} ms/query (device)")
 
-    def _full_sections():
-        # every post-headline section runs inside one guard so a
-        # transient device/tunnel failure mid-run cannot swallow the
-        # final JSON line (the driver parses stdout for exactly one)
-        if FULL and not over_budget("per-op section"):
-            # Per-op wall latency (single dispatch per op). Through the axon
-            # host tunnel each dispatch pays the full host<->device RTT, so the
-            # wall number is tunnel-dominated; the device-loop number below is
-            # the JMH-comparable one (query handled adjacent to the chip).
-            ms_b8 = timed_ms_per_query(graph, queries[:8], vectors, iters=20)
-            ms_b1 = timed_ms_per_query(graph, queries[:1], vectors, iters=20)
-            log(f"batch=8 wall: {ms_b8:.4f} ms/op ; batch=1 wall: {ms_b1:.4f} "
-                f"ms/op (incl. host-tunnel dispatch RTT)")
-            extra["search_ms_per_op_batch8_wall"] = round(ms_b8, 4)
-            extra["search_ms_per_op_batch1_wall"] = round(ms_b1, 4)
-
-            # Device-resident serving loop: sequential single-query searches
-            # chained inside ONE program via lax.scan (each iteration's query
-            # is data-dependent on the previous result, so XLA cannot overlap
-            # them). Per-op latency is the SLOPE of wall(iters) between two
-            # chain lengths: dispatch RTT, host fetch, and any client-side
-            # dispatch caching are iteration-count-independent and cancel,
-            # and each dispatch carries a distinct salt so no layer can serve
-            # a cached repeat. (The old fixed-length fori_loop + identical
-            # redispatch formulation under-counted through the axon tunnel —
-            # identical dispatches can be deduped — and its `0.0 * acc`
-            # serializer was algebraically folded, letting XLA hoist the
-            # loop body.)
-            import functools as _ft
-
-            import jax as _jax
-            import jax.numpy as _jnp
-
-            def chained_slope(make_fn, args, lo, hi, reps=6):
-                walls = {}
-                for iters in (lo, hi):
-                    fn = make_fn(iters)
-                    np.asarray(fn(*args, _jnp.float32(-1.0)))  # compile + warm
-                    t0 = time.time()
-                    for j in range(reps):
-                        np.asarray(fn(*args, _jnp.float32(j + 1) * 1e-9))
-                    walls[iters] = (time.time() - t0) / reps
-                return (walls[hi] - walls[lo]) / (hi - lo) * 1000.0
-
-            def make_graph_loop(iters):
-                provider = searcher.make_exact_provider(simf.value)
-
-                @_jax.jit
-                def outer(adjacency, live, entry, qpool, vs, salt):
-                    def step(carry, x):
-                        # query = pool entry + salt + tiny perturbation from the
-                        # previous result (forces serialization; 1e-6 is below
-                        # any score-relevant scale)
-                        qq = (qpool[x % qpool.shape[0]][None] + salt
-                              + 1e-6 * carry[0].astype(_jnp.float32))
-                        # floor 7 (not 8) measured on v5e: same 0.996 recall at
-                        # the default EF/K, one fewer serial hop
-                        ids, scores, visited, expanded = searcher.beam_search(
-                            adjacency, live, entry, qq, {"vectors": vs}, live,
-                            provider, L=max(EF, K * 5), E=16, R=K * 5,
-                            max_iters=max(7, -(-max(EF, K * 5) // 16)),
-                        )
-                        top_s, idx = _jax.lax.top_k(scores, K)
-                        sel = _jnp.take_along_axis(ids, idx, axis=1)[0]
-                        return sel, sel[0]
-
-                    _, outs = _jax.lax.scan(
-                        step, _jnp.zeros((K,), _jnp.int32), _jnp.arange(iters)
-                    )
-                    return outs
-
-                return outer
-
-            dev_ms = chained_slope(
-                make_graph_loop,
-                (graph.adjacency, graph.live, graph.entry, queries[:64],
-                 vectors),
-                64, 512,
-            )
-            log(f"batch=1 device-loop (graph tier): {dev_ms:.4f} ms/op "
-                f"(reference jvector fp32 single-op: {BASELINE_MS} ms -> "
-                f"{BASELINE_MS / dev_ms:.2f}x)")
-            extra["search_ms_per_op_batch1_device_graph"] = round(dev_ms, 4)
-
-            # PRODUCTION batch=1 at this scale: the scan tier — the reader's
-            # decoded-bf16 MXU scan (reader._decoded_block_topr) + exact
-            # rerank: a single matmul + top-k, no serial hop chain. (The ADC
-            # LUT kernel is the big-batch formulation; its per-query LUT build
-            # doesn't amortize at Q=1.)
-            from opensearch_jvector_tpu.index.reader import (
-                _decoded_scan_scores as _dscan,
-            )
-            from opensearch_jvector_tpu.models import pq as pq_mod_b1
-            from opensearch_jvector_tpu.ops.distances import (
-                batched_candidate_scores as _bcs,
-            )
-
-            pq_b1 = pq_mod_b1.train_pq(vectors, simf)
-            codes_b1 = pq_mod_b1.encode(pq_b1, vectors, simf)
-            pqv_b1 = pq_mod_b1.PQVectors(pq=pq_b1, codes=codes_b1)
-            dec_b1 = pqv_b1.decode_bf16()
-            dec_sq_b1 = _jnp.einsum("nd,nd->n", dec_b1, dec_b1,
-                                    preferred_element_type=_jnp.float32)
-            extra_pq_cache["pq"] = pq_b1
-            extra_pq_cache["codes"] = codes_b1
-
-            def make_scan_loop(iters):
-                @_jax.jit
-                def outer(qpool, vs, dec, dec_sq, salt):
-                    def step(carry, x):
-                        qq = (qpool[x % qpool.shape[0]][None] + salt
-                              + 1e-6 * carry[0].astype(_jnp.float32))
-                        scan = _dscan(qq, dec, dec_sq, simf)
-                        top_s, top_i = _jax.lax.top_k(scan, K * 5)
-                        cand = vs[_jnp.clip(top_i, 0)]
-                        exact = _bcs(qq, cand, simf)
-                        s, idx = _jax.lax.top_k(exact, K)
-                        ids = _jnp.take_along_axis(top_i, idx, axis=1)[0]
-                        return ids, ids[0]
-
-                    _, outs = _jax.lax.scan(
-                        step, _jnp.zeros((K,), _jnp.int32), _jnp.arange(iters)
-                    )
-                    return outs
-
-                return outer
-
-            scan_b1_ms = chained_slope(
-                make_scan_loop,
-                (queries[:64], vectors, dec_b1, dec_sq_b1),
-                512, 4096,
-            )
-            log(f"batch=1 device-loop (production scan tier): "
-                f"{scan_b1_ms:.4f} ms/op -> {BASELINE_MS / scan_b1_ms:.2f}x "
-                f"the reference single-op")
-            extra["search_ms_per_op_batch1_device"] = round(scan_b1_ms, 4)
-            extra["vs_baseline_batch1_device"] = round(
-                BASELINE_MS / scan_b1_ms, 2)
-
-        if FULL and not over_budget("gaussian section"):
-            # adversarial i.i.d. gaussian corpus — same shapes, no new compiles
-            gv_np, gq_np = make_data(np.random.default_rng(11), "gaussian", N, Q)
-            g_vectors, g_queries = jnp.asarray(gv_np), jnp.asarray(gq_np)
-            t0 = time.time()
-            g_graph = GraphIndexBuilder(
-                dim=DIM, max_degree=48, beam_width=100, batch_size=BATCH
-            ).build(g_vectors, simf)
-            log(f"gaussian build(warm): {time.time() - t0:.1f}s")
-            g_res = run(g_graph, g_queries, g_vectors)
-            g_truth = ground_truth_topk(g_queries, g_vectors, K, simf)
-            g_rec = recall_at_k(np.asarray(g_res.ids), g_truth, K)
-            g_ms = timed_batched(
-                lambda qs, adj, live, ent, vec: searcher.search(
-                    adj, live, ent, qs, params, simf, vectors=vec,
-                ).ids,
-                g_queries, g_graph.adjacency, g_graph.live, g_graph.entry,
-                g_vectors,
-            )
-            log(f"gaussian graph tier: recall@{K}={g_rec:.4f}, "
-                f"{g_ms:.4f} ms/query batched (distance concentration caps "
-                f"graph recall on i.i.d. gaussian; production routes this "
-                f"config through the scan tier below)")
-            extra["gaussian_graph_recall_at_k"] = round(float(g_rec), 4)
-            extra["gaussian_graph_ms_per_query"] = round(g_ms, 4)
-
-            # tuned graph-tier point: the search-effort (ef, overquery)
-            # ladder — record the first config reaching recall >= 0.95 and
-            # its latency (the honest knob above the scan-tier bound, per
-            # docs/design.md "Graph quality on adversarial corpora")
-            from opensearch_jvector_tpu.models.searcher import SearchParams
-
-            for t_ef, t_oq in ((300, 10), (600, 20), (1200, 40)):
-                if over_budget("gaussian tuned ladder"):
-                    break  # never crowd out the 1M/10M tier sections
-                t_params = SearchParams(k=K, ef_search=t_ef,
-                                        overquery_factor=t_oq)
-                t_res = searcher.search(
-                    g_graph.adjacency, g_graph.live, g_graph.entry,
-                    g_queries, t_params, simf, vectors=g_vectors,
-                )
-                t_rec = recall_at_k(np.asarray(t_res.ids), g_truth, K)
-                if t_rec >= 0.95 or (t_ef, t_oq) == (1200, 40):
-                    t_ms = timed_batched(
-                        lambda qs, adj, live, ent, vec: searcher.search(
-                            adj, live, ent, qs, t_params, simf, vectors=vec,
-                        ).ids,
-                        g_queries, g_graph.adjacency, g_graph.live,
-                        g_graph.entry, g_vectors,
-                    )
-                    log(f"gaussian graph tier tuned (ef={t_ef}, "
-                        f"overquery={t_oq}): recall@{K}={t_rec:.4f}, "
-                        f"{t_ms:.4f} ms/query batched")
-                    extra["gaussian_graph_tuned_ef"] = t_ef
-                    extra["gaussian_graph_tuned_overquery"] = t_oq
-                    extra["gaussian_graph_tuned_recall_at_k"] = round(
-                        float(t_rec), 4)
-                    extra["gaussian_graph_tuned_ms_per_query"] = round(
-                        t_ms, 4)
-                    break
-
-            # PRODUCTION path for this config (in-memory PQ <= 256k codes):
-            # the decoded-bf16 scan tier + exact rerank — exactly what
-            # reader._scan_search runs (reader._decoded_block_topr). The
-            # exhaustive approximate phase is immune to distance concentration.
-            from opensearch_jvector_tpu.index.reader import (
-                _decoded_scan_scores as _dscan_g,
-            )
-            from opensearch_jvector_tpu.models import pq as pq_mod
-
-            g_pq = pq_mod.train_pq(g_vectors, simf)
-            g_codes = pq_mod.encode(g_pq, g_vectors, simf)
-            g_pqv = pq_mod.PQVectors(pq=g_pq, codes=g_codes)
-            g_dec = g_pqv.decode_bf16()
-            g_sq = jnp.einsum("nd,nd->n", g_dec, g_dec,
-                              preferred_element_type=jnp.float32)
-
-            @jax.jit
-            def g_scan_search(qs, vs, dec, sq):
-                from opensearch_jvector_tpu.ops.distances import (
-                    batched_candidate_scores,
-                )
-
-                scan = _dscan_g(qs, dec, sq, simf)
-                top_s, top_i = jax.lax.top_k(scan, K * 5)
-                cand = vs[jnp.clip(top_i, 0)]
-                exact = batched_candidate_scores(qs, cand, simf)
-                s, idx = jax.lax.top_k(exact, K)
-                return jnp.take_along_axis(top_i, idx, axis=1), s
-
-            g_ids, _ = g_scan_search(g_queries, g_vectors, g_dec, g_sq)
-            np.asarray(g_ids)
-            gs_ms = timed_batched(
-                lambda qs, vs, dec, sq: g_scan_search(qs, vs, dec, sq)[0],
-                g_queries, g_vectors, g_dec, g_sq,
-            )
-            gs_rec = recall_at_k(np.asarray(g_ids), g_truth, K)
-            log(f"gaussian production (scan tier): recall@{K}={gs_rec:.4f}, "
-                f"{gs_ms:.4f} ms/query batched")
-            extra["gaussian_recall_at_k"] = round(float(gs_rec), 4)
-            extra["gaussian_ms_per_query_batched"] = round(gs_ms, 4)
-
-        if FULL and not over_budget("pq section"):
-            # PQ/ADC quantized search on the same corpus: the reference's
-            # quantized mode is its best number (0.194 ms/op @100k, README.md:95).
-            # ADC approximate phase over uint8 codes + fp32 rerank of the top
-            # k*overquery survivors — the production PQ segment path.
-            from opensearch_jvector_tpu.models import pq as pq_mod
-
-            t0 = time.time()
-            if extra_pq_cache:  # trained by the per-op section already
-                pq, pq_codes = extra_pq_cache["pq"], extra_pq_cache["codes"]
-            else:
-                pq = pq_mod.train_pq(vectors, simf)
-                pq_codes = pq_mod.encode(pq, vectors, simf)
-            jax.block_until_ready(pq_codes)
-            log(f"pq train+encode ({pq.num_subspaces} subspaces): "
-                f"{time.time() - t0:.1f}s")
-            extra["pq_train_encode_s"] = round(time.time() - t0, 2)
-
-            # In-graph ADC tier (the production >256k on_disk beam path): beam
-            # candidates scored from the decoded-bf16 cache (row gathers + MXU
-            # einsum; PQVectors.decode_bf16), fp32 rerank of the survivors.
-            t0 = time.time()
-            pq_dec = pq_mod.PQVectors(pq=pq, codes=pq_codes).decode_bf16()
-            jax.block_until_ready(pq_dec)
-            extra["pq_decode_cache_s"] = round(time.time() - t0, 2)
-
-            def run_pq(qs):
-                res = searcher.search(
-                    graph.adjacency, graph.live, graph.entry, qs, params, simf,
-                    vectors=vectors, pq_decoded=pq_dec,
-                )
-                np.asarray(res.ids)
-                return res
-
-            pq_res = run_pq(queries)
-            pq_rec = recall_at_k(np.asarray(pq_res.ids), truth, K)
-            pq_ms = timed_batched(
-                lambda qs, adj, live, ent, vec, dec: searcher.search(
-                    adj, live, ent, qs, params, simf,
-                    vectors=vec, pq_decoded=dec,
-                ).ids,
-                queries, graph.adjacency, graph.live, graph.entry, vectors,
-                pq_dec,
-            )
-            log(f"pq/adc graph-beam batched: {pq_ms:.4f} ms/query, "
-                f"recall@{K}={pq_rec:.4f} (reference PQ single-op: 0.194 ms)")
-            extra["pq_ms_per_query_batched"] = round(pq_ms, 4)
-            extra["pq_recall_at_k"] = round(float(pq_rec), 4)
-
-            # Decoded-bf16 full scan + exact rerank — the production scan-tier
-            # path for <=256k-code segments (reader._decoded_block_topr): ONE
-            # [Q,d]x[d,N] MXU matmul over the decoded cache. TPU-first:
-            # brute-force the MXU when it wins. (The one-hot Pallas ADC kernel
-            # is the code-only fallback for corpora whose decoded cache cannot
-            # fit HBM; its K=256 contraction does ~64x the FLOPs of this form.)
-            from opensearch_jvector_tpu.index.reader import (
-                _decoded_scan_scores as _dscan_pq,
-            )
-
-            pq_dec_sq = jnp.einsum("nd,nd->n", pq_dec, pq_dec,
-                                   preferred_element_type=jnp.float32)
-
-            @jax.jit
-            def scan_search(qs, vs, dec, sq):
-                scan = _dscan_pq(qs, dec, sq, simf)
-                top_s, top_i = jax.lax.top_k(scan, K * 5)
-                cand = vs[jnp.clip(top_i, 0)]
-                from opensearch_jvector_tpu.ops.distances import (
-                    batched_candidate_scores,
-                )
-
-                exact = batched_candidate_scores(qs, cand, simf)
-                s, idx = jax.lax.top_k(exact, K)
-                return jnp.take_along_axis(top_i, idx, axis=1), s
-
-            ids_scan, _ = scan_search(queries, vectors, pq_dec, pq_dec_sq)
-            np.asarray(ids_scan)
-            scan_ms = timed_batched(
-                lambda qs, vs, dec, sq: scan_search(qs, vs, dec, sq)[0],
-                queries, vectors, pq_dec, pq_dec_sq,
-            )
-            scan_rec = recall_at_k(np.asarray(ids_scan), truth, K)
-            log(f"pq/adc full-scan+rerank batched: {scan_ms:.4f} ms/query, "
-                f"recall@{K}={scan_rec:.4f}")
-            extra["pq_scan_ms_per_query_batched"] = round(scan_ms, 4)
-            extra["pq_scan_recall_at_k"] = round(float(scan_rec), 4)
-
-        if FULL and not over_budget("merge section"):
-            # incremental (leading-segment) vs full-rebuild merge: delta-insert
-            # the last 10% into a graph of the first 90% — same [N] program
-            # family as the main build, so this measures steady-state insert.
-            n_delta = N // 10
-            boot_n = min(4096, N - n_delta)
-            inc_builder = GraphIndexBuilder(
-                dim=DIM, max_degree=48, beam_width=100, batch_size=BATCH
-            )
-            g90 = inc_builder.build(
-                vectors[:boot_n], simf, capacity=N
-            )
-            if boot_n < N - n_delta:
-                g90 = inc_builder.add_nodes(
-                    g90, vectors, np.arange(boot_n, N - n_delta), simf
-                )
-            # warm the delta's round-bucket program family on a THROWAWAY
-            # functional insert (VamanaGraph is immutable, g90 unchanged);
-            # the timed run uses a shuffled id order so its dispatches are
-            # distinct (the tunnel dedupes identical dispatch chains)
-            inc_builder.add_nodes(
-                g90, vectors, np.arange(N - n_delta, N), simf
-            )
-            delta_ids = np.random.default_rng(3).permutation(
-                np.arange(N - n_delta, N)
-            )
-            t0 = time.time()
-            g_full = inc_builder.add_nodes(g90, vectors, delta_ids, simf)
-            np.asarray(g_full.adjacency[:1, :1])  # real fetch barrier
-            merge_inc = time.time() - t0
-            log(f"incremental merge (delta {n_delta} into {N - n_delta}): "
-                f"{merge_inc:.1f}s vs full rebuild "
-                f"{extra['merge_full_rebuild_s']}s "
-                f"({extra['merge_full_rebuild_s'] / merge_inc:.1f}x)")
-            extra["merge_incremental_s"] = round(merge_inc, 2)
-
-        if FULL and int(os.environ.get("BENCH_GIST", 1)) > 0 \
-                and not over_budget("gist-analog 960d angular section"):
-            # High-dim angular cell (BASELINE config 3: GIST1M 960-d PQ64 +
-            # fused ADC + fp32 rerank; scaled to 100k for the bench budget).
-            # Synthetic GIST-analog: latent-32 angular corpus, cosine space.
-            from opensearch_jvector_tpu.models import pq as pq_mod_g
-            from opensearch_jvector_tpu.ops.distances import (
-                SimilarityFunction as _SF,
-            )
-            from opensearch_jvector_tpu.ops.distances import (
-                batched_candidate_scores as _bcsg,
-            )
-
-            gdim, glat, gn = 960, 32, N
-            grng = np.random.default_rng(41)
-            ga = grng.standard_normal((glat, gdim)).astype(np.float32)
-            ga /= np.sqrt(glat)
-            gv = (grng.standard_normal((gn, glat)).astype(np.float32) @ ga
-                  + 0.05 * grng.standard_normal((gn, gdim)).astype(np.float32))
-            gq = (grng.standard_normal((Q, glat)).astype(np.float32) @ ga
-                  + 0.05 * grng.standard_normal((Q, gdim)).astype(np.float32))
-            gv_d, gq_d = jnp.asarray(gv), jnp.asarray(gq)
-            cos = _SF.COSINE
-            t0 = time.time()
-            gist_pq = pq_mod_g.train_pq(gv_d, cos, num_subspaces=64)
-            gist_codes = pq_mod_g.encode(gist_pq, gv_d, cos)
-            gist_pqv = pq_mod_g.PQVectors(pq=gist_pq, codes=gist_codes)
-            gist_dec = gist_pqv.decode_bf16()
-            gist_sq = jnp.einsum("nd,nd->n", gist_dec, gist_dec,
-                                 preferred_element_type=jnp.float32)
-            jax.block_until_ready(gist_dec)
-            log(f"gist-analog pq64 train+encode+decode (960d): "
-                f"{time.time() - t0:.1f}s")
-
-            @jax.jit
-            def gist_scan(qs, vs, dec, sq):
-                from opensearch_jvector_tpu.index.reader import (
-                    _decoded_scan_scores,
-                )
-
-                scan = _decoded_scan_scores(qs, dec, sq, cos)
-                top_s, top_i = jax.lax.top_k(scan, K * 5)
-                cand = vs[jnp.clip(top_i, 0)]
-                exact = _bcsg(qs, cand, cos)
-                s, idx = jax.lax.top_k(exact, K)
-                return jnp.take_along_axis(top_i, idx, axis=1), s
-
-            gist_ids, _ = gist_scan(gq_d, gv_d, gist_dec, gist_sq)
-            np.asarray(gist_ids)
-            gist_ms = timed_batched(
-                lambda qs, vs, dec, sq: gist_scan(qs, vs, dec, sq)[0],
-                gq_d, gv_d, gist_dec, gist_sq,
-            )
-            gist_truth = ground_truth_topk(gq_d, gv_d, K, cos)
-            gist_rec = recall_at_k(np.asarray(gist_ids), gist_truth, K)
-            log(f"gist-analog 960d angular pq64 scan+rerank: {gist_ms:.4f} "
-                f"ms/query batched, recall@{K}={gist_rec:.4f}")
-            extra["gist960_ms_per_query_batched"] = round(gist_ms, 4)
-            extra["gist960_recall_at_k"] = round(float(gist_rec), 4)
-
-            if not over_budget("anisotropic-PQ cell"):
-                # Anisotropic (score-aware) PQ at the same bytes/vector
-                # (beyond-reference; BASELINE config 4). Compare the
-                # APPROXIMATE-phase ordering quality (rerank masks codebook
-                # differences): ADC-only top-K recall, plain vs aniso.
-                @jax.jit
-                def adc_only(qs, dec, sq):
-                    from opensearch_jvector_tpu.index.reader import (
-                        _decoded_scan_scores,
-                    )
-
-                    scan = _decoded_scan_scores(qs, dec, sq, cos)
-                    return jax.lax.top_k(scan, K)[1]
-
-                plain_adc = recall_at_k(
-                    np.asarray(adc_only(gq_d, gist_dec, gist_sq)),
-                    gist_truth, K,
-                )
-                t0 = time.time()
-                # eta from the INTRINSIC dimension (latent-32 corpus): the
-                # ambient-dim formula (eta=40 at 960d) over-weights the
-                # parallel residual on structured data (measured: recall
-                # drops); eta~2 is the sweep optimum on this geometry
-                eta = pq_mod_g.eta_for_threshold(0.25, glat)
-                a_pq = pq_mod_g.train_pq(gv_d, cos, num_subspaces=64,
-                                         anisotropic_eta=eta)
-                a_codes = pq_mod_g.encode(a_pq, gv_d, cos)
-                a_dec = pq_mod_g.PQVectors(pq=a_pq, codes=a_codes).decode_bf16()
-                a_sq = jnp.einsum("nd,nd->n", a_dec, a_dec,
-                                  preferred_element_type=jnp.float32)
-                jax.block_until_ready(a_dec)
-                a_train_s = time.time() - t0
-                aniso_adc = recall_at_k(
-                    np.asarray(adc_only(gq_d, a_dec, a_sq)), gist_truth, K,
-                )
-                log(f"anisotropic pq64 (eta={eta:.1f}): ADC-only recall@{K} "
-                    f"{plain_adc:.4f} -> {aniso_adc:.4f} "
-                    f"(train+encode {a_train_s:.1f}s)")
-                extra["gist960_adc_recall_plain"] = round(float(plain_adc), 4)
-                extra["gist960_adc_recall_aniso"] = round(float(aniso_adc), 4)
-                del a_pq, a_codes, a_dec, a_sq
-            del gv_d, gq_d, gist_dec, gist_sq, gist_codes, gist_truth
-
-        if FULL and int(os.environ.get("BENCH_N_TIER1", 1)) > 0 \
-                and not over_budget("1M on_disk graph-tier section"):
-            # The >SCAN_TIER on_disk beam tier at 1M codes: graph + decoded-bf16
-            # ADC cache in HBM, fp32 rows in the native host store for rerank —
-            # the production VectorIndex path end-to-end (VERDICT r02 ask).
-            import gc
-            import shutil
-            import tempfile
-
-            from opensearch_jvector_tpu.api.config import (
-                DiskAnnConfig,
-                SearchConfig,
-            )
-            from opensearch_jvector_tpu.index.index import VectorIndex
-            from opensearch_jvector_tpu.index.scheduler import (
-                ForceMergesOnlyMergePolicy,
-            )
-
-            n1 = int(os.environ.get("BENCH_N_TIER1", 1_000_000))
-            if upload_unaffordable(
-                "1M on_disk graph-tier section", n1 * DIM * 4,
-                extra.get("host_upload_mb_per_s"),
-            ):
-                return
-            v1_np, q1_np = make_data(np.random.default_rng(23), DATA, n1, Q)
-            root = tempfile.mkdtemp(prefix="bench1m_")
-            try:
-                idx1 = VectorIndex(
-                    root,
-                    DiskAnnConfig(dim=DIM, mode="on_disk",
-                                  quantization_type="pq", m=32),
-                    merge_policy=ForceMergesOnlyMergePolicy(),
-                )
-                idx1.add_batch(np.arange(n1), v1_np)
-                t0 = time.time()
-                idx1.flush()
-                b1 = time.time() - t0
-                log(f"1M on_disk build (quantize + graph + store): {b1:.1f}s "
-                    f"({n1 / b1:.0f} vec/s)")
-                sc1 = SearchConfig(k=K, ef_search=EF)
-                res1 = idx1.search(q1_np, sc1)
-                t0 = time.time()
-                for j in range(3):
-                    idx1.search(q1_np + (j + 1) * 1e-9, sc1)  # salted
-                ms1 = (time.time() - t0) / 3 / Q * 1000.0
-                t1m = ground_truth_topk(q1_np, jnp.asarray(v1_np), K, simf)
-                rec1 = recall_at_k(res1.doc_ids, t1m, K)
-                log(f"1M on_disk graph tier: {ms1:.4f} ms/query batched, "
-                    f"recall@{K}={rec1:.4f}")
-                extra["1M_build_s"] = round(b1, 1)
-                extra["1M_graph_ms_per_query"] = round(ms1, 4)
-                extra["1M_graph_recall"] = round(float(rec1), 4)
-                del idx1, v1_np, q1_np, t1m
-                gc.collect()
-            finally:
-                shutil.rmtree(root, ignore_errors=True)
-
-        if FULL and int(os.environ.get("BENCH_N_TIER2", 1)) > 0 \
-                and not over_budget("10M flat on_disk section"):
-            # Larger-than-memory tier at 10M x 128d (BASELINE configs 4-5
-            # scale): flat (graph-less) on_disk index — PQ codes + decoded-bf16
-            # cache in HBM, fp32 rows in the native host store; ingest is
-            # quantize + store (no graph build), search is the MXU scan tier +
-            # paged rerank, through the production VectorIndex path.
-            import gc
-            import shutil
-            import tempfile
-
-            from opensearch_jvector_tpu.api.config import (
-                DiskAnnConfig,
-                SearchConfig,
-            )
-            from opensearch_jvector_tpu.index.index import VectorIndex
-            from opensearch_jvector_tpu.index.scheduler import (
-                ForceMergesOnlyMergePolicy,
-            )
-
-            n10 = int(os.environ.get("BENCH_N_TIER2", 10_000_000))
-            if upload_unaffordable(
-                "10M flat on_disk section", n10 * DIM * 4,
-                extra.get("host_upload_mb_per_s"),
-            ):
-                return
-            rng10 = np.random.default_rng(31)
-            latent = 16
-            a10 = rng10.standard_normal((latent, DIM)).astype(np.float32)
-            a10 /= np.sqrt(latent)
-            v10 = np.empty((n10, DIM), np.float32)
-            blk = 1_000_000
-            for s in range(0, n10, blk):  # blockwise: bounds host temp memory
-                blk_n = min(blk, n10 - s)
-                v10[s:s + blk] = (
-                    rng10.standard_normal((blk_n, latent)).astype(np.float32) @ a10
-                    + 0.05 * rng10.standard_normal((blk_n, DIM)).astype(np.float32)
-                )
-            q10 = (rng10.standard_normal((Q, latent)).astype(np.float32) @ a10
-                   + 0.05 * rng10.standard_normal((Q, DIM)).astype(np.float32))
-            root = tempfile.mkdtemp(prefix="bench10m_")
-            try:
-                # ground truth FIRST, while HBM is clean: its [Q, block] score
-                # slabs don't fit next to the index's resident codes + decoded
-                # cache at 10M (r3 run OOM'd computing GT after the build)
-                t10 = ground_truth_topk(q10, v10, K, simf)
-                idx10 = VectorIndex(
-                    root,
-                    DiskAnnConfig(dim=DIM, mode="on_disk", index_type="flat",
-                                  quantization_type="pq"),
-                    merge_policy=ForceMergesOnlyMergePolicy(),
-                )
-                idx10.add_batch(np.arange(n10), v10)
-                t0 = time.time()
-                idx10.flush()
-                b10 = time.time() - t0
-                log(f"10M flat on_disk ingest (PQ train+encode+store): "
-                    f"{b10:.1f}s ({n10 / b10:.0f} vec/s)")
-                sc10 = SearchConfig(k=K, ef_search=EF)
-                res10 = idx10.search(q10, sc10)
-                t0 = time.time()
-                for j in range(3):
-                    idx10.search(q10 + (j + 1) * 1e-9, sc10)  # salted
-                ms10 = (time.time() - t0) / 3 / Q * 1000.0
-                rec10 = recall_at_k(res10.doc_ids, t10, K)
-                seg10 = idx10._reader(idx10.segment_names[0]).seg
-                hbm_per_vec = (np.asarray(seg10.pqv.codes).shape[1]  # M bytes
-                               + 2 * DIM)  # decoded-bf16 scan cache
-                log(f"10M flat on_disk: {ms10:.4f} ms/query batched, "
-                    f"recall@{K}={rec10:.4f}, HBM {hbm_per_vec} B/vec "
-                    f"(fp32 rows on host: {4 * DIM} B/vec)")
-                extra["10M_build_s"] = round(b10, 1)
-                extra["10M_ms_per_query"] = round(ms10, 4)
-                extra["10M_recall"] = round(float(rec10), 4)
-                extra["10M_hbm_bytes_per_vector"] = hbm_per_vec
-                del idx10, v10, q10, t10, seg10
-                gc.collect()
-            finally:
-                shutil.rmtree(root, ignore_errors=True)
-
-
-    try:
-        _full_sections()
-    except Exception:
-        import traceback
-        tb = traceback.format_exc()
-        log(f"SECTION CRASH (continuing to emit): {tb[-700:]}")
-        extra["section_crash"] = tb.strip().split(chr(10))[-1][:200]
-
-    print(json.dumps({
+    # headline is now REAL: keep the record current from here on
+    _record.update({
         "metric": f"search_ms_per_query_batched ({DATA} N={N}, d={DIM}, "
                   f"batch={Q}, recall@{K}={rec:.3f})",
         "value": round(ms_batched, 5),
         "unit": "ms/query",
         "vs_baseline": round(BASELINE_MS / ms_batched, 2),
-        "extra": extra,
-    }))
+    })
+
+    # ------------------------------------------------------------------
+    # FULL sections, ordered by information value (new numbers first).
+    # Each runs in its own crash guard; over_budget/need gates decide
+    # whether to start it at all.
+    # ------------------------------------------------------------------
+
+    def sec_10m_flat():
+        # Larger-than-memory tier at 10M x 128d (BASELINE configs 4-5
+        # scale): flat (graph-less) on_disk index — PQ codes + decoded-bf16
+        # cache in HBM, fp32 rows in the native host store; ingest is
+        # quantize + store (no graph build), search is the MXU scan tier +
+        # paged rerank, through the production VectorIndex path.
+        import gc
+        import shutil
+        import tempfile
+
+        from opensearch_jvector_tpu.api.config import (
+            DiskAnnConfig,
+            SearchConfig,
+        )
+        from opensearch_jvector_tpu.index.index import VectorIndex
+        from opensearch_jvector_tpu.index.scheduler import (
+            ForceMergesOnlyMergePolicy,
+        )
+
+        n10 = int(os.environ.get("BENCH_N_TIER2", 10_000_000))
+        if upload_unaffordable(
+            "10M flat on_disk section", n10 * DIM * 4,
+            extra.get("host_upload_mb_per_s"), passes=2,
+        ):
+            return
+        t_gen = time.time()
+        rng10 = np.random.default_rng(31)
+        latent = 16
+        a10 = rng10.standard_normal((latent, DIM)).astype(np.float32)
+        a10 /= np.sqrt(latent)
+        v10 = np.empty((n10, DIM), np.float32)
+        blk = 1_000_000
+        for s in range(0, n10, blk):  # blockwise: bounds host temp memory
+            blk_n = min(blk, n10 - s)
+            v10[s:s + blk] = (
+                rng10.standard_normal((blk_n, latent)).astype(np.float32)
+                @ a10
+                + 0.05 * rng10.standard_normal((blk_n, DIM)).astype(
+                    np.float32)
+            )
+        q10 = (rng10.standard_normal((Q, latent)).astype(np.float32) @ a10
+               + 0.05 * rng10.standard_normal((Q, DIM)).astype(np.float32))
+        log(f"10M corpus generated in {time.time() - t_gen:.1f}s")
+        root = tempfile.mkdtemp(prefix="bench10m_")
+        try:
+            # ground truth FIRST, while HBM is clean: its [Q, block] score
+            # slabs don't fit next to the index's resident codes + decoded
+            # cache at 10M (the r03 attempt OOM'd computing GT post-build)
+            t0 = time.time()
+            t10 = ground_truth_topk(q10, v10, K, simf)
+            log(f"10M ground truth: {time.time() - t0:.1f}s")
+            idx10 = VectorIndex(
+                root,
+                DiskAnnConfig(dim=DIM, mode="on_disk", index_type="flat",
+                              quantization_type="pq"),
+                merge_policy=ForceMergesOnlyMergePolicy(),
+            )
+            idx10.add_batch(np.arange(n10), v10)
+            t0 = time.time()
+            idx10.flush()
+            b10 = time.time() - t0
+            log(f"10M flat on_disk ingest (PQ train+encode+store): "
+                f"{b10:.1f}s ({n10 / b10:.0f} vec/s)")
+            extra["10M_build_s"] = round(b10, 1)
+            sc10 = SearchConfig(k=K, ef_search=EF)
+            res10 = idx10.search(q10, sc10)
+            t0 = time.time()
+            for j in range(3):
+                idx10.search(q10 + (j + 1) * 1e-9, sc10)  # salted
+            ms10 = (time.time() - t0) / 3 / Q * 1000.0
+            rec10 = recall_at_k(res10.doc_ids, t10, K)
+            seg10 = idx10._reader(idx10.segment_names[0]).seg
+            hbm_per_vec = (np.asarray(seg10.pqv.codes).shape[1]  # M bytes
+                           + 2 * DIM)  # decoded-bf16 scan cache
+            log(f"10M flat on_disk: {ms10:.4f} ms/query batched, "
+                f"recall@{K}={rec10:.4f}, HBM {hbm_per_vec} B/vec "
+                f"(fp32 rows on host: {4 * DIM} B/vec)")
+            extra["10M_ms_per_query"] = round(ms10, 4)
+            extra["10M_recall"] = round(float(rec10), 4)
+            extra["10M_hbm_bytes_per_vector"] = hbm_per_vec
+            del idx10, v10, q10, t10, seg10
+            gc.collect()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    def sec_scalar_nvq():
+        # Per-codec comparison cells on the headline corpus — the
+        # reference publishes exactly this kind of table (README.md:90-98).
+        from opensearch_jvector_tpu.models import nvq as nvq_mod
+        from opensearch_jvector_tpu.models import scalar as scalar_mod
+
+        # ---- 1-bit scalar: Hamming beam over the fp32 graph + rerank ----
+        t0 = time.time()
+        state = scalar_mod.train_scalar_quantizer(v_np, bits=1)
+        s_codes = jnp.asarray(scalar_mod.quantize_vectors(state, vectors))
+        s_thr = jnp.asarray(state.thresholds)
+        extra["scalar1b_train_encode_s"] = round(time.time() - t0, 2)
+        s_res = searcher.search(
+            graph.adjacency, graph.live, graph.entry, queries, params, simf,
+            vectors=vectors, scalar_codes=s_codes, scalar_thresholds=s_thr,
+        )
+        s_rec = recall_at_k(np.asarray(s_res.ids), truth, K)
+        s_ms = timed_batched(
+            lambda qs, adj, live, ent, vec, sc, st: searcher.search(
+                adj, live, ent, qs, params, simf,
+                vectors=vec, scalar_codes=sc, scalar_thresholds=st,
+            ).ids,
+            queries, graph.adjacency, graph.live, graph.entry, vectors,
+            s_codes, s_thr,
+        )
+        log(f"scalar 1-bit (Hamming beam + fp32 rerank): {s_ms:.4f} "
+            f"ms/query batched, recall@{K}={s_rec:.4f} "
+            f"({s_codes.shape[1]} B/vec codes)")
+        extra["scalar1b_ms_per_query_batched"] = round(s_ms, 4)
+        extra["scalar1b_recall_at_k"] = round(float(s_rec), 4)
+        del s_codes, s_thr
+
+        if over_budget("nvq cell"):
+            return
+        # ---- NVQ: production scan tier over the NVQ-decoded bf16 cache ---
+        from opensearch_jvector_tpu.index.reader import (
+            _decoded_scan_scores as _dscan_n,
+        )
+
+        t0 = time.time()
+        nvqv = nvq_mod.train_nvq(vectors)
+        n_dec = nvqv.decode().astype(jnp.bfloat16)
+        n_sq = jnp.einsum("nd,nd->n", n_dec, n_dec,
+                          preferred_element_type=jnp.float32)
+        jax.block_until_ready(n_dec)
+        extra["nvq_train_s"] = round(time.time() - t0, 2)
+
+        @jax.jit
+        def nvq_scan(qs, dec, sq):
+            # L2: the scan's scores over the reconstruction ARE the exact
+            # scores of the rerank source (reader skips the rerank too)
+            scan = _dscan_n(qs, dec, sq, simf)
+            return jax.lax.top_k(scan, K)[1]
+
+        n_ids = nvq_scan(queries, n_dec, n_sq)
+        n_rec = recall_at_k(np.asarray(n_ids), truth, K)
+        n_ms = timed_batched(
+            lambda qs, dec, sq: nvq_scan(qs, dec, sq),
+            queries, n_dec, n_sq,
+        )
+        nbytes = int(np.asarray(nvqv.bytes_).shape[1])
+        log(f"nvq scan tier: {n_ms:.4f} ms/query batched, "
+            f"recall@{K}={n_rec:.4f} ({nbytes} B/vec codes)")
+        extra["nvq_ms_per_query_batched"] = round(n_ms, 4)
+        extra["nvq_recall_at_k"] = round(float(n_rec), 4)
+        del nvqv, n_dec, n_sq
+
+    def sec_config4():
+        # BASELINE config-4 analog end-to-end (Deep10M is angular; scaled
+        # to the budget): anisotropic-PQ QUANTIZED BUILD -> incremental
+        # merge of a 10% delta -> codebook REFINEMENT -> re-encode ->
+        # in-graph ADC search + fp32 rerank. Also settles plain-vs-aniso
+        # PQ on the cosine corpus (VERDICT r03 #4).
+        from opensearch_jvector_tpu.models import pq as pq_mod
+
+        cos = SimilarityFunction.COSINE
+        rng4 = np.random.default_rng(53)
+        dv_np, dq_np = make_data(rng4, "sift", N, Q)
+        dv = jnp.asarray(dv_np)
+        dq = jnp.asarray(dq_np)
+        d_truth = ground_truth_topk(dq, dv, K, cos)
+
+        # --- plain vs aniso ADC-only ordering quality (same bytes/vec) ---
+        t0 = time.time()
+        plain_pq = pq_mod.train_pq(dv, cos, num_subspaces=64)
+        plain_codes = pq_mod.encode(plain_pq, dv, cos)
+        plain_dec = pq_mod.PQVectors(
+            pq=plain_pq, codes=plain_codes).decode_bf16()
+        plain_sq = jnp.einsum("nd,nd->n", plain_dec, plain_dec,
+                              preferred_element_type=jnp.float32)
+        plain_train_s = time.time() - t0
+        from opensearch_jvector_tpu.index.reader import (
+            _decoded_scan_scores as _dscan4,
+        )
+
+        @jax.jit
+        def adc_only(qs, dec, sq):
+            return jax.lax.top_k(_dscan4(qs, dec, sq, cos), K)[1]
+
+        plain_adc = recall_at_k(
+            np.asarray(adc_only(dq, plain_dec, plain_sq)), d_truth, K)
+
+        t0 = time.time()
+        eta = pq_mod.eta_for_threshold(
+            0.25, pq_mod.estimate_intrinsic_dim(dv_np))
+        a_pq = pq_mod.train_pq(dv, cos, num_subspaces=64,
+                               anisotropic_eta=eta)
+        a_codes = pq_mod.encode(a_pq, dv, cos)
+        a_dec = pq_mod.PQVectors(pq=a_pq, codes=a_codes).decode_bf16()
+        a_sq = jnp.einsum("nd,nd->n", a_dec, a_dec,
+                          preferred_element_type=jnp.float32)
+        a_train_s = time.time() - t0
+        aniso_adc = recall_at_k(
+            np.asarray(adc_only(dq, a_dec, a_sq)), d_truth, K)
+        log(f"config4 plain-vs-aniso pq64 (eta={eta:.2f}, cosine): ADC-only "
+            f"recall@{K} {plain_adc:.4f} vs {aniso_adc:.4f} "
+            f"(train {plain_train_s:.1f}s / {a_train_s:.1f}s)")
+        extra["deep_analog_adc_recall_plain"] = round(float(plain_adc), 4)
+        extra["deep_analog_adc_recall_aniso"] = round(float(aniso_adc), 4)
+        extra["deep_analog_aniso_eta"] = round(float(eta), 2)
+        # pick the winner for the pipeline below
+        use_aniso = aniso_adc > plain_adc
+        pipe_pq, pipe_codes = (a_pq, a_codes) if use_aniso else (
+            plain_pq, plain_codes)
+        pipe_dec = a_dec if use_aniso else plain_dec
+        del plain_dec, plain_sq, a_dec, a_sq
+
+        if over_budget("config4 pipeline"):
+            return
+        # --- quantized build of 90%, incremental merge of 10% delta ------
+        n_delta = N // 10
+        builder4 = GraphIndexBuilder(
+            dim=DIM, max_degree=48, beam_width=100, batch_size=BATCH
+        )
+        t0 = time.time()
+        g4 = builder4.build(
+            dv[: N - n_delta], cos,
+            pq={"decoded": pipe_dec[: N - n_delta]}, capacity=N,
+        )
+        build4_s = time.time() - t0
+        log(f"config4 quantized build ({N - n_delta} vecs, aniso-PQ "
+            f"score source): {build4_s:.1f}s")
+        extra["deep_analog_build_s"] = round(build4_s, 1)
+        t0 = time.time()
+        g4 = builder4.add_nodes(
+            g4, dv, np.arange(N - n_delta, N), cos,
+            pq={"decoded": pipe_dec},
+        )
+        merge4_s = time.time() - t0
+        log(f"config4 incremental merge (delta {n_delta}): {merge4_s:.1f}s")
+        extra["deep_analog_merge_s"] = round(merge4_s, 1)
+
+        # --- codebook refinement on the merged corpus + re-encode --------
+        t0 = time.time()
+        refined = pq_mod.refine_pq(pipe_pq, dv, cos)
+        r_codes = pq_mod.encode(refined, dv, cos)
+        r_dec = pq_mod.PQVectors(pq=refined, codes=r_codes).decode_bf16()
+        r_sq = jnp.einsum("nd,nd->n", r_dec, r_dec,
+                          preferred_element_type=jnp.float32)
+        refine4_s = time.time() - t0
+        refined_adc = recall_at_k(
+            np.asarray(adc_only(dq, r_dec, r_sq)), d_truth, K)
+        log(f"config4 codebook refine+re-encode: {refine4_s:.1f}s, "
+            f"ADC-only recall {max(plain_adc, aniso_adc):.4f} -> "
+            f"{refined_adc:.4f}")
+        extra["deep_analog_refine_s"] = round(refine4_s, 1)
+        extra["deep_analog_adc_recall_refined"] = round(float(refined_adc), 4)
+
+        # --- end-to-end search: in-graph ADC + fp32 rerank ---------------
+        res4 = searcher.search(
+            g4.adjacency, g4.live, g4.entry, dq, params, cos,
+            vectors=dv, pq_decoded=r_dec,
+        )
+        rec4 = recall_at_k(np.asarray(res4.ids), d_truth, K)
+        ms4 = timed_batched(
+            lambda qs, adj, live, ent, vec, dec: searcher.search(
+                adj, live, ent, qs, params, cos,
+                vectors=vec, pq_decoded=dec,
+            ).ids,
+            dq, g4.adjacency, g4.live, g4.entry, dv, r_dec,
+        )
+        log(f"config4 end-to-end (build->merge->refine->search): "
+            f"{ms4:.4f} ms/query batched, recall@{K}={rec4:.4f}")
+        extra["deep_analog_ms_per_query"] = round(ms4, 4)
+        extra["deep_analog_recall"] = round(float(rec4), 4)
+
+    def sec_per_op():
+        # Per-op wall latency (single dispatch per op). Through the axon
+        # host tunnel each dispatch pays the full host<->device RTT, so the
+        # wall number is tunnel-dominated; the device-loop number below is
+        # the JMH-comparable one (query handled adjacent to the chip).
+        ms_b8 = timed_ms_per_query(graph, queries[:8], vectors, iters=20)
+        ms_b1 = timed_ms_per_query(graph, queries[:1], vectors, iters=20)
+        log(f"batch=8 wall: {ms_b8:.4f} ms/op ; batch=1 wall: {ms_b1:.4f} "
+            f"ms/op (incl. host-tunnel dispatch RTT)")
+        extra["search_ms_per_op_batch8_wall"] = round(ms_b8, 4)
+        extra["search_ms_per_op_batch1_wall"] = round(ms_b1, 4)
+
+        # Device-resident serving loop: sequential single-query searches
+        # chained inside ONE program via lax.scan (each iteration's query
+        # is data-dependent on the previous result, so XLA cannot overlap
+        # them). Per-op latency is the SLOPE of wall(iters) between two
+        # chain lengths: dispatch RTT, host fetch, and any client-side
+        # dispatch caching are iteration-count-independent and cancel,
+        # and each dispatch carries a distinct salt so no layer can serve
+        # a cached repeat.
+        def chained_slope(make_fn, args, lo, hi, reps=6):
+            walls = {}
+            for iters in (lo, hi):
+                fn = make_fn(iters)
+                np.asarray(fn(*args, jnp.float32(-1.0)))  # compile + warm
+                t0 = time.time()
+                for j in range(reps):
+                    np.asarray(fn(*args, jnp.float32(j + 1) * 1e-9))
+                walls[iters] = (time.time() - t0) / reps
+            return (walls[hi] - walls[lo]) / (hi - lo) * 1000.0
+
+        def make_graph_loop(iters):
+            provider = searcher.make_exact_provider(simf.value)
+
+            @jax.jit
+            def outer(adjacency, live, entry, qpool, vs, salt):
+                def step(carry, x):
+                    # query = pool entry + salt + tiny perturbation from the
+                    # previous result (forces serialization; 1e-6 is below
+                    # any score-relevant scale)
+                    qq = (qpool[x % qpool.shape[0]][None] + salt
+                          + 1e-6 * carry[0].astype(jnp.float32))
+                    # floor 7 (not 8) measured on v5e: same 0.996 recall at
+                    # the default EF/K, one fewer serial hop
+                    ids, scores, visited, expanded = searcher.beam_search(
+                        adjacency, live, entry, qq, {"vectors": vs}, live,
+                        provider, L=max(EF, K * 5), E=16, R=K * 5,
+                        max_iters=max(7, -(-max(EF, K * 5) // 16)),
+                    )
+                    top_s, idx = jax.lax.top_k(scores, K)
+                    sel = jnp.take_along_axis(ids, idx, axis=1)[0]
+                    return sel, sel[0]
+
+                _, outs = jax.lax.scan(
+                    step, jnp.zeros((K,), jnp.int32), jnp.arange(iters)
+                )
+                return outs
+
+            return outer
+
+        dev_ms = chained_slope(
+            make_graph_loop,
+            (graph.adjacency, graph.live, graph.entry, queries[:64],
+             vectors),
+            64, 512,
+        )
+        log(f"batch=1 device-loop (graph tier): {dev_ms:.4f} ms/op "
+            f"(reference jvector fp32 single-op: {BASELINE_MS} ms -> "
+            f"{BASELINE_MS / dev_ms:.2f}x)")
+        extra["search_ms_per_op_batch1_device_graph"] = round(dev_ms, 4)
+
+        # PRODUCTION batch=1 at this scale: the scan tier — the reader's
+        # decoded-bf16 MXU scan (reader._decoded_block_topr) + exact
+        # rerank: a single matmul + top-k, no serial hop chain. (The ADC
+        # LUT kernel is the big-batch formulation; its per-query LUT build
+        # doesn't amortize at Q=1.)
+        from opensearch_jvector_tpu.index.reader import (
+            _decoded_scan_scores as _dscan,
+        )
+        from opensearch_jvector_tpu.models import pq as pq_mod_b1
+        from opensearch_jvector_tpu.ops.distances import (
+            batched_candidate_scores as _bcs,
+        )
+
+        pq_b1 = pq_mod_b1.train_pq(vectors, simf)
+        codes_b1 = pq_mod_b1.encode(pq_b1, vectors, simf)
+        pqv_b1 = pq_mod_b1.PQVectors(pq=pq_b1, codes=codes_b1)
+        dec_b1 = pqv_b1.decode_bf16()
+        dec_sq_b1 = jnp.einsum("nd,nd->n", dec_b1, dec_b1,
+                               preferred_element_type=jnp.float32)
+        extra_pq_cache["pq"] = pq_b1
+        extra_pq_cache["codes"] = codes_b1
+
+        def make_scan_loop(iters):
+            @jax.jit
+            def outer(qpool, vs, dec, dec_sq, salt):
+                def step(carry, x):
+                    qq = (qpool[x % qpool.shape[0]][None] + salt
+                          + 1e-6 * carry[0].astype(jnp.float32))
+                    scan = _dscan(qq, dec, dec_sq, simf)
+                    top_s, top_i = jax.lax.top_k(scan, K * 5)
+                    cand = vs[jnp.clip(top_i, 0)]
+                    exact = _bcs(qq, cand, simf)
+                    s, idx = jax.lax.top_k(exact, K)
+                    ids = jnp.take_along_axis(top_i, idx, axis=1)[0]
+                    return ids, ids[0]
+
+                _, outs = jax.lax.scan(
+                    step, jnp.zeros((K,), jnp.int32), jnp.arange(iters)
+                )
+                return outs
+
+            return outer
+
+        scan_b1_ms = chained_slope(
+            make_scan_loop,
+            (queries[:64], vectors, dec_b1, dec_sq_b1),
+            512, 4096,
+        )
+        log(f"batch=1 device-loop (production scan tier): "
+            f"{scan_b1_ms:.4f} ms/op -> {BASELINE_MS / scan_b1_ms:.2f}x "
+            f"the reference single-op")
+        extra["search_ms_per_op_batch1_device"] = round(scan_b1_ms, 4)
+        extra["vs_baseline_batch1_device"] = round(
+            BASELINE_MS / scan_b1_ms, 2)
+
+    def sec_pq():
+        # PQ/ADC quantized search on the same corpus: the reference's
+        # quantized mode is its best number (0.194 ms/op @100k,
+        # README.md:95). ADC approximate phase + fp32 rerank of the top
+        # k*overquery survivors — the production PQ segment path.
+        from opensearch_jvector_tpu.models import pq as pq_mod
+
+        t0 = time.time()
+        if extra_pq_cache:  # trained by the per-op section already
+            pq, pq_codes = extra_pq_cache["pq"], extra_pq_cache["codes"]
+        else:
+            pq = pq_mod.train_pq(vectors, simf)
+            pq_codes = pq_mod.encode(pq, vectors, simf)
+        jax.block_until_ready(pq_codes)
+        log(f"pq train+encode ({pq.num_subspaces} subspaces): "
+            f"{time.time() - t0:.1f}s")
+        extra["pq_train_encode_s"] = round(time.time() - t0, 2)
+
+        # In-graph ADC tier (the production >256k on_disk beam path): beam
+        # candidates scored from the decoded-bf16 cache (row gathers + MXU
+        # einsum; PQVectors.decode_bf16), fp32 rerank of the survivors.
+        t0 = time.time()
+        pq_dec = pq_mod.PQVectors(pq=pq, codes=pq_codes).decode_bf16()
+        jax.block_until_ready(pq_dec)
+        extra["pq_decode_cache_s"] = round(time.time() - t0, 2)
+
+        pq_res = searcher.search(
+            graph.adjacency, graph.live, graph.entry, queries, params, simf,
+            vectors=vectors, pq_decoded=pq_dec,
+        )
+        pq_rec = recall_at_k(np.asarray(pq_res.ids), truth, K)
+        pq_ms = timed_batched(
+            lambda qs, adj, live, ent, vec, dec: searcher.search(
+                adj, live, ent, qs, params, simf,
+                vectors=vec, pq_decoded=dec,
+            ).ids,
+            queries, graph.adjacency, graph.live, graph.entry, vectors,
+            pq_dec,
+        )
+        log(f"pq/adc graph-beam batched: {pq_ms:.4f} ms/query, "
+            f"recall@{K}={pq_rec:.4f} (reference PQ single-op: 0.194 ms)")
+        extra["pq_ms_per_query_batched"] = round(pq_ms, 4)
+        extra["pq_recall_at_k"] = round(float(pq_rec), 4)
+
+        # Decoded-bf16 full scan + exact rerank — the production scan-tier
+        # path for <=256k-code segments (reader._decoded_block_topr): ONE
+        # [Q,d]x[d,N] MXU matmul over the decoded cache.
+        from opensearch_jvector_tpu.index.reader import (
+            _decoded_scan_scores as _dscan_pq,
+        )
+        from opensearch_jvector_tpu.ops.distances import (
+            batched_candidate_scores,
+        )
+
+        pq_dec_sq = jnp.einsum("nd,nd->n", pq_dec, pq_dec,
+                               preferred_element_type=jnp.float32)
+
+        @jax.jit
+        def scan_search(qs, vs, dec, sq):
+            scan = _dscan_pq(qs, dec, sq, simf)
+            top_s, top_i = jax.lax.top_k(scan, K * 5)
+            cand = vs[jnp.clip(top_i, 0)]
+            exact = batched_candidate_scores(qs, cand, simf)
+            s, idx = jax.lax.top_k(exact, K)
+            return jnp.take_along_axis(top_i, idx, axis=1), s
+
+        ids_scan, _ = scan_search(queries, vectors, pq_dec, pq_dec_sq)
+        np.asarray(ids_scan)
+        scan_ms = timed_batched(
+            lambda qs, vs, dec, sq: scan_search(qs, vs, dec, sq)[0],
+            queries, vectors, pq_dec, pq_dec_sq,
+        )
+        scan_rec = recall_at_k(np.asarray(ids_scan), truth, K)
+        log(f"pq/adc full-scan+rerank batched: {scan_ms:.4f} ms/query, "
+            f"recall@{K}={scan_rec:.4f}")
+        extra["pq_scan_ms_per_query_batched"] = round(scan_ms, 4)
+        extra["pq_scan_recall_at_k"] = round(float(scan_rec), 4)
+
+    def sec_merge():
+        # incremental (leading-segment) vs full-rebuild merge: delta-insert
+        # the last 10% into a graph of the first 90% — same [N] program
+        # family as the main build, so this measures steady-state insert.
+        n_delta = N // 10
+        boot_n = min(4096, N - n_delta)
+        inc_builder = GraphIndexBuilder(
+            dim=DIM, max_degree=48, beam_width=100, batch_size=BATCH
+        )
+        g90 = inc_builder.build(
+            vectors[:boot_n], simf, capacity=N
+        )
+        if boot_n < N - n_delta:
+            g90 = inc_builder.add_nodes(
+                g90, vectors, np.arange(boot_n, N - n_delta), simf
+            )
+        # warm the delta's round-bucket program family on a THROWAWAY
+        # functional insert (VamanaGraph is immutable, g90 unchanged);
+        # the timed run uses a shuffled id order so its dispatches are
+        # distinct (the tunnel dedupes identical dispatch chains)
+        inc_builder.add_nodes(
+            g90, vectors, np.arange(N - n_delta, N), simf
+        )
+        delta_ids = np.random.default_rng(3).permutation(
+            np.arange(N - n_delta, N)
+        )
+        t0 = time.time()
+        g_full = inc_builder.add_nodes(g90, vectors, delta_ids, simf)
+        np.asarray(g_full.adjacency[:1, :1])  # real fetch barrier
+        merge_inc = time.time() - t0
+        full_s = extra.get("merge_full_rebuild_s", build_cold)
+        log(f"incremental merge (delta {n_delta} into {N - n_delta}): "
+            f"{merge_inc:.1f}s vs full rebuild {full_s}s "
+            f"({full_s / merge_inc:.1f}x)")
+        extra["merge_incremental_s"] = round(merge_inc, 2)
+
+    def sec_1m_graph():
+        # The >SCAN_TIER on_disk beam tier at 1M codes: graph +
+        # decoded-bf16 ADC cache in HBM, fp32 rows in the native host
+        # store for rerank — the production VectorIndex path end-to-end.
+        import gc
+        import shutil
+        import tempfile
+
+        from opensearch_jvector_tpu.api.config import (
+            DiskAnnConfig,
+            SearchConfig,
+        )
+        from opensearch_jvector_tpu.index.index import VectorIndex
+        from opensearch_jvector_tpu.index.scheduler import (
+            ForceMergesOnlyMergePolicy,
+        )
+
+        n1 = int(os.environ.get("BENCH_N_TIER1", 1_000_000))
+        if upload_unaffordable(
+            "1M on_disk graph-tier section", n1 * DIM * 4,
+            extra.get("host_upload_mb_per_s"),
+        ):
+            return
+        v1_np, q1_np = make_data(np.random.default_rng(23), DATA, n1, Q)
+        root = tempfile.mkdtemp(prefix="bench1m_")
+        try:
+            idx1 = VectorIndex(
+                root,
+                DiskAnnConfig(dim=DIM, mode="on_disk",
+                              quantization_type="pq", m=32),
+                merge_policy=ForceMergesOnlyMergePolicy(),
+            )
+            idx1.add_batch(np.arange(n1), v1_np)
+            t0 = time.time()
+            idx1.flush()
+            b1 = time.time() - t0
+            log(f"1M on_disk build (quantize + graph + store): {b1:.1f}s "
+                f"({n1 / b1:.0f} vec/s)")
+            extra["1M_build_s"] = round(b1, 1)
+            sc1 = SearchConfig(k=K, ef_search=EF)
+            res1 = idx1.search(q1_np, sc1)
+            t0 = time.time()
+            for j in range(3):
+                idx1.search(q1_np + (j + 1) * 1e-9, sc1)  # salted
+            ms1 = (time.time() - t0) / 3 / Q * 1000.0
+            t1m = ground_truth_topk(q1_np, jnp.asarray(v1_np), K, simf)
+            rec1 = recall_at_k(res1.doc_ids, t1m, K)
+            log(f"1M on_disk graph tier: {ms1:.4f} ms/query batched, "
+                f"recall@{K}={rec1:.4f}")
+            extra["1M_graph_ms_per_query"] = round(ms1, 4)
+            extra["1M_graph_recall"] = round(float(rec1), 4)
+            del idx1, v1_np, q1_np, t1m
+            gc.collect()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    def sec_gist():
+        # High-dim angular cell (BASELINE config 3: GIST1M 960-d PQ64 +
+        # fused ADC + fp32 rerank; scaled to 100k for the bench budget).
+        from opensearch_jvector_tpu.models import pq as pq_mod_g
+        from opensearch_jvector_tpu.ops.distances import (
+            batched_candidate_scores as _bcsg,
+        )
+
+        gdim, glat, gn = 960, 32, N
+        grng = np.random.default_rng(41)
+        ga = grng.standard_normal((glat, gdim)).astype(np.float32)
+        ga /= np.sqrt(glat)
+        gv = (grng.standard_normal((gn, glat)).astype(np.float32) @ ga
+              + 0.05 * grng.standard_normal((gn, gdim)).astype(np.float32))
+        gq = (grng.standard_normal((Q, glat)).astype(np.float32) @ ga
+              + 0.05 * grng.standard_normal((Q, gdim)).astype(np.float32))
+        gv_d, gq_d = jnp.asarray(gv), jnp.asarray(gq)
+        cos = SimilarityFunction.COSINE
+        t0 = time.time()
+        gist_pq = pq_mod_g.train_pq(gv_d, cos, num_subspaces=64)
+        gist_codes = pq_mod_g.encode(gist_pq, gv_d, cos)
+        gist_pqv = pq_mod_g.PQVectors(pq=gist_pq, codes=gist_codes)
+        gist_dec = gist_pqv.decode_bf16()
+        gist_sq = jnp.einsum("nd,nd->n", gist_dec, gist_dec,
+                             preferred_element_type=jnp.float32)
+        jax.block_until_ready(gist_dec)
+        log(f"gist-analog pq64 train+encode+decode (960d): "
+            f"{time.time() - t0:.1f}s")
+
+        from opensearch_jvector_tpu.index.reader import (
+            _decoded_scan_scores as _dsg,
+        )
+
+        @jax.jit
+        def gist_scan(qs, vs, dec, sq):
+            scan = _dsg(qs, dec, sq, cos)
+            top_s, top_i = jax.lax.top_k(scan, K * 5)
+            cand = vs[jnp.clip(top_i, 0)]
+            exact = _bcsg(qs, cand, cos)
+            s, idx = jax.lax.top_k(exact, K)
+            return jnp.take_along_axis(top_i, idx, axis=1), s
+
+        gist_ids, _ = gist_scan(gq_d, gv_d, gist_dec, gist_sq)
+        np.asarray(gist_ids)
+        gist_ms = timed_batched(
+            lambda qs, vs, dec, sq: gist_scan(qs, vs, dec, sq)[0],
+            gq_d, gv_d, gist_dec, gist_sq,
+        )
+        gist_truth = ground_truth_topk(gq_d, gv_d, K, cos)
+        gist_rec = recall_at_k(np.asarray(gist_ids), gist_truth, K)
+        log(f"gist-analog 960d angular pq64 scan+rerank: {gist_ms:.4f} "
+            f"ms/query batched, recall@{K}={gist_rec:.4f}")
+        extra["gist960_ms_per_query_batched"] = round(gist_ms, 4)
+        extra["gist960_recall_at_k"] = round(float(gist_rec), 4)
+
+    def sec_gaussian():
+        # adversarial i.i.d. gaussian corpus — same shapes, no new compiles
+        gv_np, gq_np = make_data(np.random.default_rng(11), "gaussian", N, Q)
+        g_vectors, g_queries = jnp.asarray(gv_np), jnp.asarray(gq_np)
+        t0 = time.time()
+        g_graph = GraphIndexBuilder(
+            dim=DIM, max_degree=48, beam_width=100, batch_size=BATCH
+        ).build(g_vectors, simf)
+        log(f"gaussian build(warm): {time.time() - t0:.1f}s")
+        g_res = run(g_graph, g_queries, g_vectors)
+        g_truth = ground_truth_topk(g_queries, g_vectors, K, simf)
+        g_rec = recall_at_k(np.asarray(g_res.ids), g_truth, K)
+        g_ms = timed_batched(
+            lambda qs, adj, live, ent, vec: searcher.search(
+                adj, live, ent, qs, params, simf, vectors=vec,
+            ).ids,
+            g_queries, g_graph.adjacency, g_graph.live, g_graph.entry,
+            g_vectors,
+        )
+        log(f"gaussian graph tier: recall@{K}={g_rec:.4f}, "
+            f"{g_ms:.4f} ms/query batched (distance concentration caps "
+            f"graph recall on i.i.d. gaussian; production routes this "
+            f"config through the scan tier below)")
+        extra["gaussian_graph_recall_at_k"] = round(float(g_rec), 4)
+        extra["gaussian_graph_ms_per_query"] = round(g_ms, 4)
+
+        # tuned graph-tier point: the search-effort (ef, overquery)
+        # ladder — record the first config reaching recall >= 0.95
+        for t_ef, t_oq in ((300, 10), (600, 20), (1200, 40)):
+            if over_budget("gaussian tuned ladder"):
+                break
+            t_params = SearchParams(k=K, ef_search=t_ef,
+                                    overquery_factor=t_oq)
+            t_res = searcher.search(
+                g_graph.adjacency, g_graph.live, g_graph.entry,
+                g_queries, t_params, simf, vectors=g_vectors,
+            )
+            t_rec = recall_at_k(np.asarray(t_res.ids), g_truth, K)
+            if t_rec >= 0.95 or (t_ef, t_oq) == (1200, 40):
+                t_ms = timed_batched(
+                    lambda qs, adj, live, ent, vec: searcher.search(
+                        adj, live, ent, qs, t_params, simf, vectors=vec,
+                    ).ids,
+                    g_queries, g_graph.adjacency, g_graph.live,
+                    g_graph.entry, g_vectors,
+                )
+                log(f"gaussian graph tier tuned (ef={t_ef}, "
+                    f"overquery={t_oq}): recall@{K}={t_rec:.4f}, "
+                    f"{t_ms:.4f} ms/query batched")
+                extra["gaussian_graph_tuned_ef"] = t_ef
+                extra["gaussian_graph_tuned_overquery"] = t_oq
+                extra["gaussian_graph_tuned_recall_at_k"] = round(
+                    float(t_rec), 4)
+                extra["gaussian_graph_tuned_ms_per_query"] = round(t_ms, 4)
+                break
+
+        # PRODUCTION path for this config (in-memory PQ <= 256k codes):
+        # the decoded-bf16 scan tier + exact rerank.
+        from opensearch_jvector_tpu.index.reader import (
+            _decoded_scan_scores as _dscan_g,
+        )
+        from opensearch_jvector_tpu.models import pq as pq_mod
+        from opensearch_jvector_tpu.ops.distances import (
+            batched_candidate_scores,
+        )
+
+        g_pq = pq_mod.train_pq(g_vectors, simf)
+        g_codes = pq_mod.encode(g_pq, g_vectors, simf)
+        g_pqv = pq_mod.PQVectors(pq=g_pq, codes=g_codes)
+        g_dec = g_pqv.decode_bf16()
+        g_sq = jnp.einsum("nd,nd->n", g_dec, g_dec,
+                          preferred_element_type=jnp.float32)
+
+        @jax.jit
+        def g_scan_search(qs, vs, dec, sq):
+            scan = _dscan_g(qs, dec, sq, simf)
+            top_s, top_i = jax.lax.top_k(scan, K * 5)
+            cand = vs[jnp.clip(top_i, 0)]
+            exact = batched_candidate_scores(qs, cand, simf)
+            s, idx = jax.lax.top_k(exact, K)
+            return jnp.take_along_axis(top_i, idx, axis=1), s
+
+        g_ids, _ = g_scan_search(g_queries, g_vectors, g_dec, g_sq)
+        np.asarray(g_ids)
+        gs_ms = timed_batched(
+            lambda qs, vs, dec, sq: g_scan_search(qs, vs, dec, sq)[0],
+            g_queries, g_vectors, g_dec, g_sq,
+        )
+        gs_rec = recall_at_k(np.asarray(g_ids), g_truth, K)
+        log(f"gaussian production (scan tier): recall@{K}={gs_rec:.4f}, "
+            f"{gs_ms:.4f} ms/query batched")
+        extra["gaussian_recall_at_k"] = round(float(gs_rec), 4)
+        extra["gaussian_ms_per_query_batched"] = round(gs_ms, 4)
+
+    # (section, estimated cost in seconds, env gate). Ordered by
+    # information value: the 10M tier and the per-codec/config-4 cells are
+    # the VERDICT r03 asks; gaussian/gist/1M already have recorded numbers
+    # and run last.
+    warm_rate = extra.get("build_vec_per_s_warm") or (N / build_cold)
+    sections = [
+        ("10M flat on_disk", sec_10m_flat, 420,
+         int(os.environ.get("BENCH_N_TIER2", 1)) > 0),
+        ("scalar+nvq cells", sec_scalar_nvq, 90, True),
+        ("config4 deep-analog", sec_config4, 200, True),
+        ("per-op", sec_per_op, 110, True),
+        ("pq", sec_pq, 60, True),
+        ("merge", sec_merge, 60, True),
+        ("1M on_disk graph tier", sec_1m_graph,
+         1_000_000 / warm_rate * 1.3 + 150,
+         int(os.environ.get("BENCH_N_TIER1", 1)) > 0),
+        ("gist-analog 960d", sec_gist, 110,
+         int(os.environ.get("BENCH_GIST", 1)) > 0),
+        ("gaussian", sec_gaussian, 280, True),
+    ]
+    if FULL:
+        for name, fn, est, enabled in sections:
+            if not enabled or over_budget(name) or not need(name, est):
+                continue
+            t_sec = time.time()
+            try:
+                fn()
+            except Exception:
+                import traceback
+                tb = traceback.format_exc()
+                log(f"SECTION CRASH [{name}] (continuing): {tb[-700:]}")
+                extra.setdefault("section_crashes", {})[name] = (
+                    tb.strip().split(chr(10))[-1][:200]
+                )
+            log(f"[section {name}: {time.time() - t_sec:.1f}s, "
+                f"elapsed {time.time() - _T0:.0f}s]")
+
+    emit()
 
 
 if __name__ == "__main__":
+    signal.signal(signal.SIGTERM, _on_sigterm)
+    threading.Thread(target=_watchdog, daemon=True).start()
     try:
         main()
     except BaseException:
-        # Last resort: the driver parses stdout for exactly one JSON line.
-        # If the device/tunnel is down before the headline completes, emit
-        # an explicit error record instead of nothing.
+        # Last resort: emit whatever record exists (headline if it
+        # completed, the explicit incomplete-record otherwise).
         import traceback
 
         tb = traceback.format_exc()
-        log(f"BENCH FAILED before headline: {tb[-700:]}")
-        print(json.dumps({
-            "metric": "bench_failed",
-            "value": 0,
-            "unit": "error",
-            "vs_baseline": 0,
-            "extra": {"error": tb.strip().split(chr(10))[-1][:300]},
-        }))
+        log(f"BENCH FAILED: {tb[-700:]}")
+        extra["fatal_error"] = tb.strip().split(chr(10))[-1][:300]
+        emit()
         raise SystemExit(1)
+    emit()
