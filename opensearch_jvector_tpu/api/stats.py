@@ -41,6 +41,14 @@ class Counter(Enum):
     # incremental restacks: only changed shards re-stacked (device-side
     # slice writes instead of a full-corpus host re-upload)
     KNN_MESH_RESTACK_PARTIAL_COUNT = "knn_mesh_restack_partial_count"
+    # mesh-eligibility rejections: why a search fell back to the host
+    # scatter-gather loop. Each reason has a distinct operator fix
+    # (compact segments / flush buffers / unify quantization modes), so
+    # drift off the fast path is visible per cause in /_plugins/_knn/stats.
+    KNN_MESH_REJECT_SEGMENT_COUNT = "knn_mesh_reject_segment_count"
+    KNN_MESH_REJECT_BUFFERED_DOCS = "knn_mesh_reject_buffered_docs"
+    KNN_MESH_REJECT_EMPTY_SHARD = "knn_mesh_reject_empty_shard"
+    KNN_MESH_REJECT_STACK_SHAPE = "knn_mesh_reject_stack_shape"
 
 
 class StatsRegistry:

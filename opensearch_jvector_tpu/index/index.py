@@ -284,6 +284,39 @@ class VectorIndex:
             self._merging.update(pick)  # one owner per segment
         return self.merge_scheduler.submit(self._merge_owned, pick)
 
+    def compact_to(self, max_segments: int):
+        """Schedule a background merge of the smallest segments so the
+        committed set shrinks to <= max_segments.
+
+        Used by the sharded mesh path: a shard whose segment count exceeds
+        the mesh stacking cap would otherwise silently pin the whole index
+        on the host fallback forever (TieredMergePolicy only fires on
+        same-size-tier runs, which steady trickle ingest never forms).
+        Respects ForceMergesOnlyMergePolicy (`auto=False`): tests and
+        benchmarks that pin merge timing stay deterministic. Returns the
+        Future or None."""
+        if self._closed or max_segments < 1:
+            return None
+        if not getattr(self.merge_policy, "auto", True):
+            return None
+        with self._lock:
+            if len(self._segments) <= max_segments:
+                return None
+            free = [n for n in self._segments if n not in self._merging]
+            if len(free) < 2:
+                return None  # a merge already in flight will shrink the set
+            excess = len(self._segments) - max_segments
+            sizes = sorted(
+                ((n, int((self._segment_docs(n) >= 0).sum())) for n in free),
+                key=lambda t: t[1],
+            )
+            # merging (excess + 1) segments into one nets -excess
+            pick = [n for n, _ in sizes[: excess + 1]]
+            if len(pick) < 2:
+                return None
+            self._merging.update(pick)
+        return self.merge_scheduler.submit(self._merge_owned, pick)
+
     def _merge_owned(self, names: list[str]) -> str:
         try:
             return self._merge_now(names)

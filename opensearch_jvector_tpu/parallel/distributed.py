@@ -215,27 +215,41 @@ class ShardedVectorIndex:
     MESH_MAX_SEGMENTS = 4
 
     def _mesh_ready_segments(self):
-        """Per-shard segment lists for the mesh path, or None.
+        """`(per-shard segment lists, None)` for the mesh path, or
+        `(None, reject-reason Counter)` naming why the host loop runs.
 
         Snapshotted UNDER each shard's lock (a concurrent flush/merge on
         another thread must not interleave with the segment-list read).
         Shards may hold multiple in-memory segments (steady-state ingest);
         buffered-but-unflushed docs still force the host path (they are not
-        searchable as device arrays yet).
+        searchable as device arrays yet). A shard over the segment cap also
+        schedules a background compaction (VectorIndex.compact_to) so the
+        index RETURNS to the mesh path instead of drifting off it for good.
         """
         shard_lists = []
+        reject = None
         for shard in self.shards:
             with shard._lock:
                 names = list(shard._segments)
-            if not names or len(names) > self.MESH_MAX_SEGMENTS:
-                return None
+            if not names:
+                reject = reject or Counter.KNN_MESH_REJECT_EMPTY_SHARD
+                continue
+            if len(names) > self.MESH_MAX_SEGMENTS:
+                # keep scanning so EVERY over-cap shard gets its compaction
+                # scheduled on this pass, not one per rejected search
+                shard.compact_to(self.MESH_MAX_SEGMENTS)
+                reject = reject or Counter.KNN_MESH_REJECT_SEGMENT_COUNT
+                continue
             if shard.writer.num_buffered():
-                return None
+                reject = reject or Counter.KNN_MESH_REJECT_BUFFERED_DOCS
+                continue
             # readers open lazily from immutable on-disk segments; a merge
             # racing this keeps the input segment files on disk, so the
             # snapshot stays readable even if the commit set moves on
             shard_lists.append([shard._reader(n).seg for n in names])
-        return shard_lists
+        if reject is not None:
+            return None, reject
+        return shard_lists, None
 
     def _search_on_mesh(self, queries: np.ndarray, sc: SearchConfig,
                         accept_docs) -> QueryResult | None:
@@ -248,8 +262,9 @@ class ShardedVectorIndex:
             return None
         if int(np.prod(self.mesh.devices.shape)) != self.n_shards:
             return None
-        shard_lists = self._mesh_ready_segments()
+        shard_lists, reject = self._mesh_ready_segments()
         if shard_lists is None:
+            self.stats_registry.increment(reject)
             return None
         # min-batch steady state: small fresh fp32 flushes next to PQ
         # segments get synthetic donor-codebook codes so the mesh keeps
@@ -276,6 +291,8 @@ class ShardedVectorIndex:
                         names,
                     )
                 except ValueError:  # mixed-quantization / flat-disk shards
+                    self.stats_registry.increment(
+                        Counter.KNN_MESH_REJECT_STACK_SHAPE)
                     return None
                 self._mesh_segments = names
                 # churn visibility: segment-set changes re-stack mesh state

@@ -738,3 +738,66 @@ def test_mesh_on_disk_mixed_small_flush_stays_on_mesh(tmp_path):
     # a doc in the small (synthetic-codes) segment is findable at k=1
     res2 = idx.search(v[n + 3], SearchConfig(k=1, ef_search=64))
     assert int(res2.doc_ids[0, 0]) == n + 3
+
+
+def test_mesh_reject_reasons_and_auto_compaction(tmp_path):
+    """Mesh-eligibility drift is observable and self-healing: a shard over
+    MESH_MAX_SEGMENTS records a reject-reason counter AND schedules a
+    background compaction, after which searches return to the mesh path
+    (VERDICT r03 weak #6)."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    from opensearch_jvector_tpu.index.scheduler import TieredMergePolicy
+
+    n_shards = 2
+    mesh = sharded.make_mesh(jax.devices()[:n_shards])
+    idx = ShardedVectorIndex(tmp_path, _cfg(), n_shards=n_shards, mesh=mesh)
+    for shard in idx.shards:
+        # loose auto policy: models merges LAGGING ingest (the default
+        # Tiered pressure would compact during setup); stays auto=True so
+        # compact_to — the mechanism under test — is permitted to run
+        lagging = TieredMergePolicy()
+        lagging.max_segments = 99
+        shard.merge_policy = lagging
+    v = _vectors(360, seed=61)
+    cap = ShardedVectorIndex.MESH_MAX_SEGMENTS
+    n_flushes = cap + 2
+    per = 360 // n_flushes
+    for f in range(n_flushes):  # one segment per flush, over the mesh cap
+        for i in range(f * per, (f + 1) * per):
+            idx.add(i, v[i])
+        idx.flush()
+        for shard in idx.shards:  # pin timing: compaction is OURS to trigger
+            shard.await_merges()
+    over_cap = [s for s in idx.shards if len(s._segments) > cap]
+    assert over_cap, "setup failed to exceed the mesh segment cap"
+
+    q = _vectors(8, seed=62)
+    truth = ground_truth_topk(q, v[: n_flushes * per], 10,
+                              SimilarityFunction.EUCLIDEAN)
+    sc = SearchConfig(k=10, ef_search=64)
+    res = idx.search(q, sc)  # host fallback, still correct
+    assert idx._mesh_state is None
+    assert recall_at_k(res.doc_ids, truth, 10) >= 0.85
+    stats = idx.stats()
+    assert stats["knn_mesh_reject_segment_count"] >= 1
+    assert stats["knn_mesh_reject_buffered_docs"] == 0
+
+    # the rejected search scheduled compaction on every over-cap shard
+    for shard in idx.shards:
+        shard.await_merges()
+    for shard in idx.shards:
+        assert len(shard._segments) <= cap, shard._segments
+
+    res2 = idx.search(q, sc)  # back on the mesh
+    assert idx._mesh_state is not None, "index did not return to the mesh"
+    assert recall_at_k(res2.doc_ids, truth, 10) >= 0.85
+    assert idx.stats()["knn_mesh_reject_segment_count"] == stats[
+        "knn_mesh_reject_segment_count"]
+
+    # buffered-but-unflushed docs are a distinct visible reason
+    idx.add(10_000, v[0])
+    idx.search(q, sc)
+    assert idx.stats()["knn_mesh_reject_buffered_docs"] == 1
