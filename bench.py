@@ -349,9 +349,11 @@ def main():
         )
 
         n10 = int(os.environ.get("BENCH_N_TIER2", 10_000_000))
+        # the corpus streams through the device ~3x: ground truth, PQ
+        # encode, and the search's decoded-cache build
         if upload_unaffordable(
             "10M flat on_disk section", n10 * DIM * 4,
-            extra.get("host_upload_mb_per_s"), passes=2,
+            extra.get("host_upload_mb_per_s"), passes=3,
         ):
             return
         t_gen = time.time()
@@ -361,16 +363,23 @@ def main():
         a10 /= np.sqrt(latent)
         v10 = np.empty((n10, DIM), np.float32)
         blk = 1_000_000
+        # ONE noise block reused across slices (fresh latent coords per
+        # slice keep rows distinct): gaussian sampling at [10M, DIM] costs
+        # hundreds of single-core seconds and the noise is 5% amplitude —
+        # its repetition is irrelevant to recall/latency measurement
+        noise = 0.05 * rng10.standard_normal((blk, DIM)).astype(np.float32)
         for s in range(0, n10, blk):  # blockwise: bounds host temp memory
             blk_n = min(blk, n10 - s)
             v10[s:s + blk] = (
                 rng10.standard_normal((blk_n, latent)).astype(np.float32)
                 @ a10
-                + 0.05 * rng10.standard_normal((blk_n, DIM)).astype(
-                    np.float32)
+                + noise[:blk_n]
             )
-        q10 = (rng10.standard_normal((Q, latent)).astype(np.float32) @ a10
-               + 0.05 * rng10.standard_normal((Q, DIM)).astype(np.float32))
+        q10n = min(Q, 128)  # GT cost scales with Q; 128 queries suffice
+        q10 = (rng10.standard_normal((q10n, latent)).astype(np.float32)
+               @ a10
+               + 0.05 * rng10.standard_normal((q10n, DIM)).astype(
+                   np.float32))
         log(f"10M corpus generated in {time.time() - t_gen:.1f}s")
         root = tempfile.mkdtemp(prefix="bench10m_")
         try:
@@ -398,7 +407,7 @@ def main():
             t0 = time.time()
             for j in range(3):
                 idx10.search(q10 + (j + 1) * 1e-9, sc10)  # salted
-            ms10 = (time.time() - t0) / 3 / Q * 1000.0
+            ms10 = (time.time() - t0) / 3 / q10n * 1000.0
             rec10 = recall_at_k(res10.doc_ids, t10, K)
             seg10 = idx10._reader(idx10.segment_names[0]).seg
             hbm_per_vec = (np.asarray(seg10.pqv.codes).shape[1]  # M bytes
