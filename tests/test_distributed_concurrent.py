@@ -565,7 +565,8 @@ def test_restack_shape_fallbacks(tmp_path):
     idx.add_batch(np.arange(256), v[:256])
     idx.flush()
 
-    lists = idx._mesh_ready_segments()
+    lists, reject = idx._mesh_ready_segments()
+    assert reject is None
     names = [[s.name for s in lst] for lst in lists]
     state = sharded.stack_engine_state(lists)
 
@@ -577,7 +578,8 @@ def test_restack_shape_fallbacks(tmp_path):
     idx.shards[0].add_batch(np.arange(1000, 1064),
                             _vectors(64, seed=92))
     idx.shards[0].flush()
-    lists2 = idx._mesh_ready_segments()
+    lists2, reject2 = idx._mesh_ready_segments()
+    assert reject2 is None
     names2 = [[s.name for s in lst] for lst in lists2]
     st3, rebuilt2 = sharded.restack_engine_state(state, names, lists2,
                                                  names2)
