@@ -960,6 +960,55 @@ def main():
         extra["gist960_ms_per_query_batched"] = round(gist_ms, 4)
         extra["gist960_recall_at_k"] = round(float(gist_rec), 4)
 
+        # codes-only memory-tight cell (fused decode-in-VMEM kernel,
+        # ops/pallas/pq_scan_kernel.py): at 960d the decoded cache costs
+        # 2*d = 1920 B/vec vs M = 64 B of codes — the regime the kernel
+        # exists for. Big batches route to it (Q-amortized decode); small
+        # batches to the per-query-LUT kernel (Q-proportional, SoL).
+        from opensearch_jvector_tpu.ops.pallas.adc_kernel import (
+            fused_adc_scan as _fas,
+        )
+        from opensearch_jvector_tpu.ops.pallas.pq_scan_kernel import (
+            fused_decode_scan as _fds,
+        )
+
+        gq5 = (grng.standard_normal((512, glat)).astype(np.float32) @ ga
+               + 0.05 * grng.standard_normal((512, gdim)).astype(np.float32))
+        gq5_d = jnp.asarray(gq5)
+
+        @jax.jit
+        def fused_codes_scan(qs, codes, cbs):
+            qc = qs * jax.lax.rsqrt(
+                jnp.sum(qs * qs, -1, keepdims=True) + 1e-30)
+            return _fds(qc, codes, cbs)
+
+        @jax.jit
+        def lut_codes_scan(qs, codes, luts_unused=None):
+            luts = gist_pqv.build_query_luts(qs, cos)
+            return _fas(luts, codes)
+
+        fd_ms = timed_batched(
+            lambda qs, codes, cbs: fused_codes_scan(qs, codes, cbs),
+            gq5_d, gist_codes, gist_pq.codebooks,
+        )
+        log(f"gist-analog codes-only fused-decode scan (Q=512): "
+            f"{fd_ms:.4f} ms/query, HBM {gist_codes.shape[1]} B/vec "
+            f"(vs {2 * gdim} B/vec decoded cache)")
+        extra["gist960_codes_only_fused_ms_per_query"] = round(fd_ms, 4)
+        extra["gist960_codes_only_hbm_bytes_per_vec"] = int(
+            gist_codes.shape[1])
+        # LUT leg timed at its own operating point (Q=128: below the
+        # MIN_QUERIES_TO_WIN crossover the router picks it; at Q=512 its
+        # VMEM tile is at the scoped limit and Mosaic compile crawls)
+        lut_ms = timed_batched(
+            lambda qs, codes: lut_codes_scan(qs, codes),
+            gq_d, gist_codes,
+        )
+        log(f"gist-analog codes-only LUT-ADC scan (Q={Q}): "
+            f"{lut_ms:.4f} ms/query (Q-proportional; the fused kernel's "
+            f"cost is Q-amortized)")
+        extra["gist960_codes_only_lut_ms_per_query"] = round(lut_ms, 4)
+
     def sec_gaussian():
         # adversarial i.i.d. gaussian corpus — same shapes, no new compiles
         gv_np, gq_np = make_data(np.random.default_rng(11), "gaussian", N, Q)

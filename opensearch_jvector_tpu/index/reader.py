@@ -94,6 +94,48 @@ def _adc_block_topr(luts, codes, valid, simf_id: int, r: int):
     return _topk_scan(scores, r)
 
 
+def _fused_scan_ok(q_count: int, pq) -> bool:
+    """Route a codes-only scan to the fused decode-in-VMEM kernel: TPU
+    backend, a query batch big enough that its Q-amortized decode beats the
+    per-query-LUT kernel (measured crossover ~Q=256), and a subspace shape
+    the grouped decode supports. Module-level so tests can force it on the
+    CPU backend (the kernel interprets there)."""
+    from opensearch_jvector_tpu.ops.pallas.pq_scan_kernel import (
+        MIN_QUERIES_TO_WIN,
+        pick_group_size,
+    )
+
+    return (
+        jax.default_backend() == "tpu"
+        and q_count >= MIN_QUERIES_TO_WIN
+        and pick_group_size(pq.num_subspaces,
+                            pq.codebooks.shape[2]) is not None
+    )
+
+
+@_functools.partial(jax.jit, static_argnames=("simf_id", "r"))
+def _fused_decode_block_topr(q_centered, codes, codebooks, codes_sq, valid,
+                             simf_id: int, r: int):
+    """One scan block through the fused decode-in-VMEM kernel (codes-only
+    HBM, Q-amortized decode — ops/pallas/pq_scan_kernel.py). Same score
+    space as the LUT ADC scan, global-clamp form for euclidean (the exact
+    rerank absorbs the bf16 rounding)."""
+    from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+    from opensearch_jvector_tpu.ops.pallas.pq_scan_kernel import (
+        fused_decode_scan,
+    )
+
+    ip = fused_decode_scan(q_centered, codes, codebooks)  # [Q, n]
+    if SimilarityFunction(simf_id) is SimilarityFunction.EUCLIDEAN:
+        q2 = jnp.sum(q_centered * q_centered, -1)[:, None]
+        vals = jnp.maximum(q2 + codes_sq[None, :] - 2.0 * ip, 0.0)
+        scores = 1.0 / (1.0 + vals)
+    else:  # DOT_PRODUCT / COSINE (queries pre-normalized by the caller)
+        scores = (1.0 + ip) / 2.0
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    return _topk_scan(scores, r)
+
+
 def _blocked_scan_topr(block_topr, n: int, r: int):
     """Running top-r over a blocked corpus scan.
 
@@ -178,6 +220,7 @@ class SegmentReader:
         self.stats = stats
         self._pq_decoded: jax.Array | None = None  # lazy bf16 ADC cache
         self._pq_decoded_sq: jax.Array | None = None  # row norms (f32)
+        self._codes_sq_cache: jax.Array | None = None  # codes-only norms
 
     def _decoded_cache(self) -> jax.Array:
         """Decoded-bf16 candidate cache for the in-graph ADC tier (built
@@ -199,6 +242,31 @@ class SegmentReader:
                 preferred_element_type=jnp.float32,
             )
         return self._pq_decoded
+
+    def _codes_sq(self) -> jax.Array:
+        """Reconstruction row norms ||decode_nocenter||^2 [n] f32 for the
+        codes-only fused-decode scan — ONE LUT-ADC pass over cb^2 tables
+        (the distance decomposes per subspace, so the squared norm is a
+        per-code table sum). 4 bytes/vector HBM, breaker-accounted."""
+        if self._codes_sq_cache is None:
+            from opensearch_jvector_tpu.ops import adc as adc_ops
+            from opensearch_jvector_tpu.utils.circuit_breaker import BREAKER
+
+            pqv = self.seg.pqv
+            BREAKER.check(pqv.codes.shape[0] * 4)
+            cb_sq = jnp.einsum("mkd,mkd->mk", pqv.pq.codebooks,
+                               pqv.pq.codebooks)[None]  # [1, M, K]
+            if jax.default_backend() == "tpu":
+                from opensearch_jvector_tpu.ops.pallas.adc_kernel import (
+                    fused_adc_scan,
+                )
+
+                vals = fused_adc_scan(cb_sq, pqv.codes)
+            else:
+                vals = adc_ops.lookup_scan(cb_sq,
+                                           pqv.codes.astype(jnp.int32))
+            self._codes_sq_cache = vals[0]
+        return self._codes_sq_cache
 
     @classmethod
     def open(cls, path: str | Path, verify: bool = True,
@@ -524,11 +592,13 @@ class SegmentReader:
         (scan: one MXU matmul, ~64x less compute than the one-hot ADC
         kernel; beam: row gathers + MXU einsum). When the breaker refuses
         the cache, both tiers degrade to codes-only scoring at M bytes/
-        vector: the scan tier via the Pallas fused-ADC kernel, the beam
-        tier via the fused decode-in-VMEM Pallas scan (TPU) or the
-        decode-then-score "pq" provider (gathered codebook rows + MXU
-        einsum) during traversal. `force_scan` pins flat (graph-less)
-        segments to the scan tier at any capacity.
+        vector: the scan tier via the fused decode-in-VMEM kernel
+        (ops/pallas/pq_scan_kernel.py, query batches >= 256 where its
+        Q-amortized decode wins) or the per-query-LUT one-hot ADC kernel
+        (smaller batches), the beam tier via the decode-then-score "pq"
+        provider (gathered codebook rows + MXU einsum) during traversal.
+        `force_scan` pins flat (graph-less) segments to the scan tier at
+        any capacity.
         """
         from opensearch_jvector_tpu.ops.distances import (
             batched_candidate_scores,
@@ -562,13 +632,40 @@ class SegmentReader:
                         valid[lo:hi], simf_id, r,
                     )
             except CircuitBreakerException:  # memory-tight: ADC over codes
-                luts = seg.pqv.build_query_luts(queries,
-                                                seg.config.similarity)
+                from opensearch_jvector_tpu.ops.distances import (
+                    SimilarityFunction,
+                )
 
-                def block_topr(lo, hi):
-                    return _adc_block_topr(
-                        luts, seg.pqv.codes[lo:hi], valid[lo:hi], simf_id, r
-                    )
+                pq = seg.pqv.pq
+                codes_sq = None
+                if _fused_scan_ok(queries.shape[0], pq):
+                    try:
+                        codes_sq = self._codes_sq()
+                    except CircuitBreakerException:
+                        codes_sq = None  # not even 4 B/vec: LUT path
+                if codes_sq is not None:
+                    # large batches: fused decode-in-VMEM kernel — decode
+                    # cost is Q-amortized (M*K*128 + d*Q MACs/vec vs the
+                    # LUT form's M*K*Q), HBM stays M bytes/vector
+                    q_c = queries - pq.center[None, :]
+                    if seg.config.similarity is SimilarityFunction.COSINE:
+                        q_c = q_c * jax.lax.rsqrt(
+                            jnp.sum(q_c * q_c, -1, keepdims=True) + 1e-30)
+
+                    def block_topr(lo, hi):
+                        return _fused_decode_block_topr(
+                            q_c, seg.pqv.codes[lo:hi], pq.codebooks,
+                            codes_sq[lo:hi], valid[lo:hi], simf_id, r,
+                        )
+                else:  # small batches: per-query LUTs + one-hot ADC kernel
+                    luts = seg.pqv.build_query_luts(queries,
+                                                    seg.config.similarity)
+
+                    def block_topr(lo, hi):
+                        return _adc_block_topr(
+                            luts, seg.pqv.codes[lo:hi], valid[lo:hi],
+                            simf_id, r,
+                        )
             top_s, top_i = _blocked_scan_topr(block_topr, seg.capacity(), r)
             # ONE device fetch for candidates + the visited counter.
             # Counter semantics at the tier boundary: the scan tier reports
