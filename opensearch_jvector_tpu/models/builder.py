@@ -56,6 +56,13 @@ import os as _os
 
 BUILD_PROFILE = _os.environ.get("JVECTOR_TPU_BUILD_PROFILE", "0") == "1"
 
+# Program shapes already compiled in THIS process (the jitted factories are
+# lru_cached, so jit caches persist process-wide). A warm thread's throwaway
+# insert round costs real device compute — ~30% of a 100k build when every
+# pow2 ramp bucket re-warms — so repeat builds of the same shape family
+# (flush after flush of one index, bench warm passes) skip it entirely.
+_WARMED_PROGRAMS: set = set()
+
 
 def _score_to_dist(scores: jax.Array, simf: SimilarityFunction) -> jax.Array:
     """Map similarity scores to a pruning distance (lower = closer)."""
@@ -152,6 +159,46 @@ def _make_round_prune_fn(simf_id: int, m_out: int, top_r: int, alpha: float):
             queries, cand_ids, cand_vecs, cand_scores,
             alpha, m_out, simf_id, point_ids=batch_ids,
         )
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_dead_scan_fn():
+    """[capacity] bool: which rows reference a tombstoned (non-live)
+    neighbor. Runs where the adjacency lives."""
+
+    @jax.jit
+    def run(adj, live):
+        return jnp.any((adj >= 0) & ~live[jnp.clip(adj, 0)], axis=1)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_reachability_fn():
+    """Device-side BFS: which live nodes are reachable from `entry` over
+    live-node paths. One full-adjacency scatter sweep per hop (Vamana
+    diameter is ~log n, so ~10-20 sweeps); replaces the host BFS that
+    fetched the whole adjacency (20MB at 100k) through the host link every
+    cleanup pass."""
+
+    @jax.jit
+    def run(adj, live, entry):
+        cap = adj.shape[0]
+        reach0 = jnp.zeros((cap,), bool).at[entry].set(live[entry])
+
+        def body(state):
+            reach, _ = state
+            tgt = jnp.where(reach[:, None] & (adj >= 0), adj, cap)
+            hit = jnp.zeros((cap + 1,), bool).at[tgt.reshape(-1)].set(True)
+            nxt = (hit[:cap] & live) | reach
+            return nxt, jnp.any(nxt != reach)
+
+        reach, _ = jax.lax.while_loop(
+            lambda s: s[1], body, (reach0, live[entry])
+        )
+        return reach
 
     return run
 
@@ -384,6 +431,14 @@ class GraphIndexBuilder:
             # can win when per-iteration fixed costs dominate).
             k=r, ef_search=r, overquery_factor=1,
             expansions_per_iter=self.construction_expansions,
+            # Iteration budget: the beam stops when the ef-pool holds no
+            # unexpanded entry — measured at ~ceil(ef/E) iterations,
+            # uniformly across queries (expanded mean==max==97 at ef=100/
+            # E=8). The default budget (ef iterations) sizes the visited
+            # ring at ef*E entries and the per-iteration dedup sweep with
+            # it — 6x the VPU work the loop can ever use. +8 covers
+            # eviction-driven re-expansions on adversarial corpora.
+            max_iters=-(-r // self.construction_expansions) + 8,
         )
         if pq is not None and "decoded" in pq:
             # quantized construction, decoded-bf16 formulation: candidate
@@ -505,7 +560,27 @@ class GraphIndexBuilder:
         """
         import threading
 
-        buckets = sorted(set(buckets))
+        capacity = int(st.dev.shape[0])
+        if pq is None:
+            pk = ("fp32",)
+        elif "decoded" in pq:
+            pk = ("decoded", tuple(pq["decoded"].shape),
+                  str(pq["decoded"].dtype))
+        else:
+            pk = ("codes", tuple(pq["codes"].shape),
+                  tuple(pq["codebooks"].shape))
+        base = (capacity, self.dim, self.max_degree, self.beam_width,
+                self.alpha, self.construction_expansions,
+                self.overflow_degree, self.extra_width, simf.value,
+                self._has_tombstones, pk)
+
+        def key(kind: str, bucket: int):
+            return (kind, bucket, base)
+
+        buckets = sorted(
+            b for b in set(buckets)
+            if key("round", b) not in _WARMED_PROGRAMS
+        )
 
         def warm(bucket: int) -> None:
             try:
@@ -514,6 +589,22 @@ class GraphIndexBuilder:
                 self._insert_round(scratch, live_dev, entry, batch, vectors,
                                    simf, pq)
             except Exception:  # noqa: BLE001 — warm-up must never fail a build
+                pass
+
+        def warm_cleanup() -> None:
+            # cleanup's device programs (dead scan, reachability BFS, row
+            # gather) are one-per-capacity; compile them overlapped too
+            try:
+                _make_dead_scan_fn()(st.dev, live_dev)
+                _make_reachability_fn()(st.dev, live_dev, jnp.int32(entry))
+                st.dev[jnp.full((512,), int(entry), jnp.int32)]
+                # orphan-repair chunk programs (512-wide gather + pairwise
+                # + masked argmax — eager primitives, one compile each)
+                ob = jnp.full((512,), int(entry), jnp.int32)
+                sc = pairwise_scores(vectors[ob], vectors, simf)
+                np.asarray(jnp.argmax(
+                    jnp.where(live_dev[None, :], sc, NEG_INF), axis=1))
+            except Exception:  # noqa: BLE001
                 pass
 
         def warm_overflow(bucket: int) -> None:
@@ -533,7 +624,8 @@ class GraphIndexBuilder:
         over_buckets = set()
         b = 64
         while b <= max(self.batch_size, self.overflow_chunk):
-            over_buckets.add(b)
+            if key("overflow", b) not in _WARMED_PROGRAMS:
+                over_buckets.add(b)
             b *= 2
         threads = [threading.Thread(target=warm, args=(b,), daemon=True)
                    for b in buckets]
@@ -541,12 +633,23 @@ class GraphIndexBuilder:
             threading.Thread(target=warm_overflow, args=(b,), daemon=True)
             for b in sorted(over_buckets)
         ]
-        if len(threads) < 2:
-            return  # a single program family: nothing to overlap
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+        if key("cleanup", 0) not in _WARMED_PROGRAMS:
+            threads.append(
+                threading.Thread(target=warm_cleanup, daemon=True))
+            _WARMED_PROGRAMS.add(key("cleanup", 0))
+        if not threads:
+            return  # everything in this family already compiled
+        if len(threads) > 1:  # one cold program: let the loop compile it
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        # best-effort marking: a failed warm falls back to a serial compile
+        # inside the loop (correctness unaffected), so mark unconditionally
+        for b in buckets:
+            _WARMED_PROGRAMS.add(key("round", b))
+        for b in over_buckets:
+            _WARMED_PROGRAMS.add(key("overflow", b))
 
     def _delta_chunks(self, n: int) -> list[int]:
         """Round sizes for a delta insert. Full batch_size rounds, then the
@@ -931,16 +1034,22 @@ class GraphIndexBuilder:
         repair), then every touched/overflowing node is re-pruned to
         max_degree.
         """
+        import time as _time
+
+        t0 = _time.time() if BUILD_PROFILE else 0.0
         st = _DeviceAdj(graph.adjacency, np.asarray(graph.degrees).copy())
         live = np.asarray(graph.live)
         live_dev = jnp.asarray(live)
         vectors = pad_rows(jnp.asarray(vectors, jnp.float32), graph.capacity)
 
-        adj_host = np.asarray(st.dev)
-        valid = adj_host >= 0
-        dead_nb = valid & ~live[np.clip(adj_host, 0, None)]
-        has_dead = dead_nb.any(axis=1) & live
-        dead_nodes = np.nonzero(has_dead)[0]
+        # dead-neighbor scan ON DEVICE: only the [capacity] bool row mask
+        # crosses the host link (the full-adjacency fetch this replaces was
+        # 20MB at 100k and the top fixed cost of tombstone-free cleanups)
+        has_dead = np.asarray(_make_dead_scan_fn()(st.dev, live_dev))
+        dead_nodes = np.nonzero(has_dead & live)[0]
+        if BUILD_PROFILE:
+            self.counters._phase("cleanup_fetch", _time.time() - t0)
+            t0 = _time.time()
         if dead_nodes.size:
             fn = _make_splice_prune_fn(simf.value, self.max_degree, self.alpha)
             for s in range(0, dead_nodes.size, self.batch_size):
@@ -953,8 +1062,16 @@ class GraphIndexBuilder:
                 sel = np.asarray(sel)
                 st.deg[ids] = (sel >= 0).sum(axis=1)
 
+        if BUILD_PROFILE:
+            jax.block_until_ready(st.dev)
+            self.counters._phase("cleanup_splice", _time.time() - t0)
+            t0 = _time.time()
         over = np.nonzero(st.deg > self.max_degree)[0]
         self._prune_overflow(st, over, vectors, simf)
+        if BUILD_PROFILE:
+            jax.block_until_ready(st.dev)
+            self.counters._phase("cleanup_overflow", _time.time() - t0)
+            t0 = _time.time()
 
         # entry repair: if the entry died, pick the live node closest to mean
         # (mask-based: full-capacity shapes only, no data-dependent compiles)
@@ -979,6 +1096,9 @@ class GraphIndexBuilder:
             for _ in range(3):
                 if self._repair_orphans(st, live, vectors, simf, entry) == 0:
                     break
+        if BUILD_PROFILE:
+            jax.block_until_ready(st.dev)
+            self.counters._phase("cleanup_orphans", _time.time() - t0)
 
         upper = None
         if self.hierarchy_enabled:
@@ -995,42 +1115,32 @@ class GraphIndexBuilder:
     def _repair_orphans(self, st: _DeviceAdj, live, vectors, simf,
                         entry) -> int:
         """Link live nodes unreachable from `entry` from their nearest
-        reachable neighbor (vectorized host BFS + batched scoring).
-        Returns the number of orphans repaired."""
-        adj_host = np.asarray(st.dev)
-        cap = live.shape[0]
-        reach = np.zeros(cap, bool)
+        reachable neighbor (device BFS + batched scoring). Returns the
+        number of orphans repaired."""
         if not live[entry]:
-            return 0
-        reach[entry] = True
-        frontier = np.asarray([entry])
-        while frontier.size:
-            nb = adj_host[frontier].reshape(-1)
-            nb = nb[nb >= 0]
-            nb = nb[live[nb] & ~reach[nb]]
-            if nb.size == 0:
-                break
-            nb = np.unique(nb)
-            reach[nb] = True
-            frontier = nb
-        orphans = np.nonzero(live & ~reach)[0]
-        if orphans.size == 0:
             return 0
         import jax.numpy as jnp_
 
-        touched: dict[int, np.ndarray] = {}
-        hostable = live & reach
-        hostable_dev = jnp_.asarray(hostable)
+        live_d = jnp_.asarray(live)
+        reach = np.asarray(
+            _make_reachability_fn()(st.dev, live_d, jnp_.int32(entry))
+        )
+        orphans = np.nonzero(live & ~reach)[0]
+        if orphans.size == 0:
+            return 0
+
+        hostable_dev = jnp_.asarray(live & reach)
         host_of: dict[int, list[int]] = {}  # host -> its orphan group
         for s in range(0, orphans.size, 512):
             ob = orphans[s : s + 512]
             real = ob.size
-            # pad the chunk to a pow2 bucket: every distinct chunk size is a
-            # fresh XLA compile (remote compiles cost ~15s each — data sets
-            # with many orphans were paying minutes here)
-            pad = bucket_capacity(real) - real
-            if pad:
-                ob = np.pad(ob, (0, pad), constant_values=ob[0])
+            # pad every chunk to the SAME 512 width: a distinct chunk shape
+            # is a fresh XLA compile (remote compiles cost ~15s each; the
+            # old pow2-of-real padding compiled one program per orphan-count
+            # bucket, 26-92s of cold cleanup at 100k). Pad ids repeat ob[0]
+            # — duplicate (host, orphan) pairs are dropped below.
+            if real < 512:
+                ob = np.pad(ob, (0, 512 - real), constant_values=ob[0])
             # argmax ON DEVICE: downloading the [chunk, N] score matrix costs
             # ~270MB/chunk over the host link — only the host ids come back
             sc = pairwise_scores(vectors[jnp_.asarray(ob)], vectors, simf)
@@ -1038,12 +1148,32 @@ class GraphIndexBuilder:
             hosts = np.asarray(jnp_.argmax(sc, axis=1))[:real]
             ob = ob[:real]
             for h, o in zip(hosts, ob):
-                host_of.setdefault(int(h), []).append(int(o))
+                group = host_of.setdefault(int(h), [])
+                if int(o) not in group:
+                    group.append(int(o))
+
+        # fetch ONLY the rows the chained linking can touch (hosts +
+        # orphans) — the full-adjacency host fetch this replaces was 20MB
+        # per repair pass at 100k
+        need = np.unique(np.concatenate(
+            [np.fromiter(host_of.keys(), np.int64, len(host_of)), orphans]
+        )).astype(np.int64)
+        row_of: dict[int, np.ndarray] = {}
+        for s in range(0, need.size, 512):
+            nb_ids = need[s : s + 512]
+            real = nb_ids.size
+            if real < 512:  # fixed gather shape: one compiled program
+                nb_ids = np.pad(nb_ids, (0, 512 - real),
+                                constant_values=nb_ids[0])
+            got = st.rows(nb_ids)[:real]
+            for i, n in enumerate(need[s : s + 512]):
+                row_of[int(n)] = got[i]
+        touched: dict[int, np.ndarray] = {}
 
         def _row(nid: int) -> np.ndarray:
             row = touched.get(nid)
             if row is None:
-                row = adj_host[nid].copy()
+                row = row_of[nid].copy()
                 touched[nid] = row
             return row
 

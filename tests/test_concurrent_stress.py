@@ -58,6 +58,8 @@ def test_delete_racing_inflight_flush_still_masks(tmp_path, monkeypatch):
     assert idx.doc_count() == 79
 
 
+@pytest.mark.slow  # stress-tier: reader stability under writer churn is a torture cell;
+# the close-vs-ingest race and update semantics have dedicated fast cells
 def test_readers_stable_while_writer_churns(tmp_path):
     cfg = DiskAnnConfig(dim=DIM, similarity=SimilarityFunction.EUCLIDEAN,
                         m=8, ef_construction=32, quantization_type="none")
@@ -187,6 +189,8 @@ def test_close_races_ingest_and_search(tmp_path):
     assert res.doc_ids[0][0] == 3
 
 
+@pytest.mark.slow  # stress-tier: convergence torture; update replace semantics are
+# guarded fast by test_update_semantics.py
 def test_concurrent_updaters_converge_to_final_versions(tmp_path):
     """Three updater threads re-index DISJOINT id ranges (several versions
     each) while flushes and tiered merges churn. After the final flush,

@@ -498,6 +498,8 @@ def test_mesh_scalar_shards_match_host_path(tmp_path):
     assert top0 not in res2.doc_ids[0].tolist()
 
 
+@pytest.mark.slow  # stress-tier: restack-vs-search race torture; restack correctness is
+# guarded fast by test_mesh_partial_restack_one_shard_changed
 def test_mesh_restack_race_concurrent_search_and_merge(tmp_path):
     """Concurrent searches racing single-shard merges: every restack must
     keep the (state, names) pair matched (a mismatch would slice-write the

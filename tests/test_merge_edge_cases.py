@@ -206,6 +206,8 @@ def test_low_density_leading_forces_compacting_rebuild(tmp_path):
     assert recall_at_k(res.doc_ids, truth + 300, 5) >= 0.85
 
 
+@pytest.mark.slow  # stress-tier: repeated-cycle torture; merge+delete correctness is
+# guarded fast by the lifecycle oracles and test_deletes_cleanup
 def test_repeated_merge_delete_cycles(tmp_path):
     """Churn: repeated (ingest -> delete -> force_merge) cycles keep the
     doc count exact and recall high — the long-haul shape of the

@@ -214,6 +214,8 @@ def test_scalar_rejected_for_on_disk():
         DiskAnnConfig(dim=32, quantization_type="1bit", mode="on_disk")
 
 
+@pytest.mark.slow  # stress-tier: churn torture; scalar retrain-on-merge is guarded fast
+# by test_scalar_quantization_end_to_end
 def test_scalar_churn_delete_merge_retrain(tmp_path):
     """Scalar-quantized index under churn: interleaved deletes + second
     flush + force_merge retrains thresholds over the merged live set and
@@ -256,6 +258,8 @@ def test_scalar_churn_delete_merge_retrain(tmp_path):
     assert hits / (qn * k) >= 0.7, f"churn recall {hits/(qn*k):.3f}"
 
 
+@pytest.mark.slow  # slow-tier: statistical A/B at corpus scale; anisotropic config and
+# roundtrip are guarded fast by test_anisotropic_pq_config_and_roundtrip
 def test_anisotropic_pq_beats_plain_on_mip(tmp_path):
     """Score-aware (anisotropic) PQ training: better inner-product ranking
     from the approximate phase at equal bytes/vector (BASELINE config 4
