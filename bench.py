@@ -181,6 +181,7 @@ def main():
     from opensearch_jvector_tpu.ops.distances import SimilarityFunction
     from opensearch_jvector_tpu.utils.ground_truth import (
         ground_truth_topk,
+        ground_truth_topk_stream,
         recall_at_k,
     )
 
@@ -368,27 +369,37 @@ def main():
         # hundreds of single-core seconds and the noise is 5% amplitude —
         # its repetition is irrelevant to recall/latency measurement
         noise = 0.05 * rng10.standard_normal((blk, DIM)).astype(np.float32)
-        for s in range(0, n10, blk):  # blockwise: bounds host temp memory
-            blk_n = min(blk, n10 - s)
-            v10[s:s + blk] = (
-                rng10.standard_normal((blk_n, latent)).astype(np.float32)
-                @ a10
-                + noise[:blk_n]
-            )
         q10n = min(Q, 128)  # GT cost scales with Q; 128 queries suffice
         q10 = (rng10.standard_normal((q10n, latent)).astype(np.float32)
                @ a10
                + 0.05 * rng10.standard_normal((q10n, DIM)).astype(
                    np.float32))
-        log(f"10M corpus generated in {time.time() - t_gen:.1f}s")
+
+        def gen_blocks():
+            # producer for the streamed ground truth: each block is
+            # synthesized on the host WHILE the device uploads + scores the
+            # previous one (depth-1 pipeline inside
+            # ground_truth_topk_stream) — generation (~150s single-core)
+            # hides behind the upload-bound GT pass instead of preceding it
+            for s in range(0, n10, blk):
+                blk_n = min(blk, n10 - s)
+                v10[s:s + blk] = (
+                    rng10.standard_normal((blk_n, latent)).astype(np.float32)
+                    @ a10
+                    + noise[:blk_n]
+                )
+                yield s, v10[s:s + blk]
+
         root = tempfile.mkdtemp(prefix="bench10m_")
         try:
             # ground truth FIRST, while HBM is clean: its [Q, block] score
             # slabs don't fit next to the index's resident codes + decoded
             # cache at 10M (the r03 attempt OOM'd computing GT post-build)
             t0 = time.time()
-            t10 = ground_truth_topk(q10, v10, K, simf)
-            log(f"10M ground truth: {time.time() - t0:.1f}s")
+            t10 = ground_truth_topk_stream(q10, gen_blocks(), K, simf)
+            log(f"10M generate+ground-truth (fused): "
+                f"{time.time() - t_gen:.1f}s "
+                f"(gen overlapped: {time.time() - t0:.1f}s on the clock)")
             idx10 = VectorIndex(
                 root,
                 DiskAnnConfig(dim=DIM, mode="on_disk", index_type="flat",
@@ -1108,8 +1119,15 @@ def main():
     # the VERDICT r03 asks; gaussian/gist/1M already have recorded numbers
     # and run last.
     warm_rate = extra.get("build_vec_per_s_warm") or (N / build_cold)
+    # bandwidth-aware 10M estimate: the section is ~2 upload passes of the
+    # 5.1GB corpus (fused gen+GT, then the flush's train+encode pass) plus
+    # ~120s of host I/O, PQ train and search; a fixed estimate under-calls
+    # the cost on slow-tunnel days and starves the sections after it
+    n10_est = int(os.environ.get("BENCH_N_TIER2", 10_000_000))
+    mbps = extra.get("host_upload_mb_per_s") or 40.0
+    est_10m = 2 * (n10_est * DIM * 4) / (mbps * 1e6) + 120
     sections = [
-        ("10M flat on_disk", sec_10m_flat, 420,
+        ("10M flat on_disk", sec_10m_flat, est_10m,
          int(os.environ.get("BENCH_N_TIER2", 1)) > 0),
         ("scalar+nvq cells", sec_scalar_nvq, 90, True),
         ("config4 deep-analog", sec_config4, 200, True),

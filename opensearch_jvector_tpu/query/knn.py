@@ -124,8 +124,20 @@ def execute_script_score(
     per segment (KNNScoringUtil.java:100-253 space semantics via
     query/exact.script_score).
     """
-    from opensearch_jvector_tpu.query.exact import _segment_fp32, script_score
+    from opensearch_jvector_tpu.api.stats import Counter
+    from opensearch_jvector_tpu.query.exact import (
+        SCRIPT_SPACES,
+        _segment_fp32,
+        script_score,
+    )
 
+    reg = getattr(index, "stats_registry", None) or index.stats
+    if space not in SCRIPT_SPACES:
+        # counted separately so operators can spot misconfigured scripts
+        # (KNNCounter.SCRIPT_QUERY_ERRORS parity)
+        reg.increment(Counter.SCRIPT_QUERY_REQUESTS)
+        reg.increment(Counter.SCRIPT_QUERY_ERRORS)
+        raise ValueError(f"unknown space {space}; one of {SCRIPT_SPACES}")
     q = np.asarray(query_value, np.float32)
     best_ids = np.full((1, k), -1, np.int64)
     best_scores = np.full((1, k), -np.inf, np.float32)

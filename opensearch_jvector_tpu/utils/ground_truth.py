@@ -32,10 +32,31 @@ def ground_truth_topk(
         scores = pairwise_scores(queries, jnp.asarray(vectors), simf)
         _, ids = _exact_topk_wide(scores, min(k, n))
         return np.asarray(ids)
+    return ground_truth_topk_stream(
+        queries,
+        ((s, np.asarray(vectors[s: s + block])) for s in range(0, n, block)),
+        k, simf,
+    )
+
+
+def ground_truth_topk_stream(
+    queries: jax.Array,
+    blocks,  # iterable of (offset, [b, d] np.float32) corpus slices, in order
+    k: int,
+    simf: SimilarityFunction,
+) -> np.ndarray:
+    """Exact top-k over a corpus delivered as a stream of blocks, [Q, k].
+
+    Running top-k merge per block; the producer can GENERATE or LOAD each
+    block lazily (the bench's 10M section interleaves corpus synthesis with
+    the upload+score of the previous block, hiding ~150s of single-core
+    generation behind the device passes)."""
+    queries = jnp.asarray(queries)
     best_s = None
     best_i = None
-    for s in range(0, n, block):
-        blk = jnp.asarray(np.asarray(vectors[s: s + block]))
+    pending = None
+    for s, blk_np in blocks:
+        blk = jnp.asarray(blk_np)
         scores = pairwise_scores(queries, blk, simf)
         top_s, top_i = _exact_topk_wide(scores, min(k, blk.shape[0]))
         top_i = top_i + s
@@ -46,12 +67,15 @@ def ground_truth_topk(
             cat_i = jnp.concatenate([best_i, top_i], axis=1)
             best_s, sel = jax.lax.top_k(cat_s, k)
             best_i = jnp.take_along_axis(cat_i, sel, axis=1)
-        # Real backpressure per block: async dispatch otherwise runs this
-        # Python loop far ahead of the device, queuing every ~2GB score
-        # slab + 512MB upload at once (OOM'd the 10M ground truth). A tiny
-        # host fetch is the only reliable barrier through the dev tunnel
-        # (block_until_ready resolves lazily there).
-        np.asarray(best_s[:1, :1])
+        # Depth-1 backpressure: barrier on the PREVIOUS block's merge, so
+        # exactly one upload + [Q, block] score slab is in flight while the
+        # producer builds the next block (unbounded async dispatch queued
+        # every slab at once and OOM'd the 10M ground truth; a tiny host
+        # fetch is the only reliable barrier through the dev tunnel —
+        # block_until_ready resolves lazily there).
+        if pending is not None:
+            np.asarray(pending[:1, :1])
+        pending = best_s
     return np.asarray(best_i)
 
 
