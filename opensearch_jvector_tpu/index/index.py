@@ -190,7 +190,10 @@ class VectorIndex:
         with self._lock:
             return any(self._segment_deletes.values())
 
-    def flush(self, sort_map=None) -> str | None:
+    def flush(self, sort_map=None, device_rows=None) -> str | None:
+        """`device_rows(lo, hi)`: optional device-resident source for the
+        buffered rows (see IndexWriter.flush) — skips the corpus upload
+        when the vectors already live on device."""
         if self._closed:
             raise RuntimeError("index is closed")
         # one flush at a time: a second concurrent flush would replace
@@ -200,7 +203,8 @@ class VectorIndex:
                 pending: set[int] = set()
                 self._flush_pending = pending
             try:
-                path = self.writer.flush(sort_map=sort_map)
+                path = self.writer.flush(sort_map=sort_map,
+                                         device_rows=device_rows)
             except BaseException:
                 with self._lock:
                     self._flush_pending = None

@@ -336,7 +336,7 @@ class SegmentReader:
             and seg.nvq is None
             and seg.scalar_state is None
             and seg.vectors is not None
-            and (flat or seg.capacity() <= self.SCAN_TIER_MAX_CODES)
+            and (flat or seg.capacity() <= self._scan_bound())
         ):
             # in-memory PQ segments also take the fused-ADC full scan below
             # the tier bound: measured FASTER than fp32 graph traversal
@@ -347,7 +347,7 @@ class SegmentReader:
             )
         if (
             seg.nvq is not None
-            and seg.capacity() <= self.SCAN_TIER_MAX_CODES
+            and seg.capacity() <= self._scan_bound()
         ):
             # NVQ segments below the tier bound: exhaustive scan over the
             # NVQ-decoded bf16 cache (same scan-beats-graph policy as PQ;
@@ -469,6 +469,18 @@ class SegmentReader:
     # ~0.5 ms/query per 1M codes, while beam search pays per-iteration
     # gathers. TPU-first policy: brute-force the MXU when it wins.
     SCAN_TIER_MAX_CODES = 1 << 18
+
+    def _scan_bound(self) -> int:
+        """Effective scan-tier bound: the dynamic cluster setting
+        `index.knn.advanced.scan_tier_max_codes` when set (>= 0), else the
+        class default. Operators raise it for adversarial corpora (e.g.
+        i.i.d. high-dim data) where distance concentration caps graph-tier
+        recall — an exhaustive scan at 1M codes costs ~0.2 ms/query batched
+        vs multi-ms graph traversal tuned to the same recall."""
+        from opensearch_jvector_tpu.api.settings import GLOBAL_SETTINGS
+
+        v = GLOBAL_SETTINGS.get("index.knn.advanced.scan_tier_max_codes")
+        return self.SCAN_TIER_MAX_CODES if v < 0 else v
 
     def _scan_search(self, queries, real_q, params: SearchParams, accept,
                      filtered: bool) -> QueryResult:
@@ -608,7 +620,7 @@ class SegmentReader:
         assert seg.pqv is not None, "on_disk segments require PQ codes"
         r = max(params.k * params.overquery_factor, params.k)
         t0 = time.monotonic()
-        if force_scan or seg.capacity() <= self.SCAN_TIER_MAX_CODES:
+        if force_scan or seg.capacity() <= self._scan_bound():
             from opensearch_jvector_tpu.utils.circuit_breaker import (
                 CircuitBreakerException,
             )

@@ -117,7 +117,11 @@ class IndexWriter:
         if parents.shape != ids.shape:
             raise ValueError("parent_ids must align with doc_ids")
         with self._buf_lock:
-            self._blocks.append((ids, parents, v.astype(np.float32)))
+            # copy=False: a 10M-row bulk ingest must not duplicate the 5GB
+            # corpus when the caller already hands float32
+            self._blocks.append(
+                (ids, parents, v.astype(np.float32, copy=False))
+            )
             self._buffered += ids.shape[0]
         return ids.shape[0]
 
@@ -150,13 +154,21 @@ class IndexWriter:
                 self._buffered -= removed
         return removed
 
-    def _quantize_for_flush(self, vectors: jnp.ndarray):
+    def _quantize_for_flush(self, vectors: jnp.ndarray, device_rows=None):
         """Train quantizers when n >= min batch.
 
         Returns (pqv, nvq, scalar, build_pq); `scalar` is a
         (QuantizationState, packed_codes) pair for 1/2/4-bit modes.
         build_pq is the dict handed to the builder as the PQ build-score
         provider (BuildScoreProvider.pqBuildScoreProvider parity).
+
+        `device_rows(lo, hi) -> [hi-lo, d] jax.Array` is an optional
+        device-resident source for the SAME rows (ingest-order positions):
+        when given, PQ encoding reads blocks from it instead of uploading
+        the host buffer — the TPU-native ingest path for vectors that
+        already live on device (e.g. straight out of an embedding model)
+        or can be regenerated there. Training still samples the host rows
+        (a 131k sample, not a corpus pass).
         """
         cfg = self.config
         n = vectors.shape[0]
@@ -182,7 +194,16 @@ class IndexWriter:
             vectors, cfg.similarity, num_subspaces=cfg.num_pq_subspaces,
             anisotropic_eta=pq_mod.eta_from_config(cfg, vectors),
         )
-        codes = pq_mod.encode(pq, vectors, cfg.similarity)
+        if device_rows is not None:
+            blk = pq_mod.ENCODE_CHUNK * 16  # 1M-row provider blocks
+            codes = jnp.concatenate([
+                pq_mod.encode(
+                    pq, device_rows(lo, min(lo + blk, n)), cfg.similarity
+                )
+                for lo in range(0, n, blk)
+            ])
+        else:
+            codes = pq_mod.encode(pq, vectors, cfg.similarity)
         pqv = pq_mod.PQVectors(pq=pq, codes=codes)
         nvq = None
         if cfg.quantization_type == QUANT_NVQ:
@@ -203,20 +224,30 @@ class IndexWriter:
             build_pq = {"decoded": pqv.decode_bf16()}
         return pqv, nvq, None, build_pq
 
-    def flush(self, name: str | None = None, sort_map=None) -> Path | None:
+    def flush(self, name: str | None = None, sort_map=None,
+              device_rows=None) -> Path | None:
         """Build + persist a segment from the buffered docs; clears buffer.
 
         `sort_map` (old_doc -> new_doc) applies index sorting to the doc map
         at flush, as the reference does (JVectorWriter.java:233-236).
+
+        `device_rows(lo, hi)` optionally provides the buffered rows as
+        device-resident blocks (ingest-order positions), letting quantize/
+        encode skip the host->device corpus upload — see
+        `_quantize_for_flush`. The provider MUST return the same values as
+        the buffered host rows (they remain the durable copy in the row
+        store); it is ignored when the buffer was deduplicated (update
+        semantics reorder positions).
         """
         if not self._buffered:
             return None
         from opensearch_jvector_tpu.utils.profiling import phase
 
         with phase("flush", stats=self.stats):
-            return self._flush_locked(name, sort_map)
+            return self._flush_locked(name, sort_map, device_rows)
 
-    def _flush_locked(self, name: str | None, sort_map) -> Path | None:
+    def _flush_locked(self, name: str | None, sort_map,
+                      device_rows=None) -> Path | None:
         # atomic buffer snapshot: adds/deletes racing the (long) build below
         # see a clean empty buffer instead of a half-consumed one
         with self._buf_lock:
@@ -227,7 +258,8 @@ class IndexWriter:
         if not count:
             return None
         try:
-            return self._build_and_write(blocks, count, name, sort_map)
+            return self._build_and_write(blocks, count, name, sort_map,
+                                         device_rows)
         except BaseException:
             # a refused build (CircuitBreakerException) or any build/write
             # failure must NOT drop the buffered docs: restore the snapshot
@@ -239,7 +271,8 @@ class IndexWriter:
             raise
 
     def _build_and_write(self, blocks, count: int,
-                         name: str | None, sort_map) -> Path:
+                         name: str | None, sort_map,
+                         device_rows=None) -> Path:
         # counter read+increment under the buffer lock: two racing flushes
         # must never pick the same segment name (in-place overwrite)
         with self._buf_lock:
@@ -282,15 +315,28 @@ class IndexWriter:
             count = int(doc_ids.size)
             name = f"seg_{counter:06d}_{count}" if name.startswith(
                 "seg_") else name
+            device_rows = None  # positions shifted; provider no longer aligns
         if not flat:
             # graph build needs device-resident rows; flat ingest keeps the
             # corpus HOST-side (train samples on host, encode streams
-            # chunks, rows go straight to the native store)
-            vectors = jnp.asarray(vectors)
+            # chunks, rows go straight to the native store). A device-rows
+            # provider replaces the upload wholesale.
+            if device_rows is not None:
+                n_rows = vectors.shape[0]
+                blk = 1 << 20
+                parts = [device_rows(lo, min(lo + blk, n_rows))
+                         for lo in range(0, n_rows, blk)]
+                vectors = parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts)
+                device_rows = None  # rows are device-resident now
+            else:
+                vectors = jnp.asarray(vectors)
         has_nested = bool((parent_ids >= 0).any())
 
         cfg = self.config
-        pqv, nvq, scalar, build_pq = self._quantize_for_flush(vectors)
+        pqv, nvq, scalar, build_pq = self._quantize_for_flush(
+            vectors, device_rows
+        )
 
         t0 = time.monotonic()
         # device arrays are padded to the graph's pow2 capacity bucket so
