@@ -213,11 +213,20 @@ def main():
             f"({N / build_warm:.0f} vec/s)")
         extra["build_vec_per_s_warm"] = round(N / build_warm, 1)
         extra["merge_full_rebuild_s"] = round(build_warm, 2)
-        # The reference publishes NO build-throughput number (README has
-        # merge-time charts only; the "near-perfect multicore scaling"
-        # claim at README.md:33 is unquantified) — recorded here so the
-        # comparison status is explicit rather than silently absent.
-        extra["build_reference_baseline"] = "none published (charts only)"
+        # Reference-side comparison, read off the reference's OWN published
+        # chart (merge_times_comparison.png, README.md:163-174): the
+        # "before incremental" line is a full graph rebuild per merge and
+        # reaches ~160,000 ms at 50k sift-128 docs => ~312 vec/s end-to-end
+        # rebuild rate on their (unspecified) hardware. The JMH
+        # construction benchmark publishes no number; "near-perfect
+        # multicore scaling" (README.md:33) is unquantified.
+        extra["build_reference_baseline_vec_per_s"] = 312
+        extra["build_reference_baseline_src"] = (
+            "merge_times_comparison.png: full-rebuild merge ~160s @ 50k "
+            "sift-128 docs"
+        )
+        extra["build_vs_reference_rebuild"] = round(
+            (N / build_warm) / 312.0, 1)
 
     params = SearchParams(k=K, ef_search=EF, overquery_factor=5)
 
@@ -314,6 +323,12 @@ def main():
         queries, graph.adjacency, graph.live, graph.entry, vectors,
     )
     log(f"batched (batch={Q}): {ms_batched:.4f} ms/query (device)")
+    # Reference's own OSB single-node throughput chart (throughput.png,
+    # README.md:159-161, sift-128-euclidean-L2): jVector ~73 QPS
+    # min/mean/median. Caveat recorded with the number: OSB measures the
+    # full REST stack, this number is device QPS at batch=512.
+    extra["reference_osb_qps_sift"] = 73
+    extra["device_qps_batched"] = round(1000.0 / ms_batched, 0)
 
     # headline is now REAL: keep the record current from here on
     _record.update({
@@ -336,6 +351,17 @@ def main():
         # cache in HBM, fp32 rows in the native host store; ingest is
         # quantize + store (no graph build), search is the MXU scan tier +
         # paged rerank, through the production VectorIndex path.
+        #
+        # The corpus NEVER crosses the tunnel: blocks are REGENERATED on
+        # whichever backend needs them (threefry is counter-based and
+        # backend-deterministic; the latent matmul runs at
+        # precision='highest', so the CPU copy feeding the row store and
+        # the TPU copy feeding GT/encode agree to ~1e-6 — measured and
+        # logged as `row drift` below). The device side uses the
+        # flush(device_rows=...) ingest source — the production path for
+        # vectors already resident on device (e.g. out of an embedding
+        # model). Only the PQ codes pay the tunnel (segment write + reader
+        # load), which the gate below prices in.
         import gc
         import shutil
         import tempfile
@@ -350,45 +376,71 @@ def main():
         )
 
         n10 = int(os.environ.get("BENCH_N_TIER2", 10_000_000))
-        # the corpus streams through the device ~3x: ground truth, PQ
-        # encode, and the search's decoded-cache build
+        n_sub = 64  # PQ subspaces -> code bytes/vec crossing the tunnel
         if upload_unaffordable(
-            "10M flat on_disk section", n10 * DIM * 4,
-            extra.get("host_upload_mb_per_s"), passes=3,
+            "10M flat on_disk section", n10 * n_sub,
+            extra.get("host_upload_mb_per_s"), passes=2,
         ):
             return
         t_gen = time.time()
-        rng10 = np.random.default_rng(31)
+        B = 1 << 20  # block size; matches the writer's device_rows stride
         latent = 16
+        rng10 = np.random.default_rng(31)
         a10 = rng10.standard_normal((latent, DIM)).astype(np.float32)
         a10 /= np.sqrt(latent)
-        v10 = np.empty((n10, DIM), np.float32)
-        blk = 1_000_000
-        # ONE noise block reused across slices (fresh latent coords per
-        # slice keep rows distinct): gaussian sampling at [10M, DIM] costs
-        # hundreds of single-core seconds and the noise is 5% amplitude —
-        # its repetition is irrelevant to recall/latency measurement
-        noise = 0.05 * rng10.standard_normal((blk, DIM)).astype(np.float32)
         q10n = min(Q, 128)  # GT cost scales with Q; 128 queries suffice
         q10 = (rng10.standard_normal((q10n, latent)).astype(np.float32)
                @ a10
                + 0.05 * rng10.standard_normal((q10n, DIM)).astype(
                    np.float32))
 
-        def gen_blocks():
-            # producer for the streamed ground truth: each block is
-            # synthesized on the host WHILE the device uploads + scores the
-            # previous one (depth-1 pipeline inside
-            # ground_truth_topk_stream) — generation (~150s single-core)
-            # hides behind the upload-bound GT pass instead of preceding it
-            for s in range(0, n10, blk):
-                blk_n = min(blk, n10 - s)
-                v10[s:s + blk] = (
-                    rng10.standard_normal((blk_n, latent)).astype(np.float32)
-                    @ a10
-                    + noise[:blk_n]
-                )
-                yield s, v10[s:s + blk]
+        key = jax.random.PRNGKey(31)
+        kn = jax.random.PRNGKey(101)
+
+        @jax.jit
+        def gen_block(i, a, noise):
+            # fresh latent coords per block; ONE shared noise block per
+            # backend (134M gaussians once — 5% amplitude, repetition
+            # across slices is irrelevant to recall/latency)
+            z = jax.random.normal(
+                jax.random.fold_in(key, i), (B, latent), jnp.float32
+            )
+            return jnp.dot(z, a, precision="highest") + 0.05 * noise
+
+        a_dev = jnp.asarray(a10)
+        noise_dev = jax.random.normal(kn, (B, DIM), jnp.float32)
+
+        def dev_block(i):
+            return gen_block(jnp.int32(i), a_dev, noise_dev)
+
+        def dev_rows(lo, hi):
+            i, off = divmod(lo, B)
+            return dev_block(i)[off: off + (hi - lo)]
+
+        # host copy (row store + rerank source): same program on the CPU
+        # backend, generated while the device runs the GT pass below
+        cpu_dev = jax.devices("cpu")[0]
+        v10 = np.empty((n10, DIM), np.float32)
+        host_state = {}
+
+        def fill_host_rows():
+            with jax.default_device(cpu_dev):
+                a_c = jnp.asarray(a10)
+                noise_c = jax.random.normal(kn, (B, DIM), jnp.float32)
+                for i, lo in enumerate(range(0, n10, B)):
+                    hi = min(lo + B, n10)
+                    v10[lo:hi] = np.asarray(
+                        gen_block(jnp.int32(i), a_c, noise_c)[: hi - lo]
+                    )
+            host_state["done"] = True
+
+        host_thread = threading.Thread(target=fill_host_rows, daemon=True)
+        host_thread.start()
+
+        def gt_blocks():
+            for i, lo in enumerate(range(0, n10, B)):
+                hi = min(lo + B, n10)
+                yield lo, dev_block(i)[: hi - lo]
 
         root = tempfile.mkdtemp(prefix="bench10m_")
         try:
@@ -396,19 +448,26 @@ def main():
             # slabs don't fit next to the index's resident codes + decoded
             # cache at 10M (the r03 attempt OOM'd computing GT post-build)
             t0 = time.time()
-            t10 = ground_truth_topk_stream(q10, gen_blocks(), K, simf)
-            log(f"10M generate+ground-truth (fused): "
-                f"{time.time() - t_gen:.1f}s "
-                f"(gen overlapped: {time.time() - t0:.1f}s on the clock)")
+            t10 = ground_truth_topk_stream(q10, gt_blocks(), K, simf)
+            host_thread.join()
+            drift = float(np.abs(
+                np.asarray(dev_block(0)[:256]) - v10[:256]).max())
+            log(f"10M device-gen ground truth: {time.time() - t0:.1f}s "
+                f"(host rows in parallel: "
+                f"{'done' if host_state.get('done') else 'late'}; "
+                f"device/host row drift {drift:.2e}); "
+                f"section setup total {time.time() - t_gen:.1f}s")
+            extra["10M_row_drift"] = drift
             idx10 = VectorIndex(
                 root,
                 DiskAnnConfig(dim=DIM, mode="on_disk", index_type="flat",
-                              quantization_type="pq"),
+                              quantization_type="pq",
+                              num_pq_subspaces=n_sub),
                 merge_policy=ForceMergesOnlyMergePolicy(),
             )
             idx10.add_batch(np.arange(n10), v10)
             t0 = time.time()
-            idx10.flush()
+            idx10.flush(device_rows=dev_rows)
             b10 = time.time() - t0
             log(f"10M flat on_disk ingest (PQ train+encode+store): "
                 f"{b10:.1f}s ({n10 / b10:.0f} vec/s)")
@@ -511,7 +570,18 @@ def main():
 
         cos = SimilarityFunction.COSINE
         rng4 = np.random.default_rng(53)
-        dv_np, dq_np = make_data(rng4, "sift", N, Q)
+        # latent-64 angular corpus (Deep-like: high intrinsic dimension).
+        # The latent-16 corpus used in r03 resolves eta=1.0 (the intrinsic-
+        # dim formula correctly says "plain PQ" there), which made the
+        # plain-vs-aniso cell degenerate — this corpus actually exercises
+        # the anisotropic loss (eta ~4).
+        lat4 = 64
+        a4 = rng4.standard_normal((lat4, DIM)).astype(np.float32)
+        a4 /= np.sqrt(lat4)
+        dv_np = (rng4.standard_normal((N, lat4)).astype(np.float32) @ a4
+                 + 0.05 * rng4.standard_normal((N, DIM)).astype(np.float32))
+        dq_np = (rng4.standard_normal((Q, lat4)).astype(np.float32) @ a4
+                 + 0.05 * rng4.standard_normal((Q, DIM)).astype(np.float32))
         dv = jnp.asarray(dv_np)
         dq = jnp.asarray(dq_np)
         d_truth = ground_truth_topk(dq, dv, K, cos)
@@ -1119,17 +1189,23 @@ def main():
     # the VERDICT r03 asks; gaussian/gist/1M already have recorded numbers
     # and run last.
     warm_rate = extra.get("build_vec_per_s_warm") or (N / build_cold)
-    # bandwidth-aware 10M estimate: the section is ~2 upload passes of the
-    # 5.1GB corpus (fused gen+GT, then the flush's train+encode pass) plus
-    # ~120s of host I/O, PQ train and search; a fixed estimate under-calls
-    # the cost on slow-tunnel days and starves the sections after it
+    # bandwidth-aware 10M estimate: the corpus is regenerated per-backend
+    # (zero corpus transfer); only the PQ CODES cross the tunnel — once
+    # down at segment write, once up at reader load. Measured at 2M scale:
+    # ~57s/M vec (gen+GT+encode+store+search) + codes transfer + ~60s
+    # fixed. Gated at 0.8x the estimate: the watchdog guarantees the JSON
+    # either way, the sections after it are cheaper repeats of recorded
+    # numbers, and the 10M tier is THE asked-for datapoint — expected
+    # value favors starting it even when the fit is tight (its extras
+    # land incrementally, so a watchdog cut keeps the build number).
     n10_est = int(os.environ.get("BENCH_N_TIER2", 10_000_000))
     mbps = extra.get("host_upload_mb_per_s") or 40.0
-    est_10m = 2 * (n10_est * DIM * 4) / (mbps * 1e6) + 120
+    est_10m = (n10_est / 1e6 * 57
+               + 2 * (n10_est * 64) / (mbps * 1e6) + 60) * 0.8
     sections = [
+        ("scalar+nvq cells", sec_scalar_nvq, 90, True),
         ("10M flat on_disk", sec_10m_flat, est_10m,
          int(os.environ.get("BENCH_N_TIER2", 1)) > 0),
-        ("scalar+nvq cells", sec_scalar_nvq, 90, True),
         ("config4 deep-analog", sec_config4, 200, True),
         ("per-op", sec_per_op, 110, True),
         ("pq", sec_pq, 60, True),

@@ -111,6 +111,8 @@ def test_delete_then_readd_same_doc(tmp_path):
     assert res.doc_ids[0][0] == 7
 
 
+@pytest.mark.slow  # 27s cell; reopen stays fast-covered by
+# test_reopen_from_commit + the reopen-tier matrix
 def test_reopen_continue_ingest_and_merge(tmp_path):
     """Commit-model lifecycle: reopen from commits.json, keep ingesting,
     merge across the reopen boundary (restart-upgrade IndexingIT intent)."""

@@ -652,6 +652,8 @@ def test_mesh_on_disk_shards_match_host_path(tmp_path):
         res4.scores[0, 0], 1.0, rtol=1e-5)  # self-match (L2 score 1.0)
 
 
+@pytest.mark.slow  # 50s cell; the synthetic-donor-code path stays fast-
+# covered by test_mesh_on_disk_mixed_small_flush_stays_on_mesh (9s)
 def test_mesh_mixed_pq_fp32_shards_serve_via_synthetic_codes(tmp_path):
     """The min-batch steady state: a big PQ segment plus a small fresh
     fp32 flush in each shard. The mesh keeps serving by encoding the

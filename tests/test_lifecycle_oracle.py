@@ -143,13 +143,10 @@ def test_lifecycle_filtered_subset(tmp_path):
                 assert int(d) in allowed
 
 
-@pytest.mark.parametrize("mode", [
-    "in_memory",
-    # slow-tier: the on_disk walk re-runs the same lifecycle machinery over
-    # the on_disk tier; the fast tier keeps the in_memory walk plus the
-    # dedicated on_disk mesh agreement cells
-    pytest.param("on_disk", marks=pytest.mark.slow),
-])
+@pytest.mark.slow  # combination stress (25s/cell): lifecycle machinery is
+# fast-covered by the single-index oracle, mesh serving by the per-mode
+# agreement cells, churn by the restack cells
+@pytest.mark.parametrize("mode", ["in_memory", "on_disk"])
 def test_sharded_random_lifecycle_matches_oracle(tmp_path, mode):
     """The oracle walk over a mesh-attached ShardedVectorIndex: routing,
     per-shard segment lifecycles, broadcast deletes, single-shard merges
