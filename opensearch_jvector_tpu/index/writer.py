@@ -35,6 +35,12 @@ from opensearch_jvector_tpu.models import pq as pq_mod
 from opensearch_jvector_tpu.models.builder import GraphIndexBuilder
 from opensearch_jvector_tpu.models.graph import bucket_capacity, pad_rows
 
+# Stride at which a flush(device_rows=...) provider is consumed — BOTH the
+# PQ-encode loop and the graph-build materialization request [lo, lo+BLOCK)
+# windows, so a provider may serve each request from a single generated
+# block of this size. Kept equal to pq.ENCODE_CHUNK * 16.
+DEVICE_ROWS_BLOCK = 1 << 20
+
 
 class IndexWriter:
     def __init__(
@@ -58,6 +64,11 @@ class IndexWriter:
         # buffer snapshot from another thread (misaligned doc_ids/vectors
         # written to disk otherwise)
         self._buf_lock = __import__("threading").Lock()
+        # set by delete_buffered: buffered positions no longer match the
+        # ingest order a flush(device_rows=...) provider was built against,
+        # so the provider must be dropped for the next flush (silently
+        # misaligned PQ codes otherwise)
+        self._buffer_positions_dirty = False
         # resume the counter past any existing segments: a reopened index
         # must never reuse a segment name (same-name flush silently
         # OVERWRITES the old segment directory)
@@ -97,7 +108,13 @@ class IndexWriter:
     def add_batch(self, doc_ids, vectors, parent_ids=None) -> int:
         """Bulk-buffer a block of documents (one array append — the fast
         ingest path for big corpora; _bulk surface parity). Returns the
-        number of docs buffered."""
+        number of docs buffered.
+
+        Aliasing contract: a float32 `vectors` array is buffered WITHOUT
+        copying (a 10M-row ingest must not duplicate the 5GB corpus), so
+        the buffer snapshots at flush time, not add time — the caller must
+        not mutate the array between add_batch and flush.
+        """
         ids = np.asarray(doc_ids, np.int64).reshape(-1)
         v = np.asarray(vectors)
         if v.dtype.kind not in "f":
@@ -152,6 +169,10 @@ class IndexWriter:
             if removed:
                 self._blocks = new_blocks
                 self._buffered -= removed
+                # block compaction shifted ingest-order positions: any
+                # device_rows provider built against the pre-delete order
+                # would now encode misaligned rows
+                self._buffer_positions_dirty = True
         return removed
 
     def _quantize_for_flush(self, vectors: jnp.ndarray, device_rows=None):
@@ -169,6 +190,13 @@ class IndexWriter:
         already live on device (e.g. straight out of an embedding model)
         or can be regenerated there. Training still samples the host rows
         (a 131k sample, not a corpus pass).
+
+        Scope: the provider feeds PQ ENCODING only. Scalar (1/2/4-bit) and
+        NVQ modes still train/encode from the host buffer — their encode
+        passes are one cheap elementwise sweep, not the PQ path's blocked
+        argmin, so the provider plumbing hasn't been extended to them.
+        (The non-flat graph build separately materializes provider rows in
+        _build_and_write, which covers every mode's build upload.)
         """
         cfg = self.config
         n = vectors.shape[0]
@@ -195,7 +223,8 @@ class IndexWriter:
             anisotropic_eta=pq_mod.eta_from_config(cfg, vectors),
         )
         if device_rows is not None:
-            blk = pq_mod.ENCODE_CHUNK * 16  # 1M-row provider blocks
+            blk = DEVICE_ROWS_BLOCK  # 1M-row provider blocks
+            assert blk == pq_mod.ENCODE_CHUNK * 16
             codes = jnp.concatenate([
                 pq_mod.encode(
                     pq, device_rows(lo, min(lo + blk, n)), cfg.similarity
@@ -237,7 +266,11 @@ class IndexWriter:
         `_quantize_for_flush`. The provider MUST return the same values as
         the buffered host rows (they remain the durable copy in the row
         store); it is ignored when the buffer was deduplicated (update
-        semantics reorder positions).
+        semantics reorder positions) or when a buffered delete compacted
+        blocks since the rows were added (both shift ingest-order
+        positions, which would misalign the provider). It skips the upload
+        for PQ encoding and the graph build; scalar/NVQ encoding still
+        reads host rows (see `_quantize_for_flush`).
         """
         if not self._buffered:
             return None
@@ -253,10 +286,17 @@ class IndexWriter:
         with self._buf_lock:
             blocks = self._blocks
             count = self._buffered
+            positions_dirty = self._buffer_positions_dirty
             self._blocks = []
             self._buffered = 0
+            self._buffer_positions_dirty = False
         if not count:
             return None
+        if positions_dirty and device_rows is not None:
+            # a buffered delete compacted blocks since the rows were added:
+            # provider positions no longer align with the snapshot — fall
+            # back to the (correct) host rows
+            device_rows = None
         try:
             return self._build_and_write(blocks, count, name, sort_map,
                                          device_rows)
@@ -268,6 +308,7 @@ class IndexWriter:
             with self._buf_lock:
                 self._blocks = blocks + self._blocks
                 self._buffered += count
+                self._buffer_positions_dirty |= positions_dirty
             raise
 
     def _build_and_write(self, blocks, count: int,
@@ -323,7 +364,7 @@ class IndexWriter:
             # provider replaces the upload wholesale.
             if device_rows is not None:
                 n_rows = vectors.shape[0]
-                blk = 1 << 20
+                blk = DEVICE_ROWS_BLOCK
                 parts = [device_rows(lo, min(lo + blk, n_rows))
                          for lo in range(0, n_rows, blk)]
                 vectors = parts[0] if len(parts) == 1 else jnp.concatenate(

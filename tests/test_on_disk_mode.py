@@ -385,3 +385,47 @@ def test_flush_device_rows_ignored_after_buffer_dedup(tmp_path):
 
     got = np.asarray(idx.get_vectors([0])[0]).reshape(-1)
     np.testing.assert_allclose(got, v0_new, rtol=1e-6)
+
+
+def test_flush_device_rows_ignored_after_buffered_delete(tmp_path):
+    """delete() on buffered docs compacts blocks and shifts ingest-order
+    positions — a device_rows provider built against the pre-delete order
+    must be ignored (host fallback, correct codes)."""
+    import jax.numpy as jnp
+
+    cfg = DiskAnnConfig(
+        dim=DIM, similarity=SimilarityFunction.EUCLIDEAN,
+        quantization_type="pq", min_batch_size_for_quantization=128,
+        num_pq_subspaces=4, mode="on_disk", index_type="flat",
+    )
+    rng = np.random.default_rng(14)
+    v = rng.standard_normal((300, DIM)).astype(np.float32)
+    v_dev = jnp.asarray(v)
+    idx = VectorIndex(tmp_path, cfg)
+    idx.add_batch(np.arange(300), v)
+    # delete a buffered doc -> positions [6:] shift down by one; the
+    # provider (built against the original 300-row order) is now stale
+    idx.delete([5])
+    idx.flush(device_rows=lambda lo, hi: v_dev[lo:hi])
+
+    # doc 6 sits at compacted position 5; a misaligned provider would have
+    # encoded row 5 (= old doc 5's vector) for it. Exact read-back comes
+    # from the row store either way — compare the SCAN tier's codes by
+    # searching with the deleted doc's vector: doc 5 must be gone and its
+    # former row must not shadow doc 6's codes.
+    res = idx.search(v[6:7], SearchConfig(k=1, ef_search=32))
+    assert res.doc_ids[0, 0] == 6
+    res5 = idx.search(v[5:6], SearchConfig(k=3, ef_search=32))
+    assert 5 not in res5.doc_ids[0]
+
+    from opensearch_jvector_tpu.index.segment import read_segment as _rs
+    seg = _rs(tmp_path / idx.segment_names[0], cfg)
+    # codes must match a clean host-only flush of the compacted buffer
+    idx2 = VectorIndex(tmp_path / "clean", cfg)
+    keep = np.arange(300) != 5
+    idx2.add_batch(np.arange(300)[keep], v[keep])
+    idx2.flush()
+    seg2 = _rs(tmp_path / "clean" / idx2.segment_names[0], cfg)
+    np.testing.assert_array_equal(
+        np.asarray(seg.pqv.codes), np.asarray(seg2.pqv.codes)
+    )
