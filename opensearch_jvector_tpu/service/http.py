@@ -49,6 +49,81 @@ _PENDING = object()   # registry reservation while an index is constructed
 _DELETING = object()  # registry tombstone while drop() removes storage
 
 
+class MicroBatcher:
+    """Dynamic micro-batching of concurrent single-vector knn searches.
+
+    The reference serves each query on its own CPU thread; a TPU serves
+    queries as BATCHES — one [Q, d] dispatch costs barely more than one
+    [1, d] dispatch (and through a remote-dispatch link, the fixed RTT
+    dominates a single query outright). Concurrent REST requests whose
+    query parameters match are therefore coalesced: the first arrival
+    becomes the leader, waits `window_ms` for followers, stacks the
+    vectors, runs ONE `execute_knn_query`, and hands each requester its
+    row. Requests with filters / radial params / nested expansion are
+    never batched (their execution shape is per-request).
+
+    This is the serving analog of the msearch-style batched-vector
+    surface: that batches within one request, this batches across
+    concurrent requests.
+    """
+
+    def __init__(self, window_ms: float = 2.0, max_batch: int = 256):
+        self.window_s = float(window_ms) / 1000.0
+        self.max_batch = int(max_batch)
+        self._lock = threading.Lock()
+        self._groups: dict[tuple, list] = {}
+
+    @staticmethod
+    def batch_key(idx, query):
+        """Grouping key, or None when the query must run alone."""
+        if (query.filter_docs is not None or query.max_distance is not None
+                or query.min_score is not None or query.expand_nested_docs):
+            return None
+        r = query.rescore
+        return (
+            id(idx), query.k, query.ef_search, query.overquery_factor,
+            query.threshold, query.rerank_floor, query.use_pruning,
+            None if r is None else float(r.oversample_factor),
+        )
+
+    def submit(self, idx, query, key):
+        """Execute `query` against `idx`, possibly coalesced with
+        concurrent submissions sharing `key`. Returns (QueryResult, row)."""
+        import dataclasses as _dc
+        import time as _time
+
+        done = threading.Event()
+        slot = [None, None]  # (result, row) | (exception in [0], None)
+        with self._lock:
+            group = self._groups.setdefault(key, [])
+            group.append((np.asarray(query.vector, np.float32), done, slot))
+            leader = len(group) == 1
+        if not leader:
+            done.wait()
+            if isinstance(slot[0], BaseException):
+                raise slot[0]
+            return slot[0], slot[1]
+        _time.sleep(self.window_s)
+        with self._lock:
+            batch = self._groups.pop(key)
+        # max_batch is a sizing guideline for window tuning, not a hard
+        # cap: everything collected in the window ships in one dispatch
+        # (dropping entries would strand their waiters)
+        try:
+            vecs = np.stack([b[0] for b in batch])
+            bq = _dc.replace(query, vector=vecs)
+            res = knn_mod.execute_knn_query(idx, bq)
+            for i, (_, ev, sl) in enumerate(batch):
+                sl[0], sl[1] = res, i
+                ev.set()
+        except BaseException as e:
+            for _, ev, sl in batch:
+                sl[0], sl[1] = e, None
+                ev.set()
+            raise
+        return slot[0], slot[1]
+
+
 class IndexManager:
     """Registry of named indices.
 
@@ -59,7 +134,7 @@ class IndexManager:
     independent VectorIndex under `{root}/{index}/{field}`; documents may
     omit any subset of fields (missing-field semantics)."""
 
-    def __init__(self, root: str | Path, mesh=None):
+    def __init__(self, root: str | Path, mesh=None, batcher=None):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self._lock = threading.Lock()
@@ -67,6 +142,9 @@ class IndexManager:
         # optional device mesh: sharded indexes whose shard count matches
         # the mesh size get the full-engine mesh fast path
         self.mesh = mesh
+        # optional MicroBatcher: coalesces concurrent single-vector
+        # searches into one device dispatch (None disables)
+        self.batcher = batcher
 
     def create(self, name: str, mappings: dict,
                settings: dict | None = None) -> dict:
@@ -646,6 +724,8 @@ def _make_handler(mgr: IndexManager):
             idx = fields[tgt]
             query = parse_knn_query(qroot[tgt])
 
+            row0 = 0  # result row for this request (micro-batching may
+            # place it anywhere in a coalesced dispatch)
             ext = body.get("ext") or {}
             if "mmr" in ext:
                 mmr_body = ext["mmr"] or {}
@@ -674,7 +754,14 @@ def _make_handler(mgr: IndexManager):
                     vector_source=vsrc,
                 )
             else:
-                res = knn_mod.execute_knn_query(idx, query)
+                bkey = (MicroBatcher.batch_key(idx, query)
+                        if (mgr.batcher is not None
+                            and np.asarray(query.vector).ndim == 1)
+                        else None)
+                if bkey is not None:
+                    res, row0 = mgr.batcher.submit(idx, query, bkey)
+                else:
+                    res = knn_mod.execute_knn_query(idx, query)
 
             def hits_for(row_ids, row_scores):
                 hits = []
@@ -690,6 +777,10 @@ def _make_handler(mgr: IndexManager):
                 "visited": res.visited,
                 "expanded": res.expanded,
                 "reranked": res.reranked,
+                # rows in the device dispatch that served this request
+                # (>1 => micro-batched with concurrent requests; the
+                # counters above aggregate over the whole dispatch)
+                "dispatch_rows": int(np.asarray(res.doc_ids).shape[0]),
             }
             if np.asarray(query.vector).ndim == 2:
                 # batched query surface (msearch-style): Q query vectors ran
@@ -707,7 +798,7 @@ def _make_handler(mgr: IndexManager):
                 return self._send(200, {
                     "responses": responses, "profile": profile,
                 })
-            hits = hits_for(res.doc_ids[0], res.scores[0])
+            hits = hits_for(res.doc_ids[row0], res.scores[row0])
             attach_docvalues([hits])
             return self._send(200, {
                 "hits": {"total": {"value": len(hits)}, "hits": hits},
@@ -721,8 +812,12 @@ class KnnService:
     """Embedded HTTP service wrapper (threaded; test- and prod-friendly)."""
 
     def __init__(self, root: str | Path, host: str = "127.0.0.1",
-                 port: int = 0, mesh=None):
-        self.manager = IndexManager(root, mesh=mesh)
+                 port: int = 0, mesh=None, batch_window_ms: float = 2.0):
+        # batch_window_ms > 0 enables request coalescing (MicroBatcher);
+        # 0 serves every request as its own device dispatch
+        batcher = (MicroBatcher(window_ms=batch_window_ms)
+                   if batch_window_ms and batch_window_ms > 0 else None)
+        self.manager = IndexManager(root, mesh=mesh, batcher=batcher)
         self.server = ThreadingHTTPServer(
             (host, port), _make_handler(self.manager)
         )

@@ -716,3 +716,77 @@ def test_cluster_settings_roundtrip(service):
     assert status == 400 and "invalid value" in out["error"]
     status, out = _req(service, "PUT", "/_cluster/settings", {})
     assert status == 400
+
+
+def test_micro_batching_coalesces_concurrent_searches(service):
+    """Concurrent single-vector searches with identical params must
+    coalesce into one device dispatch (MicroBatcher), and every requester
+    must get ITS OWN row — the TPU-serving analog of per-thread CPU
+    queries."""
+    import threading
+
+    rng = np.random.default_rng(77)
+    v = rng.standard_normal((64, DIM)).astype(np.float32)
+    _req(service, "PUT", "/mbidx", {
+        "mappings": {"properties": {
+            "vec": {"type": "knn_vector", "dimension": DIM},
+        }},
+    })
+    docs = [{"_id": i, "vec": v[i].tolist()} for i in range(64)]
+    _req(service, "POST", "/mbidx/_bulk", {"docs": docs})
+    _req(service, "POST", "/mbidx/_flush")
+
+    # widen the window so slow test machines still coalesce
+    service.manager.batcher.window_s = 0.25
+
+    results = {}
+    barrier = threading.Barrier(8)
+
+    def one(i):
+        barrier.wait()
+        status, out = _req(service, "POST", "/mbidx/_search", {
+            "query": {"knn": {"vec": {"vector": v[i].tolist(), "k": 3}}},
+        })
+        results[i] = (status, out)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+
+    coalesced = 0
+    for i in range(8):
+        status, out = results[i]
+        assert status == 200
+        # each requester gets its own nearest neighbor, not the leader's
+        assert out["hits"]["hits"][0]["_id"] == i
+        coalesced = max(coalesced, out["profile"]["dispatch_rows"])
+    # at least some of the 8 concurrent requests must have shared a
+    # dispatch (all 8 typically do; >=2 keeps the assert robust)
+    assert coalesced >= 2, coalesced
+
+
+def test_micro_batching_excluded_paths_run_alone(service):
+    """Filtered / radial / rescored-with-different-params queries must not
+    be miscoalesced; filter queries bypass batching entirely."""
+    rng = np.random.default_rng(78)
+    v = rng.standard_normal((32, DIM)).astype(np.float32)
+    _req(service, "PUT", "/mbidx2", {
+        "mappings": {"properties": {
+            "vec": {"type": "knn_vector", "dimension": DIM},
+        }},
+    })
+    docs = [{"_id": i, "vec": v[i].tolist()} for i in range(32)]
+    _req(service, "POST", "/mbidx2/_bulk", {"docs": docs})
+    _req(service, "POST", "/mbidx2/_flush")
+
+    status, out = _req(service, "POST", "/mbidx2/_search", {
+        "query": {"knn": {"vec": {
+            "vector": v[4].tolist(), "k": 2,
+            "filter": [4, 5, 6],
+        }}},
+    })
+    assert status == 200
+    assert out["hits"]["hits"][0]["_id"] == 4
+    assert out["profile"]["dispatch_rows"] == 1
