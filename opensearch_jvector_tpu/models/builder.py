@@ -300,6 +300,35 @@ def _make_apply_edges_fn():
     return run
 
 
+@functools.cache
+def _make_fwd_apply_fn(cap_deg: int):
+    """Forward-row write + live mark, straight from the prune's DEVICE
+    output — no host round trip. This is the half of edge application the
+    pipelined build runs eagerly so the NEXT round's beam search can be
+    dispatched before the host has even seen this round's prune results
+    (reverse edges follow one round later; see build())."""
+
+    @jax.jit
+    def run(adj, live, new_ids, sel):
+        rows = jnp.pad(
+            sel, ((0, 0), (0, cap_deg - sel.shape[1])), constant_values=-1
+        )
+        return adj.at[new_ids].set(rows), live.at[new_ids].set(True)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_apply_reverse_fn():
+    """Reverse-edge scatter alone (the host-computed half of a round)."""
+
+    @jax.jit
+    def run(adj, dst, slot, src):
+        return adj.at[dst, slot].set(src, mode="drop")
+
+    return run
+
+
 class _DeviceAdj:
     """Device-resident adjacency + host degree mirror."""
 
@@ -414,6 +443,24 @@ class GraphIndexBuilder:
         return min(b, self.batch_size)
 
     # -- scoring helpers ---------------------------------------------------
+
+    @staticmethod
+    def _pad_pq(pq: dict | None, capacity: int) -> dict | None:
+        """Pad row-indexed PQ score-source arrays to the graph capacity.
+
+        Search-program families are keyed by array SHAPES: a caller handing
+        a [n, d] decoded cache to build() and a [n', d] one to add_nodes()
+        would otherwise trigger a full recompile of every round program for
+        the second shape (tens of seconds through the remote-compile
+        tunnel). Normalizing to the pow2 capacity keeps one family.
+        """
+        if pq is None:
+            return None
+        out = dict(pq)
+        for k in ("decoded", "codes"):
+            if k in out:
+                out[k] = pad_rows(out[k], capacity)
+        return out
 
     def _search_candidates(
         self, adj_dev, live_dev, entry, vectors, queries, simf, pq=None
@@ -681,22 +728,31 @@ class GraphIndexBuilder:
 
     # -- insert round --------------------------------------------------------
 
-    def _insert_round(self, st: _DeviceAdj, live_dev, entry, batch, vectors,
-                      simf, pq):
+    def _round_dispatch(self, st: _DeviceAdj, live_dev, entry, batch,
+                        vectors, simf, pq):
+        """Device half of an insert round: beam search + round prune +
+        forward-row apply + live mark, all dispatched without waiting on
+        any result. Returns (pending, live_dev') where `pending` carries
+        the DEVICE prune output for _round_finish.
+
+        The forward rows land immediately, so the next round's search can
+        be dispatched before this round's host bookkeeping runs — the
+        pipelined build overlaps host work with device beam search.
+        """
         # Pad the batch to a pow2 bucket so rounds hit a small family of
         # compiled programs (XLA retraces on shape changes) without paying
         # full-batch compute for tiny rounds.
         real_b = len(batch)
         bucket = self._bucket(real_b)
+        padded = batch
         if real_b < bucket:
-            batch = np.concatenate(
+            padded = np.concatenate(
                 [batch, np.full(bucket - real_b, batch[0], batch.dtype)]
             )
-        b = len(batch)
         import time as _time
 
         t0 = _time.time() if BUILD_PROFILE else 0.0
-        batch_dev = jnp.asarray(batch, jnp.int32)
+        batch_dev = jnp.asarray(padded, jnp.int32)
         queries = vectors[batch_dev]
         cand_ids, cand_scores = self._search_candidates(
             st.dev, live_dev, entry, vectors, queries, simf, pq
@@ -705,18 +761,35 @@ class GraphIndexBuilder:
             jax.block_until_ready(cand_ids)
             self.counters._phase("search", _time.time() - t0)
             t0 = _time.time()
+        b = len(padded)
         top_r = min(b - 1, self.max_degree) if b > 1 else 0
         prune_fn = _make_round_prune_fn(
             simf.value, self.max_degree, top_r, self.alpha
         )
-        sel = np.asarray(
-            prune_fn(batch_dev, cand_ids, cand_scores, vectors)
-        )[:real_b]
-        new_ids = np.asarray(batch)[:real_b]
+        sel_dev = prune_fn(batch_dev, cand_ids, cand_scores, vectors)
+        # forward rows + live mark from the device output (padded
+        # duplicates recompute identical rows — duplicate scatter writes
+        # of identical content are well-defined)
+        fwd = _make_fwd_apply_fn(st.cap_deg)
+        st.dev, live_dev = fwd(st.dev, live_dev, batch_dev, sel_dev)
         if BUILD_PROFILE:
-            self.counters._phase("prune+fetch", _time.time() - t0)
-            t0 = _time.time()
+            jax.block_until_ready(st.dev)
+            self.counters._phase("prune+fwd", _time.time() - t0)
+        return (np.asarray(batch), sel_dev, real_b), live_dev
 
+    def _round_finish(self, st: _DeviceAdj, pending, vectors, simf):
+        """Host half of an insert round: fetch the prune output, compute
+        reverse-edge slots, apply them, queue overflow prunes. While this
+        runs, the device is (in the pipelined build) already executing the
+        next round's beam search."""
+        new_ids, sel_dev, real_b = pending
+        import time as _time
+
+        t0 = _time.time() if BUILD_PROFILE else 0.0
+        sel = np.asarray(sel_dev)[:real_b]
+        if BUILD_PROFILE:
+            self.counters._phase("sel_fetch", _time.time() - t0)
+            t0 = _time.time()
         st.deg[new_ids] = (sel >= 0).sum(axis=1)
         dst, slot, src, overflowed, extras = self._compute_back_edges(
             st.deg, new_ids, sel, self.overflow_degree
@@ -724,7 +797,7 @@ class GraphIndexBuilder:
         if BUILD_PROFILE:
             self.counters._phase("backedges_host", _time.time() - t0)
             t0 = _time.time()
-        st.dev = self._apply_edges(st, new_ids, sel, dst, slot, src)
+        st.dev = self._apply_reverse(st, new_ids.size, dst, slot, src)
         if BUILD_PROFILE:
             jax.block_until_ready(st.dev)
             self.counters._phase("apply", _time.time() - t0)
@@ -733,6 +806,34 @@ class GraphIndexBuilder:
         if BUILD_PROFILE:
             jax.block_until_ready(st.dev)
             self.counters._phase("overflow", _time.time() - t0)
+
+    def _insert_round(self, st: _DeviceAdj, live_dev, entry, batch, vectors,
+                      simf, pq):
+        """Serial round (dispatch + finish back to back) — used by the
+        prewarm threads and as the building block of the pipelined loops."""
+        pending, live_dev = self._round_dispatch(
+            st, live_dev, entry, batch, vectors, simf, pq
+        )
+        self._round_finish(st, pending, vectors, simf)
+        return live_dev
+
+    def _apply_reverse(self, st, n_new, dst, slot, src):
+        """Reverse-edge scatter, padded to the round's bucketed width."""
+        bucket = self._bucket(n_new)
+        width = bucket * self.max_degree
+        n_cap = st.dev.shape[0]
+        dst_p = np.full(width, n_cap, np.int32)  # OOB -> dropped by scatter
+        slot_p = np.zeros(width, np.int32)
+        src_p = np.full(width, -1, np.int32)
+        m = min(dst.size, width)
+        dst_p[:m], slot_p[:m], src_p[:m] = dst[:m], slot[:m], src[:m]
+        fn = _make_apply_reverse_fn()
+        return fn(
+            st.dev,
+            jnp.asarray(dst_p),
+            jnp.asarray(slot_p),
+            jnp.asarray(src_p),
+        )
 
     def _apply_edges(self, st, new_ids, sel, dst, slot, src):
         """Pad edge lists to a bucketed width and apply on device (bounded
@@ -785,6 +886,7 @@ class GraphIndexBuilder:
             return VamanaGraph.empty(capacity or 0, cap_deg)
         capacity = bucket_capacity(max(capacity or 0, n))
         vectors = pad_rows(jnp.asarray(vectors, jnp.float32), capacity)
+        pq = self._pad_pq(pq, capacity)
         if pq is None and self.score_dtype == "bf16":
             # construction-only approximate score source: beam candidates
             # gather from a bf16 corpus copy (same einsum path as the
@@ -833,15 +935,30 @@ class GraphIndexBuilder:
             st, live_dev, entry, vectors, simf, pq,
             self._ramp_buckets(b0, n),
         )
+        # Pipelined insert loop: dispatch round k's device work (search +
+        # prune + forward rows), THEN finish round k-1 on the host (fetch
+        # prune output, reverse-edge slots, overflow prunes) while the
+        # device executes round k's beam search. Reverse edges therefore
+        # land one round late — round k's search cannot reach round k-1's
+        # nodes (equivalent in effect to one double-width round; measured
+        # recall-neutral, see docs/design.md) — and the host bookkeeping
+        # cost disappears from the critical path.
         pos = b0
+        pending = None
         while pos < n:
             cur = min(self.batch_size, max(pos, 64))
             batch = order[pos : pos + cur]
-            self._insert_round(st, live_dev, entry, batch, vectors, simf, pq)
+            nxt, live_dev = self._round_dispatch(
+                st, live_dev, entry, batch, vectors, simf, pq
+            )
             live[batch] = True
-            live_dev = live_dev.at[jnp.asarray(batch)].set(True)
+            if pending is not None:
+                self._round_finish(st, pending, vectors, simf)
+            pending = nxt
             pos += len(batch)
             self.counters.rounds += 1
+        if pending is not None:
+            self._round_finish(st, pending, vectors, simf)
 
         self.counters.nodes_inserted += n
         graph = VamanaGraph(
@@ -872,6 +989,7 @@ class GraphIndexBuilder:
         live_dev = graph.live
         entry = int(graph.entry)
         vectors = pad_rows(jnp.asarray(vectors, jnp.float32), graph.capacity)
+        pq = self._pad_pq(pq, graph.capacity)
         ids_all = np.nonzero(live)[0]
         rng = np.random.default_rng(self.seed + 1)
         for _ in range(passes):
@@ -984,6 +1102,7 @@ class GraphIndexBuilder:
         live_dev = graph.live
         entry = int(graph.entry)
         vectors = pad_rows(jnp.asarray(vectors, jnp.float32), graph.capacity)
+        pq = self._pad_pq(pq, graph.capacity)
         if pq is None and self.score_dtype == "bf16":
             pq = {"decoded": vectors.astype(jnp.bfloat16)}
         # deleted nodes referenced by the loaded adjacency must be masked out
@@ -1001,14 +1120,22 @@ class GraphIndexBuilder:
             st, live_dev, entry, vectors, simf, pq,
             [self._bucket(c) for c in chunks],
         )
+        # same pipelined dispatch/finish overlap as build()
         s = 0
+        pending = None
         for c in chunks:
             batch = np.asarray(new_ids[s : s + c])
             s += c
-            self._insert_round(st, live_dev, entry, batch, vectors, simf, pq)
+            nxt, live_dev = self._round_dispatch(
+                st, live_dev, entry, batch, vectors, simf, pq
+            )
             live[batch] = True
-            live_dev = live_dev.at[jnp.asarray(batch)].set(True)
+            if pending is not None:
+                self._round_finish(st, pending, vectors, simf)
+            pending = nxt
             self.counters.rounds += 1
+        if pending is not None:
+            self._round_finish(st, pending, vectors, simf)
         self.counters.nodes_inserted += len(new_ids)
 
         return VamanaGraph(
