@@ -346,6 +346,106 @@ def main():
     # whether to start it at all.
     # ------------------------------------------------------------------
 
+    def make_device_corpus(n, seed, q_count, kind="latent"):
+        """Per-backend REGENERATED corpus — zero corpus bytes cross the
+        tunnel. threefry is counter-based and backend-deterministic, and
+        the latent matmul runs at precision='highest', so the CPU copy
+        feeding the row store and the TPU copy feeding GT/encode/build
+        agree to ~1e-6 (measured, logged as row drift by `join`).
+
+        Returns a namespace: `dev_rows(lo, hi)` (the flush(device_rows=)
+        provider), `gt_blocks()` (streamed GT source), `v_host` (numpy
+        rows, filled by a background CPU thread), `queries`, and
+        `join(tag)` (wait for host rows + record drift).
+        """
+        import types
+
+        from opensearch_jvector_tpu.index.writer import DEVICE_ROWS_BLOCK
+        B = DEVICE_ROWS_BLOCK  # generator block == writer provider stride
+        latent = 16
+        rngc = np.random.default_rng(seed)
+        if kind == "latent":
+            a_h = rngc.standard_normal((latent, DIM)).astype(np.float32)
+            a_h /= np.sqrt(latent)
+            q_h = (rngc.standard_normal((q_count, latent)).astype(
+                np.float32) @ a_h
+                + 0.05 * rngc.standard_normal((q_count, DIM)).astype(
+                    np.float32))
+        else:  # i.i.d. gaussian (adversarial: no low-dim structure)
+            a_h = None
+            q_h = rngc.standard_normal((q_count, DIM)).astype(np.float32)
+
+        key = jax.random.PRNGKey(seed)
+        kn = jax.random.PRNGKey(seed + 70)
+
+        @jax.jit
+        def gen_block(i, a, noise):
+            # fresh latent coords per block; ONE shared noise block per
+            # backend (134M gaussians once — 5% amplitude, repetition
+            # across slices is irrelevant to recall/latency)
+            if a is None:
+                return jax.random.normal(
+                    jax.random.fold_in(key, i), (B, DIM), jnp.float32
+                )
+            z = jax.random.normal(
+                jax.random.fold_in(key, i), (B, latent), jnp.float32
+            )
+            return jnp.dot(z, a, precision="highest") + 0.05 * noise
+
+        a_dev = None if a_h is None else jnp.asarray(a_h)
+        noise_dev = (None if a_h is None
+                     else jax.random.normal(kn, (B, DIM), jnp.float32))
+
+        def dev_block(i):
+            return gen_block(jnp.int32(i), a_dev, noise_dev)
+
+        def dev_rows(lo, hi):
+            i, off = divmod(lo, B)
+            # single-block contract: the writer consumes providers at
+            # DEVICE_ROWS_BLOCK stride (== B), so every request fits one
+            # generated block; a block-crossing request would silently
+            # return short rows via JAX's clamped OOB slicing
+            assert off + (hi - lo) <= B, (lo, hi, B)
+            return dev_block(i)[off: off + (hi - lo)]
+
+        # host copy (row store + rerank source): same program on the CPU
+        # backend, generated while the device runs the GT pass
+        cpu_dev = jax.devices("cpu")[0]
+        v_host = np.empty((n, DIM), np.float32)
+        host_state = {}
+
+        def fill_host_rows():
+            with jax.default_device(cpu_dev):
+                a_c = None if a_h is None else jnp.asarray(a_h)
+                noise_c = (None if a_h is None
+                           else jax.random.normal(kn, (B, DIM), jnp.float32))
+                for i, lo in enumerate(range(0, n, B)):
+                    hi = min(lo + B, n)
+                    v_host[lo:hi] = np.asarray(
+                        gen_block(jnp.int32(i), a_c, noise_c)[: hi - lo]
+                    )
+            host_state["done"] = True
+
+        host_thread = threading.Thread(target=fill_host_rows, daemon=True)
+        host_thread.start()
+
+        def gt_blocks():
+            for i, lo in enumerate(range(0, n, B)):
+                hi = min(lo + B, n)
+                yield lo, dev_block(i)[: hi - lo]
+
+        def join(tag):
+            host_thread.join()
+            drift = float(np.abs(
+                np.asarray(dev_block(0)[:256]) - v_host[:256]).max())
+            extra[f"{tag}_row_drift"] = drift
+            return drift
+
+        return types.SimpleNamespace(
+            dev_rows=dev_rows, dev_block=dev_block, gt_blocks=gt_blocks,
+            v_host=v_host, queries=q_h, join=join, host_state=host_state,
+        )
+
     def sec_10m_flat():
         # Larger-than-memory tier at 10M x 128d (BASELINE configs 4-5
         # scale): flat (graph-less) on_disk index — PQ codes + decoded-bf16
@@ -353,16 +453,9 @@ def main():
         # quantize + store (no graph build), search is the MXU scan tier +
         # paged rerank, through the production VectorIndex path.
         #
-        # The corpus NEVER crosses the tunnel: blocks are REGENERATED on
-        # whichever backend needs them (threefry is counter-based and
-        # backend-deterministic; the latent matmul runs at
-        # precision='highest', so the CPU copy feeding the row store and
-        # the TPU copy feeding GT/encode agree to ~1e-6 — measured and
-        # logged as `row drift` below). The device side uses the
-        # flush(device_rows=...) ingest source — the production path for
-        # vectors already resident on device (e.g. out of an embedding
-        # model). Only the PQ codes pay the tunnel (segment write + reader
-        # load), which the gate below prices in.
+        # The corpus never crosses the tunnel (make_device_corpus); only
+        # the PQ codes pay it (segment write + reader load), which the
+        # gate below prices in.
         import gc
         import shutil
         import tempfile
@@ -384,70 +477,10 @@ def main():
         ):
             return
         t_gen = time.time()
-        from opensearch_jvector_tpu.index.writer import DEVICE_ROWS_BLOCK
-        B = DEVICE_ROWS_BLOCK  # generator block == writer provider stride
-        latent = 16
-        rng10 = np.random.default_rng(31)
-        a10 = rng10.standard_normal((latent, DIM)).astype(np.float32)
-        a10 /= np.sqrt(latent)
-        q10n = min(Q, 128)  # GT cost scales with Q; 128 queries suffice
-        q10 = (rng10.standard_normal((q10n, latent)).astype(np.float32)
-               @ a10
-               + 0.05 * rng10.standard_normal((q10n, DIM)).astype(
-                   np.float32))
-
-        key = jax.random.PRNGKey(31)
-        kn = jax.random.PRNGKey(101)
-
-        @jax.jit
-        def gen_block(i, a, noise):
-            # fresh latent coords per block; ONE shared noise block per
-            # backend (134M gaussians once — 5% amplitude, repetition
-            # across slices is irrelevant to recall/latency)
-            z = jax.random.normal(
-                jax.random.fold_in(key, i), (B, latent), jnp.float32
-            )
-            return jnp.dot(z, a, precision="highest") + 0.05 * noise
-
-        a_dev = jnp.asarray(a10)
-        noise_dev = jax.random.normal(kn, (B, DIM), jnp.float32)
-
-        def dev_block(i):
-            return gen_block(jnp.int32(i), a_dev, noise_dev)
-
-        def dev_rows(lo, hi):
-            i, off = divmod(lo, B)
-            # single-block contract: the writer consumes providers at
-            # DEVICE_ROWS_BLOCK stride (== B), so every request fits one
-            # generated block; a block-crossing request would silently
-            # return short rows via JAX's clamped OOB slicing
-            assert off + (hi - lo) <= B, (lo, hi, B)
-            return dev_block(i)[off: off + (hi - lo)]
-
-        # host copy (row store + rerank source): same program on the CPU
-        # backend, generated while the device runs the GT pass below
-        cpu_dev = jax.devices("cpu")[0]
-        v10 = np.empty((n10, DIM), np.float32)
-        host_state = {}
-
-        def fill_host_rows():
-            with jax.default_device(cpu_dev):
-                a_c = jnp.asarray(a10)
-                noise_c = jax.random.normal(kn, (B, DIM), jnp.float32)
-                for i, lo in enumerate(range(0, n10, B)):
-                    hi = min(lo + B, n10)
-                    v10[lo:hi] = np.asarray(
-                        gen_block(jnp.int32(i), a_c, noise_c)[: hi - lo]
-                    )
-            host_state["done"] = True
-
-        host_thread = threading.Thread(target=fill_host_rows, daemon=True)
-        host_thread.start()
-
-        def gt_blocks():
-            for i, lo in enumerate(range(0, n10, B)):
-                hi = min(lo + B, n10)
-                yield lo, dev_block(i)[: hi - lo]
+        corpus = make_device_corpus(n10, seed=31, q_count=min(Q, 128))
+        q10 = corpus.queries
+        q10n = q10.shape[0]
+        v10 = corpus.v_host
 
         root = tempfile.mkdtemp(prefix="bench10m_")
         try:
@@ -455,16 +488,13 @@ def main():
             # slabs don't fit next to the index's resident codes + decoded
             # cache at 10M (the r03 attempt OOM'd computing GT post-build)
             t0 = time.time()
-            t10 = ground_truth_topk_stream(q10, gt_blocks(), K, simf)
-            host_thread.join()
-            drift = float(np.abs(
-                np.asarray(dev_block(0)[:256]) - v10[:256]).max())
+            t10 = ground_truth_topk_stream(q10, corpus.gt_blocks(), K, simf)
+            drift = corpus.join("10M")
             log(f"10M device-gen ground truth: {time.time() - t0:.1f}s "
                 f"(host rows in parallel: "
-                f"{'done' if host_state.get('done') else 'late'}; "
+                f"{'done' if corpus.host_state.get('done') else 'late'}; "
                 f"device/host row drift {drift:.2e}); "
                 f"section setup total {time.time() - t_gen:.1f}s")
-            extra["10M_row_drift"] = drift
             idx10 = VectorIndex(
                 root,
                 DiskAnnConfig(dim=DIM, mode="on_disk", index_type="flat",
@@ -474,7 +504,7 @@ def main():
             )
             idx10.add_batch(np.arange(n10), v10)
             t0 = time.time()
-            idx10.flush(device_rows=dev_rows)
+            idx10.flush(device_rows=corpus.dev_rows)
             b10 = time.time() - t0
             log(f"10M flat on_disk ingest (PQ train+encode+store): "
                 f"{b10:.1f}s ({n10 / b10:.0f} vec/s)")
@@ -495,7 +525,7 @@ def main():
             extra["10M_ms_per_query"] = round(ms10, 4)
             extra["10M_recall"] = round(float(rec10), 4)
             extra["10M_hbm_bytes_per_vector"] = hbm_per_vec
-            del idx10, v10, q10, t10, seg10
+            del idx10, v10, q10, t10, seg10, corpus
             gc.collect()
         finally:
             shutil.rmtree(root, ignore_errors=True)
@@ -992,10 +1022,25 @@ def main():
             f"({full_s / merge_inc:.1f}x)")
         extra["merge_incremental_s"] = round(merge_inc, 2)
 
-    def sec_1m_graph():
-        # The >SCAN_TIER on_disk beam tier at 1M codes: graph +
-        # decoded-bf16 ADC cache in HBM, fp32 rows in the native host
-        # store for rerank — the production VectorIndex path end-to-end.
+    def sec_graph_tier():
+        # The DiskANN-at-scale demonstration (VERDICT r04 #1): the on_disk
+        # GRAPH (Vamana beam) tier at >=4M codes through the production
+        # VectorIndex path. Quantized build — the PQ build-score provider
+        # over a device-resident row source (make_device_corpus), so no
+        # corpus bytes cross the tunnel; only the segment's adjacency +
+        # codes pay it (priced by the gate). Serving: beam traversal over
+        # the decoded-bf16 ADC cache + paged exact rerank from the host
+        # row store. The SAME segment is then re-served through the
+        # exhaustive scan tier (dynamic scan_tier_max_codes raised above
+        # N) so the sub-linear win is a same-corpus same-index comparison;
+        # finally the breaker is forced low and the beam re-serves
+        # codes-only — the memory-tight configuration at scale.
+        #
+        # N defaults to 2^22 = 4,194,304: exactly a pow2 capacity bucket
+        # (no padded tail skewing the scan comparison), and the largest
+        # graph build the bench budget honestly covers at the measured
+        # warm rate; this cell is also the at-scale regression canary for
+        # builder changes (VERDICT r04 #7) — keep it in every run.
         import gc
         import shutil
         import tempfile
@@ -1004,46 +1049,234 @@ def main():
             DiskAnnConfig,
             SearchConfig,
         )
+        from opensearch_jvector_tpu.api.settings import GLOBAL_SETTINGS
         from opensearch_jvector_tpu.index.index import VectorIndex
         from opensearch_jvector_tpu.index.scheduler import (
             ForceMergesOnlyMergePolicy,
         )
 
-        n1 = int(os.environ.get("BENCH_N_TIER1", 1_000_000))
+        n1 = int(os.environ.get("BENCH_N_TIER1", 1 << 22))
+        m_graph, n_sub = 32, 64
+        slots = int(m_graph * 1.2)  # adjacency row width (overflow slots)
+        per_vec = slots * 4 + n_sub  # int32 adjacency + codes over tunnel
         if upload_unaffordable(
-            "1M on_disk graph-tier section", n1 * DIM * 4,
-            extra.get("host_upload_mb_per_s"),
+            "graph tier section", n1 * per_vec,
+            extra.get("host_upload_mb_per_s"), passes=2,
         ):
             return
-        v1_np, q1_np = make_data(np.random.default_rng(23), DATA, n1, Q)
-        root = tempfile.mkdtemp(prefix="bench1m_")
+        tag = f"{n1 / 1e6:.0f}M"
+        t_gen = time.time()
+        corpus = make_device_corpus(n1, seed=47, q_count=min(Q, 128))
+        q1 = corpus.queries
+        q1n = q1.shape[0]
+
+        root = tempfile.mkdtemp(prefix="benchgt_")
         try:
+            # ground truth first, while HBM is clean (10M-cell lesson)
+            t0 = time.time()
+            gt1 = ground_truth_topk_stream(q1, corpus.gt_blocks(), K, simf)
+            drift = corpus.join(f"{tag}_graph")
+            log(f"{tag} graph-tier device-gen ground truth: "
+                f"{time.time() - t0:.1f}s (host rows "
+                f"{'done' if corpus.host_state.get('done') else 'late'}; "
+                f"row drift {drift:.2e}); setup {time.time() - t_gen:.1f}s")
+
             idx1 = VectorIndex(
                 root,
                 DiskAnnConfig(dim=DIM, mode="on_disk",
-                              quantization_type="pq", m=32),
+                              quantization_type="pq", m=m_graph,
+                              num_pq_subspaces=n_sub),
                 merge_policy=ForceMergesOnlyMergePolicy(),
             )
-            idx1.add_batch(np.arange(n1), v1_np)
+            idx1.add_batch(np.arange(n1), corpus.v_host)
             t0 = time.time()
-            idx1.flush()
+            idx1.flush(device_rows=corpus.dev_rows)
             b1 = time.time() - t0
-            log(f"1M on_disk build (quantize + graph + store): {b1:.1f}s "
-                f"({n1 / b1:.0f} vec/s)")
-            extra["1M_build_s"] = round(b1, 1)
-            sc1 = SearchConfig(k=K, ef_search=EF)
-            res1 = idx1.search(q1_np, sc1)
+            log(f"{tag} on_disk GRAPH build (PQ train+encode + quantized "
+                f"Vamana build + store): {b1:.1f}s ({n1 / b1:.0f} vec/s)")
+            extra[f"{tag}_graph_build_s"] = round(b1, 1)
+            extra[f"{tag}_graph_build_vec_per_s"] = round(n1 / b1, 0)
+            extra["graph_tier_n"] = n1
+
+            # search-effort ladder to the BASELINE north star (>=0.95)
+            best = None
+            for ef1 in (EF, 200, 400):
+                sc1 = SearchConfig(k=K, ef_search=ef1)
+                res1 = idx1.search(q1, sc1)
+                rec1 = recall_at_k(res1.doc_ids, gt1, K)
+                log(f"{tag} graph beam ef={ef1}: recall@{K}={rec1:.4f}")
+                best = (float(rec1), ef1, sc1)
+                if rec1 >= 0.95 or over_budget("graph tier ladder"):
+                    break
+            rec1, ef1, sc1 = best
             t0 = time.time()
             for j in range(3):
-                idx1.search(q1_np + (j + 1) * 1e-9, sc1)  # salted
-            ms1 = (time.time() - t0) / 3 / Q * 1000.0
-            t1m = ground_truth_topk(q1_np, jnp.asarray(v1_np), K, simf)
-            rec1 = recall_at_k(res1.doc_ids, t1m, K)
-            log(f"1M on_disk graph tier: {ms1:.4f} ms/query batched, "
-                f"recall@{K}={rec1:.4f}")
-            extra["1M_graph_ms_per_query"] = round(ms1, 4)
-            extra["1M_graph_recall"] = round(float(rec1), 4)
-            del idx1, v1_np, q1_np, t1m
+                idx1.search(q1 + (j + 1) * 1e-9, sc1)  # salted
+            ms1 = (time.time() - t0) / 3 / q1n * 1000.0
+            seg1 = idx1._reader(idx1.segment_names[0]).seg
+            slots_real = int(np.asarray(seg1.graph.adjacency).shape[1])
+            code_b = int(np.asarray(seg1.pqv.codes).shape[1])
+            hbm1 = code_b + 2 * DIM + slots_real * 4  # codes+decoded+adj
+            log(f"{tag} on_disk graph tier (ef={ef1}): {ms1:.4f} ms/query "
+                f"batched, recall@{K}={rec1:.4f}, HBM {hbm1} B/vec "
+                f"(fp32 rows on host: {4 * DIM} B/vec)")
+            extra[f"{tag}_graph_ms_per_query"] = round(ms1, 4)
+            extra[f"{tag}_graph_recall"] = round(rec1, 4)
+            extra[f"{tag}_graph_ef"] = ef1
+            extra[f"{tag}_graph_hbm_bytes_per_vector"] = hbm1
+
+            # same-segment exhaustive scan: the sub-linear win, explicit.
+            # The beam number above visits a few thousand nodes per query;
+            # this one scores all N codes per query and grows linearly.
+            if not over_budget("graph tier scan comparison"):
+                GLOBAL_SETTINGS.put(
+                    "index.knn.advanced.scan_tier_max_codes", n1 + 1)
+                try:
+                    res_s = idx1.search(q1, SearchConfig(k=K, ef_search=EF))
+                    t0 = time.time()
+                    for j in range(3):
+                        idx1.search(q1 + (j + 1) * 1e-9,
+                                    SearchConfig(k=K, ef_search=EF))
+                    ms_s = (time.time() - t0) / 3 / q1n * 1000.0
+                finally:
+                    GLOBAL_SETTINGS.put(
+                        "index.knn.advanced.scan_tier_max_codes", -1)
+                rec_s = recall_at_k(res_s.doc_ids, gt1, K)
+                log(f"{tag} same-segment SCAN tier: {ms_s:.4f} ms/query "
+                    f"batched, recall@{K}={rec_s:.4f} -> beam is "
+                    f"{ms_s / ms1:.1f}x faster at this N (gap grows with N)")
+                extra[f"{tag}_scan_ms_per_query"] = round(ms_s, 4)
+                extra[f"{tag}_scan_recall"] = round(float(rec_s), 4)
+                extra[f"{tag}_beam_vs_scan_speedup"] = round(ms_s / ms1, 1)
+
+            # memory-tight at scale: force the breaker low -> the beam
+            # degrades to codes-only PQ scoring (no decoded cache), HBM
+            # drops to codes + adjacency (VERDICT r04 weak #7)
+            if not over_budget("graph tier breaker cell"):
+                from opensearch_jvector_tpu.utils import (
+                    circuit_breaker as cb,
+                )
+
+                rd1 = idx1._reader(idx1.segment_names[0])
+                rd1._pq_decoded = None
+                rd1._pq_decoded_sq = None
+                orig_mem = cb.BREAKER.device_memory_bytes
+                orig_use = cb.BREAKER.device_memory_in_use
+                cb.BREAKER.device_memory_bytes = lambda: 1
+                cb.BREAKER.device_memory_in_use = lambda: 0
+                try:
+                    res_c = idx1.search(q1, sc1)
+                    t0 = time.time()
+                    for j in range(3):
+                        idx1.search(q1 + (j + 1) * 1e-9, sc1)
+                    ms_c = (time.time() - t0) / 3 / q1n * 1000.0
+                finally:
+                    cb.BREAKER.device_memory_bytes = orig_mem
+                    cb.BREAKER.device_memory_in_use = orig_use
+                rec_c = recall_at_k(res_c.doc_ids, gt1, K)
+                assert rd1._pq_decoded is None  # cache never rebuilt
+                hbm_c = code_b + slots_real * 4
+                log(f"{tag} graph tier, breaker-forced codes-only: "
+                    f"{ms_c:.4f} ms/query batched, recall@{K}={rec_c:.4f}, "
+                    f"HBM {hbm_c} B/vec")
+                extra[f"{tag}_graph_codes_only_ms_per_query"] = round(
+                    ms_c, 4)
+                extra[f"{tag}_graph_codes_only_recall"] = round(
+                    float(rec_c), 4)
+                extra[f"{tag}_graph_codes_only_hbm_bytes_per_vec"] = hbm_c
+
+            del idx1, gt1, seg1, corpus
+            gc.collect()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    def sec_gaussian_scan():
+        # The adversarial corpus ABOVE the default scan bound (VERDICT r04
+        # #5): 512k i.i.d. gaussian codes route to the beam tier by
+        # default (256k bound), where distance concentration caps graph
+        # recall; the operator's production answer is the r04 dynamic
+        # setting — raise index.knn.advanced.scan_tier_max_codes and serve
+        # the MXU exhaustive scan. This cell records the setting's payoff
+        # on one segment: beam-tier recall/latency vs scan-tier
+        # recall/latency, same index, same queries.
+        import gc
+        import shutil
+        import tempfile
+
+        from opensearch_jvector_tpu.api.config import (
+            DiskAnnConfig,
+            SearchConfig,
+        )
+        from opensearch_jvector_tpu.api.settings import GLOBAL_SETTINGS
+        from opensearch_jvector_tpu.index.index import VectorIndex
+        from opensearch_jvector_tpu.index.scheduler import (
+            ForceMergesOnlyMergePolicy,
+        )
+
+        n_g = int(os.environ.get("BENCH_N_GAUSS", 1 << 19))  # 524,288
+        m_graph, n_sub = 32, 64
+        per_vec = int(m_graph * 1.2) * 4 + n_sub
+        if upload_unaffordable(
+            "gaussian scan-bound section", n_g * per_vec,
+            extra.get("host_upload_mb_per_s"), passes=2,
+        ):
+            return
+        corpus = make_device_corpus(n_g, seed=59, q_count=min(Q, 128),
+                                    kind="gaussian")
+        qg = corpus.queries
+        qgn = qg.shape[0]
+        t0 = time.time()
+        gtg = ground_truth_topk_stream(qg, corpus.gt_blocks(), K, simf)
+        corpus.join("gauss512k")
+        log(f"gaussian 512k ground truth: {time.time() - t0:.1f}s")
+
+        root = tempfile.mkdtemp(prefix="benchgs_")
+        try:
+            idxg = VectorIndex(
+                root,
+                DiskAnnConfig(dim=DIM, mode="on_disk",
+                              quantization_type="pq", m=m_graph,
+                              num_pq_subspaces=n_sub),
+                merge_policy=ForceMergesOnlyMergePolicy(),
+            )
+            idxg.add_batch(np.arange(n_g), corpus.v_host)
+            t0 = time.time()
+            idxg.flush(device_rows=corpus.dev_rows)
+            log(f"gaussian 512k on_disk graph build: {time.time() - t0:.1f}s")
+
+            # default routing (N > 256k bound): beam tier — distance
+            # concentration caps recall even at high search effort
+            scg = SearchConfig(k=K, ef_search=600, overquery_factor=20)
+            res_b = idxg.search(qg, scg)
+            t0 = time.time()
+            for j in range(3):
+                idxg.search(qg + (j + 1) * 1e-9, scg)
+            ms_b = (time.time() - t0) / 3 / qgn * 1000.0
+            rec_b = recall_at_k(res_b.doc_ids, gtg, K)
+
+            # operator raises the bound -> exhaustive MXU scan + rerank
+            GLOBAL_SETTINGS.put(
+                "index.knn.advanced.scan_tier_max_codes", n_g + 1)
+            try:
+                scs = SearchConfig(k=K, ef_search=EF)
+                res_s = idxg.search(qg, scs)
+                t0 = time.time()
+                for j in range(3):
+                    idxg.search(qg + (j + 1) * 1e-9, scs)
+                ms_s = (time.time() - t0) / 3 / qgn * 1000.0
+            finally:
+                GLOBAL_SETTINGS.put(
+                    "index.knn.advanced.scan_tier_max_codes", -1)
+            rec_s = recall_at_k(res_s.doc_ids, gtg, K)
+            log(f"gaussian 512k: beam(ef=600,oq=20) {ms_b:.4f} ms/q "
+                f"recall@{K}={rec_b:.4f} vs scan(bound raised) "
+                f"{ms_s:.4f} ms/q recall@{K}={rec_s:.4f} — the "
+                f"scan_tier_max_codes setting's payoff on i.i.d. data")
+            extra["gauss512k_beam_ms_per_query"] = round(ms_b, 4)
+            extra["gauss512k_beam_recall"] = round(float(rec_b), 4)
+            extra["gauss512k_scan_ms_per_query"] = round(ms_s, 4)
+            extra["gauss512k_scan_recall"] = round(float(rec_s), 4)
+            del idxg, gtg, corpus
             gc.collect()
         finally:
             shutil.rmtree(root, ignore_errors=True)
@@ -1362,35 +1595,37 @@ def main():
         extra["gaussian_ms_per_query_batched"] = round(gs_ms, 4)
 
     # (section, estimated cost in seconds, env gate). Ordered by
-    # information value: the 10M tier and the per-codec/config-4 cells are
-    # the VERDICT r03 asks; gaussian/gist/1M already have recorded numbers
-    # and run last.
+    # information value: the >=4M graph tier is THE r04 ask (and the
+    # at-scale regression canary — budgeted explicitly, r04 #7); then the
+    # new config-4 / REST-QPS / gaussian-scan-bound cells; sections with
+    # standing recorded numbers run last.
     warm_rate = extra.get("build_vec_per_s_warm") or (N / build_cold)
-    # bandwidth-aware 10M estimate: the corpus is regenerated per-backend
-    # (zero corpus transfer); only the PQ CODES cross the tunnel — once
-    # down at segment write, once up at reader load. Measured at 2M scale:
-    # ~57s/M vec (gen+GT+encode+store+search) + codes transfer + ~60s
-    # fixed. Gated at 0.8x the estimate: the watchdog guarantees the JSON
-    # either way, the sections after it are cheaper repeats of recorded
-    # numbers, and the 10M tier is THE asked-for datapoint — expected
-    # value favors starting it even when the fit is tight (its extras
-    # land incrementally, so a watchdog cut keeps the build number).
-    n10_est = int(os.environ.get("BENCH_N_TIER2", 10_000_000))
     mbps = extra.get("host_upload_mb_per_s") or 40.0
+    # graph-tier estimate: quantized build at the measured warm rate +
+    # adjacency/codes over the tunnel (down at write, up at load) + fixed
+    # gen/GT/search costs. Gated at 0.85x: the watchdog guarantees the
+    # JSON either way, extras land incrementally, and this is the
+    # asked-for datapoint — expected value favors starting it tight.
+    n1_est = int(os.environ.get("BENCH_N_TIER1", 1 << 22))
+    est_graph = (n1_est / warm_rate * 1.15
+                 + 2 * (n1_est * 216) / (mbps * 1e6) + 140) * 0.85
+    # 10M flat estimate (measured r04: ~57s/M vec end-to-end + codes
+    # transfer + fixed); has a recorded r04 number, so it runs late
+    n10_est = int(os.environ.get("BENCH_N_TIER2", 10_000_000))
     est_10m = (n10_est / 1e6 * 57
                + 2 * (n10_est * 64) / (mbps * 1e6) + 60) * 0.8
     sections = [
         ("scalar+nvq cells", sec_scalar_nvq, 90, True),
-        ("10M flat on_disk", sec_10m_flat, est_10m,
-         int(os.environ.get("BENCH_N_TIER2", 1)) > 0),
+        ("graph tier", sec_graph_tier, est_graph,
+         int(os.environ.get("BENCH_N_TIER1", 1)) > 0),
         ("config4 deep-analog", sec_config4, 200, True),
+        ("rest qps", sec_rest_qps, 75, True),
+        ("gaussian scan-bound", sec_gaussian_scan, 170, True),
         ("per-op", sec_per_op, 110, True),
         ("pq", sec_pq, 60, True),
         ("merge", sec_merge, 60, True),
-        ("rest qps", sec_rest_qps, 75, True),
-        ("1M on_disk graph tier", sec_1m_graph,
-         1_000_000 / warm_rate * 1.3 + 150,
-         int(os.environ.get("BENCH_N_TIER1", 1)) > 0),
+        ("10M flat on_disk", sec_10m_flat, est_10m,
+         int(os.environ.get("BENCH_N_TIER2", 1)) > 0),
         ("gist-analog 960d", sec_gist, 110,
          int(os.environ.get("BENCH_GIST", 1)) > 0),
         ("gaussian", sec_gaussian, 280, True),

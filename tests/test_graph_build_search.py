@@ -224,3 +224,36 @@ def test_orphan_chain_repair_bounded_eviction():
     deg = np.asarray((np.asarray(g.adjacency)[: len(vecs)] >= 0).sum(axis=1))
     # every node with any edges keeps a meaningful neighborhood
     assert (deg[deg > 0] >= 2).all()
+
+
+def test_pq_score_source_padded_to_capacity(data):
+    """build()/add_nodes() normalize row-indexed PQ score-source arrays to
+    the graph's pow2 capacity (_pad_pq): a caller handing build() a
+    base-rows slice and add_nodes() the full-corpus cache must hit ONE
+    program family (the r04 'incremental merge slower than fresh build'
+    anomaly was recompilation from this shape mismatch), and the delta
+    insert must still produce a searchable graph."""
+    vectors, queries = data
+    b = _builder()
+    # unit check: both score-source layouts pad to capacity; None passes
+    padded = b._pad_pq({"decoded": jnp.zeros((100, D), jnp.bfloat16)}, 256)
+    assert padded["decoded"].shape == (256, D)
+    assert b._pad_pq(None, 256) is None
+
+    # functional check: quantized build on a slice + delta with the full
+    # cache — distinct caller shapes, same searchable result
+    simf = SimilarityFunction.EUCLIDEAN
+    base, total = 1200, N
+    dec = vectors.astype(jnp.bfloat16)
+    g = b.build(vectors[:base], simf,
+                pq={"decoded": dec[:base]}, capacity=total)
+    g = b.add_nodes(g, vectors, np.arange(base, total), simf,
+                    pq={"decoded": dec})
+    res = searcher.search(
+        g.adjacency, g.live, g.entry, queries,
+        SearchParams(k=K, ef_search=64), simf,
+        vectors=vectors,
+    )
+    truth = ground_truth_topk(queries, vectors, K, simf)
+    rec = recall_at_k(np.asarray(res.ids), truth, K)
+    assert rec >= 0.9, rec
