@@ -517,7 +517,7 @@ def main():
             ms10 = (time.time() - t0) / 3 / q10n * 1000.0
             rec10 = recall_at_k(res10.doc_ids, t10, K)
             seg10 = idx10._reader(idx10.segment_names[0]).seg
-            hbm_per_vec = (np.asarray(seg10.pqv.codes).shape[1]  # M bytes
+            hbm_per_vec = (int(seg10.pqv.codes.shape[1])  # M bytes
                            + 2 * DIM)  # decoded-bf16 scan cache
             log(f"10M flat on_disk: {ms10:.4f} ms/query batched, "
                 f"recall@{K}={rec10:.4f}, HBM {hbm_per_vec} B/vec "
@@ -1114,8 +1114,10 @@ def main():
                 idx1.search(q1 + (j + 1) * 1e-9, sc1)  # salted
             ms1 = (time.time() - t0) / 3 / q1n * 1000.0
             seg1 = idx1._reader(idx1.segment_names[0]).seg
-            slots_real = int(np.asarray(seg1.graph.adjacency).shape[1])
-            code_b = int(np.asarray(seg1.pqv.codes).shape[1])
+            # .shape on the device arrays — np.asarray here would drag
+            # the full adjacency (~640MB) through the tunnel for a shape
+            slots_real = int(seg1.graph.adjacency.shape[1])
+            code_b = int(seg1.pqv.codes.shape[1])
             hbm1 = code_b + 2 * DIM + slots_real * 4  # codes+decoded+adj
             log(f"{tag} on_disk graph tier (ef={ef1}): {ms1:.4f} ms/query "
                 f"batched, recall@{K}={rec1:.4f}, HBM {hbm1} B/vec "
