@@ -172,6 +172,223 @@ def make_data(rng, kind, n, q, dim=None):
     return vectors, queries
 
 
+def make_device_corpus(n, seed, q_count, kind="latent"):
+    """Per-backend REGENERATED corpus — zero corpus bytes cross the
+    tunnel. threefry is counter-based and backend-deterministic, and
+    the latent matmul runs at precision='highest', so the CPU copy
+    feeding the row store and the TPU copy feeding GT/encode/build
+    agree to ~1e-6 (measured, logged as row drift by `join`).
+
+    Returns a namespace: `dev_rows(lo, hi)` (the flush(device_rows=)
+    provider), `gt_blocks()` (streamed GT source), `v_host` (numpy
+    rows, filled by a background CPU thread), `queries`, and
+    `join(tag)` (wait for host rows + record drift).
+    """
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from opensearch_jvector_tpu.index.writer import DEVICE_ROWS_BLOCK
+    B = DEVICE_ROWS_BLOCK  # generator block == writer provider stride
+    latent = 16
+    rngc = np.random.default_rng(seed)
+    if kind == "latent":
+        a_h = rngc.standard_normal((latent, DIM)).astype(np.float32)
+        a_h /= np.sqrt(latent)
+        q_h = (rngc.standard_normal((q_count, latent)).astype(
+            np.float32) @ a_h
+            + 0.05 * rngc.standard_normal((q_count, DIM)).astype(
+                np.float32))
+    else:  # i.i.d. gaussian (adversarial: no low-dim structure)
+        a_h = None
+        q_h = rngc.standard_normal((q_count, DIM)).astype(np.float32)
+
+    key = jax.random.PRNGKey(seed)
+    kn = jax.random.PRNGKey(seed + 70)
+
+    @jax.jit
+    def gen_block(i, a, noise):
+        # fresh latent coords per block; ONE shared noise block per
+        # backend (134M gaussians once — 5% amplitude, repetition
+        # across slices is irrelevant to recall/latency)
+        if a is None:
+            return jax.random.normal(
+                jax.random.fold_in(key, i), (B, DIM), jnp.float32
+            )
+        z = jax.random.normal(
+            jax.random.fold_in(key, i), (B, latent), jnp.float32
+        )
+        return jnp.dot(z, a, precision="highest") + 0.05 * noise
+
+    a_dev = None if a_h is None else jnp.asarray(a_h)
+    noise_dev = (None if a_h is None
+                 else jax.random.normal(kn, (B, DIM), jnp.float32))
+
+    def dev_block(i):
+        return gen_block(jnp.int32(i), a_dev, noise_dev)
+
+    def dev_rows(lo, hi):
+        i, off = divmod(lo, B)
+        # single-block contract: the writer consumes providers at
+        # DEVICE_ROWS_BLOCK stride (== B), so every request fits one
+        # generated block; a block-crossing request would silently
+        # return short rows via JAX's clamped OOB slicing
+        assert off + (hi - lo) <= B, (lo, hi, B)
+        return dev_block(i)[off: off + (hi - lo)]
+
+    # host copy (row store + rerank source): same program on the CPU
+    # backend, generated while the device runs the GT pass
+    cpu_dev = jax.devices("cpu")[0]
+    v_host = np.empty((n, DIM), np.float32)
+    host_state = {}
+
+    def fill_host_rows():
+        with jax.default_device(cpu_dev):
+            a_c = None if a_h is None else jnp.asarray(a_h)
+            noise_c = (None if a_h is None
+                       else jax.random.normal(kn, (B, DIM), jnp.float32))
+            for i, lo in enumerate(range(0, n, B)):
+                hi = min(lo + B, n)
+                v_host[lo:hi] = np.asarray(
+                    gen_block(jnp.int32(i), a_c, noise_c)[: hi - lo]
+                )
+        host_state["done"] = True
+
+    host_thread = threading.Thread(target=fill_host_rows, daemon=True)
+    host_thread.start()
+
+    def gt_blocks():
+        for i, lo in enumerate(range(0, n, B)):
+            hi = min(lo + B, n)
+            yield lo, dev_block(i)[: hi - lo]
+
+    def join(tag):
+        host_thread.join()
+        drift = float(np.abs(
+            np.asarray(dev_block(0)[:256]) - v_host[:256]).max())
+        extra[f"{tag}_row_drift"] = drift
+        return drift
+
+    return types.SimpleNamespace(
+        dev_rows=dev_rows, dev_block=dev_block, gt_blocks=gt_blocks,
+        v_host=v_host, queries=q_h, join=join, host_state=host_state,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph-tier prep cache: the >=4M Vamana build is too expensive (and its
+# remote-compile wall too VARIABLE: 257-773s measured for the same 100k
+# family on this shared tunnel) to pay inside the driver's fixed bench
+# budget. `BENCH_PREP_TIER1=1 python bench.py` builds the index ONCE through
+# the production VectorIndex path and persists it — segments on disk plus a
+# manifest carrying the measured build wall and the exact ground truth.
+# sec_graph_tier then OPENS the persisted index (the production reopen
+# path) and measures serving live; build_s in the record is the manifest's
+# measured wall, labeled as prebuilt-this-round. Production indexes persist;
+# re-paying a multi-hundred-second build per benchmark process would
+# measure the harness, not the engine.
+# ---------------------------------------------------------------------------
+
+TIER1_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "tier1"
+)
+TIER1_M, TIER1_SUB, TIER1_SEED = 32, 64, 47
+
+
+def tier1_manifest() -> dict | None:
+    """Validated manifest of the prepped graph-tier index, else None."""
+    p = os.path.join(TIER1_DIR, "manifest.json")
+    try:
+        with open(p) as f:
+            man = json.load(f)
+        ok = (
+            man["dim"] == DIM and man["kind"] == "latent"
+            and man["k"] >= K and man["m"] == TIER1_M
+            and man["num_pq_subspaces"] == TIER1_SUB
+            and os.path.exists(os.path.join(TIER1_DIR, "gt.npz"))
+            and os.path.exists(
+                os.path.join(TIER1_DIR, "index", "commits.json"))
+        )
+        return man if ok else None
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def prep_tier1() -> None:
+    import shutil
+    import subprocess
+
+    from opensearch_jvector_tpu.api.config import DiskAnnConfig
+    from opensearch_jvector_tpu.index.index import VectorIndex
+    from opensearch_jvector_tpu.index.scheduler import (
+        ForceMergesOnlyMergePolicy,
+    )
+    from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+    from opensearch_jvector_tpu.utils.ground_truth import (
+        ground_truth_topk_stream,
+    )
+
+    n1 = int(os.environ.get("BENCH_N_TIER1", 1 << 23))
+    log(f"prep_tier1: building {n1} x {DIM}d on_disk graph index "
+        f"(m={TIER1_M}, pq{TIER1_SUB}) into {TIER1_DIR}")
+    shutil.rmtree(TIER1_DIR, ignore_errors=True)
+    os.makedirs(TIER1_DIR, exist_ok=True)
+
+    simf = SimilarityFunction.EUCLIDEAN
+    t_gen = time.time()
+    corpus = make_device_corpus(n1, seed=TIER1_SEED, q_count=128)
+    gt_k = max(K, 10)
+    t0 = time.time()
+    gt = ground_truth_topk_stream(
+        corpus.queries, corpus.gt_blocks(), gt_k, simf
+    )
+    drift = corpus.join("tier1")
+    log(f"prep_tier1: ground truth {time.time() - t0:.1f}s; host rows "
+        f"{'done' if corpus.host_state.get('done') else 'late'}; "
+        f"row drift {drift:.2e}; setup total {time.time() - t_gen:.1f}s")
+
+    idx = VectorIndex(
+        os.path.join(TIER1_DIR, "index"),
+        DiskAnnConfig(dim=DIM, mode="on_disk", quantization_type="pq",
+                      m=TIER1_M, num_pq_subspaces=TIER1_SUB),
+        merge_policy=ForceMergesOnlyMergePolicy(),
+    )
+    idx.add_batch(np.arange(n1), corpus.v_host)
+    t0 = time.time()
+    idx.flush(device_rows=corpus.dev_rows)
+    build_s = time.time() - t0
+    log(f"prep_tier1: on_disk GRAPH build (PQ train+encode + quantized "
+        f"Vamana + store): {build_s:.1f}s ({n1 / build_s:.0f} vec/s)")
+    idx.close()
+
+    np.savez(os.path.join(TIER1_DIR, "gt.npz"),
+             queries=corpus.queries, gt=np.asarray(gt))
+    try:
+        rev = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        rev = "unknown"
+    man = {
+        "n": n1, "dim": DIM, "kind": "latent", "seed": TIER1_SEED,
+        "k": gt_k, "m": TIER1_M, "num_pq_subspaces": TIER1_SUB,
+        "build_s": round(build_s, 1),
+        "build_vec_per_s": round(n1 / build_s, 0),
+        "row_drift": drift,
+        "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "git_rev": rev,
+        "note": ("prebuilt this round on the same code+chip via "
+                 "BENCH_PREP_TIER1=1; serving is measured live by "
+                 "sec_graph_tier through the production reopen path"),
+    }
+    with open(os.path.join(TIER1_DIR, "manifest.json"), "w") as f:
+        json.dump(man, f, indent=1)
+    log(f"prep_tier1: manifest written: {man}")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -345,106 +562,6 @@ def main():
     # Each runs in its own crash guard; over_budget/need gates decide
     # whether to start it at all.
     # ------------------------------------------------------------------
-
-    def make_device_corpus(n, seed, q_count, kind="latent"):
-        """Per-backend REGENERATED corpus — zero corpus bytes cross the
-        tunnel. threefry is counter-based and backend-deterministic, and
-        the latent matmul runs at precision='highest', so the CPU copy
-        feeding the row store and the TPU copy feeding GT/encode/build
-        agree to ~1e-6 (measured, logged as row drift by `join`).
-
-        Returns a namespace: `dev_rows(lo, hi)` (the flush(device_rows=)
-        provider), `gt_blocks()` (streamed GT source), `v_host` (numpy
-        rows, filled by a background CPU thread), `queries`, and
-        `join(tag)` (wait for host rows + record drift).
-        """
-        import types
-
-        from opensearch_jvector_tpu.index.writer import DEVICE_ROWS_BLOCK
-        B = DEVICE_ROWS_BLOCK  # generator block == writer provider stride
-        latent = 16
-        rngc = np.random.default_rng(seed)
-        if kind == "latent":
-            a_h = rngc.standard_normal((latent, DIM)).astype(np.float32)
-            a_h /= np.sqrt(latent)
-            q_h = (rngc.standard_normal((q_count, latent)).astype(
-                np.float32) @ a_h
-                + 0.05 * rngc.standard_normal((q_count, DIM)).astype(
-                    np.float32))
-        else:  # i.i.d. gaussian (adversarial: no low-dim structure)
-            a_h = None
-            q_h = rngc.standard_normal((q_count, DIM)).astype(np.float32)
-
-        key = jax.random.PRNGKey(seed)
-        kn = jax.random.PRNGKey(seed + 70)
-
-        @jax.jit
-        def gen_block(i, a, noise):
-            # fresh latent coords per block; ONE shared noise block per
-            # backend (134M gaussians once — 5% amplitude, repetition
-            # across slices is irrelevant to recall/latency)
-            if a is None:
-                return jax.random.normal(
-                    jax.random.fold_in(key, i), (B, DIM), jnp.float32
-                )
-            z = jax.random.normal(
-                jax.random.fold_in(key, i), (B, latent), jnp.float32
-            )
-            return jnp.dot(z, a, precision="highest") + 0.05 * noise
-
-        a_dev = None if a_h is None else jnp.asarray(a_h)
-        noise_dev = (None if a_h is None
-                     else jax.random.normal(kn, (B, DIM), jnp.float32))
-
-        def dev_block(i):
-            return gen_block(jnp.int32(i), a_dev, noise_dev)
-
-        def dev_rows(lo, hi):
-            i, off = divmod(lo, B)
-            # single-block contract: the writer consumes providers at
-            # DEVICE_ROWS_BLOCK stride (== B), so every request fits one
-            # generated block; a block-crossing request would silently
-            # return short rows via JAX's clamped OOB slicing
-            assert off + (hi - lo) <= B, (lo, hi, B)
-            return dev_block(i)[off: off + (hi - lo)]
-
-        # host copy (row store + rerank source): same program on the CPU
-        # backend, generated while the device runs the GT pass
-        cpu_dev = jax.devices("cpu")[0]
-        v_host = np.empty((n, DIM), np.float32)
-        host_state = {}
-
-        def fill_host_rows():
-            with jax.default_device(cpu_dev):
-                a_c = None if a_h is None else jnp.asarray(a_h)
-                noise_c = (None if a_h is None
-                           else jax.random.normal(kn, (B, DIM), jnp.float32))
-                for i, lo in enumerate(range(0, n, B)):
-                    hi = min(lo + B, n)
-                    v_host[lo:hi] = np.asarray(
-                        gen_block(jnp.int32(i), a_c, noise_c)[: hi - lo]
-                    )
-            host_state["done"] = True
-
-        host_thread = threading.Thread(target=fill_host_rows, daemon=True)
-        host_thread.start()
-
-        def gt_blocks():
-            for i, lo in enumerate(range(0, n, B)):
-                hi = min(lo + B, n)
-                yield lo, dev_block(i)[: hi - lo]
-
-        def join(tag):
-            host_thread.join()
-            drift = float(np.abs(
-                np.asarray(dev_block(0)[:256]) - v_host[:256]).max())
-            extra[f"{tag}_row_drift"] = drift
-            return drift
-
-        return types.SimpleNamespace(
-            dev_rows=dev_rows, dev_block=dev_block, gt_blocks=gt_blocks,
-            v_host=v_host, queries=q_h, join=join, host_state=host_state,
-        )
 
     def sec_10m_flat():
         # Larger-than-memory tier at 10M x 128d (BASELINE configs 4-5
@@ -717,6 +834,32 @@ def main():
         merge4_s = time.time() - t0
         log(f"config4 incremental merge (delta {n_delta}): {merge4_s:.1f}s")
         extra["deep_analog_merge_s"] = round(merge4_s, 1)
+
+        # warm re-measure: rebuild the 90% base and re-insert the same
+        # delta with every program now compiled — separating the one-time
+        # in-process compile wall from the steady-state costs (r04 weak
+        # #2: the cold-only numbers read as "incremental merge costs more
+        # than a fresh build", which is purely compile attribution)
+        if not over_budget("config4 warm re-measure"):
+            t0 = time.time()
+            g4w = builder4.build(
+                dv[: N - n_delta], cos,
+                pq={"decoded": pipe_dec[: N - n_delta]}, capacity=N,
+            )
+            build4w_s = time.time() - t0
+            t0 = time.time()
+            g4w = builder4.add_nodes(
+                g4w, dv, np.arange(N - n_delta, N), cos,
+                pq={"decoded": pipe_dec},
+            )
+            merge4w_s = time.time() - t0
+            del g4w
+            log(f"config4 warm re-measure: build {build4w_s:.1f}s, "
+                f"incremental merge {merge4w_s:.1f}s "
+                f"({build4w_s / max(merge4w_s, 1e-9):.1f}x cheaper to "
+                f"merge than rebuild)")
+            extra["deep_analog_build_warm_s"] = round(build4w_s, 1)
+            extra["deep_analog_merge_warm_s"] = round(merge4w_s, 1)
 
         # --- codebook refinement on the merged corpus + re-encode --------
         t0 = time.time()
@@ -1036,11 +1179,14 @@ def main():
         # finally the breaker is forced low and the beam re-serves
         # codes-only — the memory-tight configuration at scale.
         #
-        # N defaults to 2^22 = 4,194,304: exactly a pow2 capacity bucket
-        # (no padded tail skewing the scan comparison), and the largest
-        # graph build the bench budget honestly covers at the measured
-        # warm rate; this cell is also the at-scale regression canary for
-        # builder changes (VERDICT r04 #7) — keep it in every run.
+        # Two paths in: the PREBUILT index (BENCH_PREP_TIER1, default
+        # 2^23 = 8,388,608 — the largest exact pow2 bucket whose build
+        # arrays fit one chip's HBM; reopened from disk, build wall from
+        # its manifest, serving measured live), else an in-process build
+        # at BENCH_N_TIER1 (default 2^22 — the largest the bench budget
+        # covers at the measured warm rate). Either way this cell is the
+        # at-scale regression canary for builder changes (VERDICT r04
+        # #7) — keep it in every run.
         import gc
         import shutil
         import tempfile
@@ -1055,23 +1201,53 @@ def main():
             ForceMergesOnlyMergePolicy,
         )
 
-        n1 = int(os.environ.get("BENCH_N_TIER1", 1 << 22))
-        m_graph, n_sub = 32, 64
+        man = tier1_manifest()
+        n1 = (int(man["n"]) if man
+              else int(os.environ.get("BENCH_N_TIER1", 1 << 22)))
+        m_graph, n_sub = TIER1_M, TIER1_SUB
         slots = int(m_graph * 1.2)  # adjacency row width (overflow slots)
         per_vec = slots * 4 + n_sub  # int32 adjacency + codes over tunnel
         if upload_unaffordable(
             "graph tier section", n1 * per_vec,
-            extra.get("host_upload_mb_per_s"), passes=2,
+            extra.get("host_upload_mb_per_s"), passes=1 if man else 2,
         ):
             return
         tag = f"{n1 / 1e6:.0f}M"
-        t_gen = time.time()
-        corpus = make_device_corpus(n1, seed=47, q_count=min(Q, 128))
-        q1 = corpus.queries
-        q1n = q1.shape[0]
+        root = None  # set only when this section owns a temp build
+        if man:
+            # production reopen path: the index was prebuilt THIS ROUND
+            # (same code + chip) by `BENCH_PREP_TIER1=1 python bench.py`;
+            # the manifest carries the measured build wall and the exact
+            # ground truth. Serving below is measured live. Rationale:
+            # the remote-compile wall on this shared tunnel varies 3x
+            # (257-773s measured for one family), so an in-budget at-scale
+            # build is a coin flip — while a persisted index is exactly
+            # how the production on_disk tier operates.
+            t0 = time.time()
+            npz = np.load(os.path.join(TIER1_DIR, "gt.npz"))
+            q1 = npz["queries"]
+            gt1 = npz["gt"]
+            idx1 = VectorIndex(
+                os.path.join(TIER1_DIR, "index"),
+                merge_policy=ForceMergesOnlyMergePolicy(),
+            )
+            b1 = float(man["build_s"])
+            log(f"{tag} on_disk GRAPH index: prebuilt this round "
+                f"({man['built_at']}, rev {man['git_rev']}); build was "
+                f"{b1:.1f}s ({man['build_vec_per_s']:.0f} vec/s, row "
+                f"drift {man['row_drift']:.2e}); reopened for serving "
+                f"in {time.time() - t0:.1f}s")
+            extra[f"{tag}_graph_build_s"] = b1
+            extra[f"{tag}_graph_build_vec_per_s"] = man["build_vec_per_s"]
+            extra[f"{tag}_graph_build_note"] = man["note"]
+            extra["graph_tier_n"] = n1
+        else:
+            t_gen = time.time()
+            corpus = make_device_corpus(n1, seed=TIER1_SEED,
+                                        q_count=min(Q, 128))
+            q1 = corpus.queries
 
-        root = tempfile.mkdtemp(prefix="benchgt_")
-        try:
+            root = tempfile.mkdtemp(prefix="benchgt_")
             # ground truth first, while HBM is clean (10M-cell lesson)
             t0 = time.time()
             gt1 = ground_truth_topk_stream(q1, corpus.gt_blocks(), K, simf)
@@ -1097,10 +1273,12 @@ def main():
             extra[f"{tag}_graph_build_s"] = round(b1, 1)
             extra[f"{tag}_graph_build_vec_per_s"] = round(n1 / b1, 0)
             extra["graph_tier_n"] = n1
-
+            del corpus
+        q1n = q1.shape[0]
+        try:
             # search-effort ladder to the BASELINE north star (>=0.95)
             best = None
-            for ef1 in (EF, 200, 400):
+            for ef1 in (EF, 200, 400, 800):
                 sc1 = SearchConfig(k=K, ef_search=ef1)
                 res1 = idx1.search(q1, sc1)
                 rec1 = recall_at_k(res1.doc_ids, gt1, K)
@@ -1187,10 +1365,12 @@ def main():
                     float(rec_c), 4)
                 extra[f"{tag}_graph_codes_only_hbm_bytes_per_vec"] = hbm_c
 
-            del idx1, gt1, seg1, corpus
-            gc.collect()
         finally:
-            shutil.rmtree(root, ignore_errors=True)
+            idx1.close()
+            del idx1, gt1
+            gc.collect()
+            if root is not None:
+                shutil.rmtree(root, ignore_errors=True)
 
     def sec_gaussian_scan():
         # The adversarial corpus ABOVE the default scan bound (VERDICT r04
@@ -1348,6 +1528,14 @@ def main():
 
                 for w in range(3):  # serial warmups (batch=1 shape)
                     one_req(conn0, q_np[w].tolist())
+                # deterministic bucket warm: 32 clients coalesce into
+                # pow2-padded dispatches of 8/16/32 (reader.search
+                # buckets Q, min 8); the msearch-style 2-D vector body
+                # compiles each bucket OUTSIDE the timed window, so no
+                # 10-20s remote compile can land inside it
+                for bw in (8, 16, 32):
+                    s, b = one_req(conn0, q_np[:bw].tolist())
+                    assert s == 200, b
 
                 state = {"stop": time.time() + 8.0}
                 counts = np.zeros(n_cli, np.int64)
@@ -1357,7 +1545,17 @@ def main():
                         "127.0.0.1", svc.port, timeout=300)
                     qi = ti
                     while time.time() < state["stop"]:
-                        s, _ = one_req(conn, q_np[qi % Q].tolist())
+                        try:
+                            s, _ = one_req(conn, q_np[qi % Q].tolist())
+                        except (ConnectionError, OSError,
+                                http.client.HTTPException):
+                            # transient socket teardown (server-side close
+                            # race): reconnect and retry, as any real load
+                            # generator does; the failed attempt counts 0
+                            conn.close()
+                            conn = http.client.HTTPConnection(
+                                "127.0.0.1", svc.port, timeout=300)
+                            continue
                         if s == 200:
                             counts[ti] += 1
                         qi += n_cli
@@ -1608,18 +1806,25 @@ def main():
     # gen/GT/search costs. Gated at 0.85x: the watchdog guarantees the
     # JSON either way, extras land incrementally, and this is the
     # asked-for datapoint — expected value favors starting it tight.
-    n1_est = int(os.environ.get("BENCH_N_TIER1", 1 << 22))
-    est_graph = (n1_est / warm_rate * 1.15
-                 + 2 * (n1_est * 216) / (mbps * 1e6) + 140) * 0.85
+    _man = tier1_manifest()
+    if _man:
+        # prebuilt-index path: adjacency+codes upload + beam/scan program
+        # compiles + the ladder/scan/breaker passes — no build, no GT
+        n1_est = int(_man["n"])
+        est_graph = (n1_est * 216) / (mbps * 1e6) + 150
+    else:
+        n1_est = int(os.environ.get("BENCH_N_TIER1", 1 << 22))
+        est_graph = (n1_est / warm_rate * 1.15
+                     + 2 * (n1_est * 216) / (mbps * 1e6) + 140) * 0.85
     # 10M flat estimate (measured r04: ~57s/M vec end-to-end + codes
     # transfer + fixed); has a recorded r04 number, so it runs late
     n10_est = int(os.environ.get("BENCH_N_TIER2", 10_000_000))
     est_10m = (n10_est / 1e6 * 57
                + 2 * (n10_est * 64) / (mbps * 1e6) + 60) * 0.8
     sections = [
-        ("scalar+nvq cells", sec_scalar_nvq, 90, True),
         ("graph tier", sec_graph_tier, est_graph,
          int(os.environ.get("BENCH_N_TIER1", 1)) > 0),
+        ("scalar+nvq cells", sec_scalar_nvq, 90, True),
         ("config4 deep-analog", sec_config4, 200, True),
         ("rest qps", sec_rest_qps, 75, True),
         ("gaussian scan-bound", sec_gaussian_scan, 170, True),
@@ -1632,9 +1837,17 @@ def main():
          int(os.environ.get("BENCH_GIST", 1)) > 0),
         ("gaussian", sec_gaussian, 280, True),
     ]
+    # BENCH_ONLY="graph tier,rest qps": run exactly the named sections
+    # (dev/validation harness — skips the need() affordability gate but
+    # keeps over_budget and crash guards)
+    only = {s.strip() for s in os.environ.get("BENCH_ONLY", "").split(",")
+            if s.strip()}
     if FULL:
         for name, fn, est, enabled in sections:
-            if not enabled or over_budget(name) or not need(name, est):
+            if only:
+                if name not in only:
+                    continue
+            elif not enabled or over_budget(name) or not need(name, est):
                 continue
             t_sec = time.time()
             try:
@@ -1653,6 +1866,11 @@ def main():
 
 
 if __name__ == "__main__":
+    if os.environ.get("BENCH_PREP_TIER1") == "1":
+        # offline prep (no watchdog, no budget, no JSON record): build +
+        # persist the graph-tier index sec_graph_tier will serve from
+        prep_tier1()
+        raise SystemExit(0)
     signal.signal(signal.SIGTERM, _on_sigterm)
     threading.Thread(target=_watchdog, daemon=True).start()
     try:
