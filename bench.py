@@ -332,17 +332,38 @@ def prep_tier1() -> None:
     n1 = int(os.environ.get("BENCH_N_TIER1", 1 << 23))
     log(f"prep_tier1: building {n1} x {DIM}d on_disk graph index "
         f"(m={TIER1_M}, pq{TIER1_SUB}) into {TIER1_DIR}")
-    shutil.rmtree(TIER1_DIR, ignore_errors=True)
+    # resumable: keep a completed gt.npz (the GT pass costs ~10 min at 8M
+    # through the tunnel); wipe only the index + manifest
+    gt_path = os.path.join(TIER1_DIR, "gt.npz")
+    shutil.rmtree(os.path.join(TIER1_DIR, "index"), ignore_errors=True)
+    try:
+        os.remove(os.path.join(TIER1_DIR, "manifest.json"))
+    except OSError:
+        pass
     os.makedirs(TIER1_DIR, exist_ok=True)
 
     simf = SimilarityFunction.EUCLIDEAN
     t_gen = time.time()
     corpus = make_device_corpus(n1, seed=TIER1_SEED, q_count=128)
     gt_k = max(K, 10)
+    gt = None
+    if os.path.exists(gt_path):
+        old = np.load(gt_path)
+
+        def _f(name):
+            return int(old[name]) if name in old.files else -1
+
+        if (_f("n") == n1 and _f("dim") == DIM and _f("seed") == TIER1_SEED
+                and _f("k") >= gt_k):
+            gt = old["gt"]
+            log("prep_tier1: reusing persisted ground truth")
     t0 = time.time()
-    gt = ground_truth_topk_stream(
-        corpus.queries, corpus.gt_blocks(), gt_k, simf
-    )
+    if gt is None:
+        gt = np.asarray(ground_truth_topk_stream(
+            corpus.queries, corpus.gt_blocks(), gt_k, simf
+        ))
+        np.savez(gt_path, queries=corpus.queries, gt=gt,
+                 n=n1, dim=DIM, seed=TIER1_SEED, k=gt_k)
     drift = corpus.join("tier1")
     log(f"prep_tier1: ground truth {time.time() - t0:.1f}s; host rows "
         f"{'done' if corpus.host_state.get('done') else 'late'}; "
@@ -354,6 +375,13 @@ def prep_tier1() -> None:
                       m=TIER1_M, num_pq_subspaces=TIER1_SUB),
         merge_policy=ForceMergesOnlyMergePolicy(),
     )
+    bs = os.environ.get("BENCH_TIER1_BS")
+    if bs:
+        # at >=8M the default 16384-insert round's in-program working set
+        # (corpus fp32 + decoded-bf16 score source + adjacency + round
+        # temps) can exceed the chip's program memory budget — a smaller
+        # round trades ~10% throughput for fitting
+        idx.writer.build_batch_size = int(bs)
     idx.add_batch(np.arange(n1), corpus.v_host)
     t0 = time.time()
     idx.flush(device_rows=corpus.dev_rows)
@@ -362,8 +390,6 @@ def prep_tier1() -> None:
         f"Vamana + store): {build_s:.1f}s ({n1 / build_s:.0f} vec/s)")
     idx.close()
 
-    np.savez(os.path.join(TIER1_DIR, "gt.npz"),
-             queries=corpus.queries, gt=np.asarray(gt))
     try:
         rev = subprocess.run(
             ["git", "-C", os.path.dirname(os.path.abspath(__file__)),

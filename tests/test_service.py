@@ -790,3 +790,22 @@ def test_micro_batching_excluded_paths_run_alone(service):
     assert status == 200
     assert out["hits"]["hits"][0]["_id"] == 4
     assert out["profile"]["dispatch_rows"] == 1
+
+
+def test_http11_keepalive_reuses_one_connection(service):
+    """The handler speaks HTTP/1.1 with Content-Length on every response,
+    so a client connection survives across requests (HTTP/1.0 closed the
+    socket per request, forcing a reconnect AND a fresh server thread per
+    request — a measured QPS ceiling under concurrent load)."""
+    conn = http.client.HTTPConnection("127.0.0.1", service.port, timeout=60)
+    socks = []
+    for _ in range(3):
+        conn.request("GET", "/_plugins/_knn/stats")
+        r = conn.getresponse()
+        assert r.version == 11
+        body = r.read()
+        assert r.status == 200 and body
+        assert conn.sock is not None  # server did NOT close after response
+        socks.append(id(conn.sock))
+    assert len(set(socks)) == 1  # one TCP connection served all requests
+    conn.close()
