@@ -1290,6 +1290,10 @@ def main():
                               num_pq_subspaces=n_sub),
                 merge_policy=ForceMergesOnlyMergePolicy(),
             )
+            if n1 >= (1 << 22):
+                # at >=4M capacity the 16384-insert round's program
+                # working set OOMs the chip (measured); halve the round
+                idx1.writer.build_batch_size = 8192
             idx1.add_batch(np.arange(n1), corpus.v_host)
             t0 = time.time()
             idx1.flush(device_rows=corpus.dev_rows)
