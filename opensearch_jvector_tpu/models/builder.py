@@ -138,6 +138,50 @@ def robust_prune_batch(
 # ---------------------------------------------------------------------------
 
 
+# Corpus-block width for the orphan-repair nearest-host scan. A single
+# [512, capacity] score pass is 8.6GB f32 at 4M capacity (x2 with the
+# hostable mask select) — measured OOM; blocking caps the score matrix at
+# [512, 2^18] = 0.5GB while reusing ONE compiled program across blocks
+# (capacity is pow2 >= 64, so blocks divide evenly).
+ORPHAN_SCAN_BLOCK = 1 << 18
+
+
+@functools.lru_cache(maxsize=None)
+def _make_orphan_block_fn(simf_id: int):
+    """Running nearest-hostable argmax over one corpus block."""
+    simf = SimilarityFunction(simf_id)
+
+    @jax.jit
+    def fn(rows, vblock, hblock, base, best_s, best_i):
+        sc = pairwise_scores(rows, vblock, simf)  # [512, CB]
+        sc = jnp.where(hblock[None, :], sc, NEG_INF)
+        bs = jnp.max(sc, axis=1)
+        bi = jnp.argmax(sc, axis=1).astype(jnp.int32) + base
+        take = bs > best_s
+        return jnp.where(take, bs, best_s), jnp.where(take, bi, best_i)
+
+    return fn
+
+
+def _nearest_hostable(ob_dev, vectors, hostable_dev, simf):
+    """argmax over the hostable corpus of similarity to 512 query rows,
+    scanned in ORPHAN_SCAN_BLOCK-wide corpus blocks. Returns [512] int32
+    host ids (device array)."""
+    cap = int(vectors.shape[0])
+    cb = min(cap, ORPHAN_SCAN_BLOCK)
+    rows = vectors[ob_dev]
+    fn = _make_orphan_block_fn(simf.value)
+    best_s = jnp.full((ob_dev.shape[0],), NEG_INF, jnp.float32)
+    best_i = jnp.zeros((ob_dev.shape[0],), jnp.int32)
+    for lo in range(0, cap, cb):
+        best_s, best_i = fn(
+            rows, jax.lax.dynamic_slice_in_dim(vectors, lo, cb),
+            jax.lax.dynamic_slice_in_dim(hostable_dev, lo, cb),
+            jnp.int32(lo), best_s, best_i,
+        )
+    return best_i
+
+
 @functools.lru_cache(maxsize=None)
 def _make_round_prune_fn(simf_id: int, m_out: int, top_r: int, alpha: float):
     """Insert-round device work: intra-round candidates + gather + prune."""
@@ -645,12 +689,10 @@ class GraphIndexBuilder:
                 _make_dead_scan_fn()(st.dev, live_dev)
                 _make_reachability_fn()(st.dev, live_dev, jnp.int32(entry))
                 st.dev[jnp.full((512,), int(entry), jnp.int32)]
-                # orphan-repair chunk programs (512-wide gather + pairwise
-                # + masked argmax — eager primitives, one compile each)
+                # orphan-repair block-scan program (512-wide gather +
+                # per-block pairwise + running argmax — one compile)
                 ob = jnp.full((512,), int(entry), jnp.int32)
-                sc = pairwise_scores(vectors[ob], vectors, simf)
-                np.asarray(jnp.argmax(
-                    jnp.where(live_dev[None, :], sc, NEG_INF), axis=1))
+                np.asarray(_nearest_hostable(ob, vectors, live_dev, simf))
             except Exception:  # noqa: BLE001
                 pass
 
@@ -1268,11 +1310,12 @@ class GraphIndexBuilder:
             # — duplicate (host, orphan) pairs are dropped below.
             if real < 512:
                 ob = np.pad(ob, (0, 512 - real), constant_values=ob[0])
-            # argmax ON DEVICE: downloading the [chunk, N] score matrix costs
-            # ~270MB/chunk over the host link — only the host ids come back
-            sc = pairwise_scores(vectors[jnp_.asarray(ob)], vectors, simf)
-            sc = jnp_.where(hostable_dev[None, :], sc, NEG_INF)
-            hosts = np.asarray(jnp_.argmax(sc, axis=1))[:real]
+            # argmax ON DEVICE (only the host ids come back), scanned in
+            # corpus blocks: one [chunk, capacity] pass is 8.6GB at 4M
+            # capacity (measured OOM) — see _nearest_hostable
+            hosts = np.asarray(_nearest_hostable(
+                jnp_.asarray(ob), vectors, hostable_dev, simf
+            ))[:real]
             ob = ob[:real]
             for h, o in zip(hosts, ob):
                 group = host_of.setdefault(int(h), [])
