@@ -257,3 +257,38 @@ def test_pq_score_source_padded_to_capacity(data):
     truth = ground_truth_topk(queries, vectors, K, simf)
     rec = recall_at_k(np.asarray(res.ids), truth, K)
     assert rec >= 0.9, rec
+
+
+def test_orphan_nearest_host_block_scan_matches_full_pairwise():
+    """The orphan-repair nearest-host argmax scans the corpus in blocks
+    (one [512, capacity] pass is 8.6GB f32 at 4M capacity — measured OOM
+    on chip); the running (score, argmax) merge must agree exactly with
+    the single-pass formulation, including the hostable-mask exclusion."""
+    import opensearch_jvector_tpu.models.builder as b_mod
+    from opensearch_jvector_tpu.models.builder import _nearest_hostable
+    from opensearch_jvector_tpu.ops.distances import pairwise_scores
+
+    rng = np.random.default_rng(5)
+    cap, d = 1024, 16
+    v = jnp.asarray(rng.standard_normal((cap, d)).astype(np.float32))
+    hostable = np.zeros(cap, bool)
+    hostable[rng.choice(cap, 300, replace=False)] = True
+    hostable_dev = jnp.asarray(hostable)
+    ob = jnp.asarray(rng.integers(0, cap, 512), jnp.int32)
+    simf = SimilarityFunction.EUCLIDEAN
+
+    # force multiple blocks (cap=1024 -> 8 blocks of 128)
+    orig = b_mod.ORPHAN_SCAN_BLOCK
+    b_mod.ORPHAN_SCAN_BLOCK = 128
+    try:
+        got = np.asarray(_nearest_hostable(ob, v, hostable_dev, simf))
+    finally:
+        b_mod.ORPHAN_SCAN_BLOCK = orig
+
+    sc = pairwise_scores(v[ob], v, simf)
+    sc = jnp.where(hostable_dev[None, :], sc, -jnp.inf)
+    want = np.asarray(jnp.argmax(sc, axis=1))
+    # ties broken differently are acceptable only if scores equal; with
+    # continuous random data ties have measure zero -> exact id match
+    np.testing.assert_array_equal(got, want)
+    assert hostable[got].all()
