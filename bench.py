@@ -329,7 +329,7 @@ def prep_tier1() -> None:
         ground_truth_topk_stream,
     )
 
-    n1 = int(os.environ.get("BENCH_N_TIER1", 1 << 23))
+    n1 = int(os.environ.get("BENCH_N_TIER1", 1 << 22))
     log(f"prep_tier1: building {n1} x {DIM}d on_disk graph index "
         f"(m={TIER1_M}, pq{TIER1_SUB}) into {TIER1_DIR}")
     # resumable: keep a completed gt.npz (the GT pass costs ~10 min at 8M
@@ -377,11 +377,14 @@ def prep_tier1() -> None:
     )
     bs = os.environ.get("BENCH_TIER1_BS")
     if bs:
-        # at >=8M the default 16384-insert round's in-program working set
-        # (corpus fp32 + decoded-bf16 score source + adjacency + round
-        # temps) can exceed the chip's program memory budget — a smaller
-        # round trades ~10% throughput for fitting
         idx.writer.build_batch_size = int(bs)
+    elif n1 >= (1 << 22):
+        # at >=4M capacity the default 16384-insert round's in-program
+        # working set (corpus fp32 + decoded-bf16 score source +
+        # adjacency + round temps) exceeds the chip's program memory
+        # budget (measured, design.md "Build memory at multi-million
+        # capacity") — a smaller round trades ~10% throughput for fitting
+        idx.writer.build_batch_size = 8192
     idx.add_batch(np.arange(n1), corpus.v_host)
     t0 = time.time()
     idx.flush(device_rows=corpus.dev_rows)
@@ -1205,10 +1208,12 @@ def main():
         # finally the breaker is forced low and the beam re-serves
         # codes-only — the memory-tight configuration at scale.
         #
-        # Two paths in: the PREBUILT index (BENCH_PREP_TIER1, default
-        # 2^23 = 8,388,608 — the largest exact pow2 bucket whose build
-        # arrays fit one chip's HBM; reopened from disk, build wall from
-        # its manifest, serving measured live), else an in-process build
+        # Two paths in: the PREBUILT index (BENCH_PREP_TIER1 at
+        # BENCH_N_TIER1, practically 2^22 — 2^23 exceeds the chip's
+        # program budget on build operands alone, see design.md
+        # "Build memory at multi-million capacity"; reopened from disk,
+        # build wall from its manifest, serving measured live), else an
+        # in-process build
         # at BENCH_N_TIER1 (default 2^22 — the largest the bench budget
         # covers at the measured warm rate). Either way this cell is the
         # at-scale regression canary for builder changes (VERDICT r04

@@ -613,7 +613,7 @@ class SegmentReader:
         any capacity.
         """
         from opensearch_jvector_tpu.ops.distances import (
-            batched_candidate_scores,
+            host_candidate_scores,
         )
 
         seg = self.seg
@@ -741,13 +741,30 @@ class SegmentReader:
         flat = cand_ids.reshape(-1)
         seg.row_store.prefetch(flat)
         rows = seg.row_store.gather(flat).reshape(qn, r, -1)
-        exact = batched_candidate_scores(
-            queries[:qn], jnp.asarray(rows), seg.config.similarity
+        # HOST-side exact rerank: the rows are already host-resident (the
+        # native store gathered them from the raw row file); scoring
+        # qn*r candidates is a few MFLOP of numpy, while shipping the
+        # rows to the device costs orders of magnitude more transfer
+        # than the arithmetic is worth (measured: the row upload + extra
+        # dispatch dominated the on_disk query wall at 4M). The
+        # reference's DiskANN rerank is host-side for the same reason
+        # (JVectorReader.java:166-208).
+        exact = host_candidate_scores(
+            np.asarray(queries[:qn], np.float32), rows,
+            seg.config.similarity,
         )
-        exact = jnp.where(jnp.asarray(qualify), exact, -jnp.inf)
-        top_s, idx = jax.lax.top_k(exact, params.k)
-        top_i = np.take_along_axis(cand_ids, np.asarray(idx), axis=1)
-        top_s = np.asarray(top_s)
+        exact = np.where(qualify, exact, -np.inf)
+        if params.k < exact.shape[1]:
+            idx = np.argpartition(-exact, params.k - 1, axis=1)[
+                :, : params.k]
+        else:
+            idx = np.broadcast_to(
+                np.arange(exact.shape[1])[None, :], exact.shape).copy()
+        sel = np.take_along_axis(exact, idx, axis=1)
+        order = np.argsort(-sel, axis=1, kind="stable")
+        idx = np.take_along_axis(idx, order, axis=1)
+        top_s = np.take_along_axis(exact, idx, axis=1)
+        top_i = np.take_along_axis(cand_ids, idx, axis=1)
         if params.threshold > 0.0:
             keep = top_s >= params.threshold
             top_i = np.where(keep, top_i, -1)

@@ -170,3 +170,38 @@ def hamming_scores(query_bits: jax.Array, vector_bits: jax.Array) -> jax.Array:
     x = jnp.bitwise_xor(vector_bits, query_bits[None, :])
     pop = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
     return 1.0 / (1.0 + pop.astype(jnp.float32))
+
+
+def host_candidate_scores(
+    queries: "np.ndarray",  # [Q, d] f32 (host)
+    cand_vecs: "np.ndarray",  # [Q, C, d] f32 (host)
+    simf: SimilarityFunction,
+) -> "np.ndarray":
+    """NumPy mirror of `batched_candidate_scores` for the on_disk rerank.
+
+    The on_disk tier's exact rerank reads candidate rows from the HOST
+    row store (native mmap gather); scoring r candidates per query is a
+    few MFLOP, while shipping the rows to the device costs orders of
+    magnitude more than the arithmetic (the reference reranks host-side
+    for the same reason: the DiskANN rerank walks disk-resident fp32,
+    JVectorReader.java:166-208). Same score formulas as the device path;
+    fp32 accumulation order differs by backend (last-ulp differences
+    only, identical ordering semantics).
+    """
+    import numpy as _np
+
+    q = _np.asarray(queries, _np.float32)
+    c = _np.asarray(cand_vecs, _np.float32)
+    if simf is SimilarityFunction.EUCLIDEAN:
+        q2 = _np.sum(q * q, -1)[:, None]
+        c2 = _np.sum(c * c, -1)
+        dot = _np.einsum("qd,qcd->qc", q, c, optimize=True)
+        d2 = _np.maximum(q2 + c2 - 2.0 * dot, 0.0)
+        return 1.0 / (1.0 + d2)
+    if simf is SimilarityFunction.DOT_PRODUCT:
+        return (1.0 + _np.einsum("qd,qcd->qc", q, c, optimize=True)) / 2.0
+    if simf is SimilarityFunction.COSINE:
+        qn = q / _np.sqrt(_np.sum(q * q, -1, keepdims=True) + 1e-30)
+        cn = c / _np.sqrt(_np.sum(c * c, -1, keepdims=True) + 1e-30)
+        return (1.0 + _np.einsum("qd,qcd->qc", qn, cn, optimize=True)) / 2.0
+    raise ValueError(f"unsupported similarity {simf}")

@@ -502,3 +502,30 @@ class TestStats:
         r.increment(Counter.KNN_MERGE_COUNT, 9)
         r.reset()
         assert r.get(Counter.KNN_MERGE_COUNT) == 0
+
+
+class TestHostCandidateScores:
+    """The on_disk tier's host-side rerank scorer must agree with the
+    device scorer bit-for-practical-purposes (same formulas, fp32)."""
+
+    @pytest.mark.parametrize("simf", [
+        SimilarityFunction.EUCLIDEAN,
+        SimilarityFunction.DOT_PRODUCT,
+        SimilarityFunction.COSINE,
+    ])
+    def test_matches_device_scorer(self, simf):
+        import jax.numpy as jnp
+
+        from opensearch_jvector_tpu.ops.distances import (
+            batched_candidate_scores,
+            host_candidate_scores,
+        )
+
+        rng = np.random.default_rng(3)
+        q = rng.normal(0, 1, (5, 16)).astype(np.float32)
+        c = rng.normal(0, 1, (5, 7, 16)).astype(np.float32)
+        dev = np.asarray(
+            batched_candidate_scores(jnp.asarray(q), jnp.asarray(c), simf)
+        )
+        host = host_candidate_scores(q, c, simf)
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-6)
