@@ -172,7 +172,7 @@ def make_data(rng, kind, n, q, dim=None):
     return vectors, queries
 
 
-def make_device_corpus(n, seed, q_count, kind="latent"):
+def make_device_corpus(n, seed, q_count, kind="latent", host_rows=True):
     """Per-backend REGENERATED corpus — zero corpus bytes cross the
     tunnel. threefry is counter-based and backend-deterministic, and
     the latent matmul runs at precision='highest', so the CPU copy
@@ -256,7 +256,10 @@ def make_device_corpus(n, seed, q_count, kind="latent"):
         host_state["done"] = True
 
     host_thread = threading.Thread(target=fill_host_rows, daemon=True)
-    host_thread.start()
+    if host_rows:
+        host_thread.start()
+    else:  # GT-only use: skip the CPU corpus fill (v_host stays garbage)
+        host_state["done"] = True
 
     def gt_blocks():
         for i, lo in enumerate(range(0, n, B)):
@@ -264,7 +267,8 @@ def make_device_corpus(n, seed, q_count, kind="latent"):
             yield lo, dev_block(i)[: hi - lo]
 
     def join(tag):
-        host_thread.join()
+        if host_thread.ident is not None:
+            host_thread.join()
         drift = float(np.abs(
             np.asarray(dev_block(0)[:256]) - v_host[:256]).max())
         extra[f"{tag}_row_drift"] = drift
@@ -416,6 +420,36 @@ def prep_tier1() -> None:
     with open(os.path.join(TIER1_DIR, "manifest.json"), "w") as f:
         json.dump(man, f, indent=1)
     log(f"prep_tier1: manifest written: {man}")
+
+
+def prep_tier1_gt() -> None:
+    """Regenerate the prepped graph-tier ground truth at BENCH_PREP_GT
+    queries WITHOUT rebuilding the index (the corpus rows come from
+    counter-based threefry keyed only by block index and seed, so the
+    query count does not perturb them). More queries amortize the beam
+    program's per-batch fixed cost in the serving cells."""
+    from opensearch_jvector_tpu.ops.distances import SimilarityFunction
+    from opensearch_jvector_tpu.utils.ground_truth import (
+        ground_truth_topk_stream,
+    )
+
+    man = tier1_manifest()
+    if man is None:
+        raise SystemExit("no prepped tier1 index: run BENCH_PREP_TIER1=1")
+    qn = int(os.environ.get("BENCH_PREP_GT", 512))
+    n1 = int(man["n"])
+    gt_k = max(K, 10)
+    log(f"prep_tier1_gt: {qn} queries over the prepped {n1}-row corpus")
+    corpus = make_device_corpus(n1, seed=TIER1_SEED, q_count=qn,
+                                host_rows=False)
+    t0 = time.time()
+    gt = np.asarray(ground_truth_topk_stream(
+        corpus.queries, corpus.gt_blocks(), gt_k,
+        SimilarityFunction.EUCLIDEAN,
+    ))
+    np.savez(os.path.join(TIER1_DIR, "gt.npz"), queries=corpus.queries,
+             gt=gt, n=n1, dim=DIM, seed=TIER1_SEED, k=gt_k)
+    log(f"prep_tier1_gt: {qn}-query ground truth in {time.time() - t0:.1f}s")
 
 
 def main():
@@ -1322,10 +1356,35 @@ def main():
                 if rec1 >= 0.95 or over_budget("graph tier ladder"):
                     break
             rec1, ef1, sc1 = best
-            t0 = time.time()
-            for j in range(3):
-                idx1.search(q1 + (j + 1) * 1e-9, sc1)  # salted
-            ms1 = (time.time() - t0) / 3 / q1n * 1000.0
+            # tuned low-latency points: a smaller rerank pool (oq=2)
+            # halves the beam iterations (internal pool = k*oq bounds
+            # ef from below); keep the cheapest config still at >=0.95
+            sc_tuned = rec_tuned = None
+            for ef_t, oq_t in ((150, 2), (200, 2)):
+                if over_budget("graph tier tuned ladder"):
+                    break
+                sc_t = SearchConfig(k=K, ef_search=ef_t,
+                                    overquery_factor=oq_t)
+                rec_t = float(recall_at_k(
+                    idx1.search(q1, sc_t).doc_ids, gt1, K))
+                log(f"{tag} graph beam ef={ef_t} oq={oq_t}: "
+                    f"recall@{K}={rec_t:.4f}")
+                if rec_t >= 0.95:
+                    sc_tuned, rec_tuned = sc_t, rec_t
+                    break
+
+            def timed_ms(cfg, rounds=2, reps=3):
+                # min-of-rounds: tunnel RTT drifts +-30% between moments;
+                # the min round is the honest steady-state estimate
+                best_w = float("inf")
+                for rd in range(rounds):
+                    t0 = time.time()
+                    for j in range(reps):
+                        idx1.search(q1 + (rd * reps + j + 1) * 1e-9, cfg)
+                    best_w = min(best_w, (time.time() - t0) / reps)
+                return best_w / q1n * 1000.0
+
+            ms1 = timed_ms(sc1)
             seg1 = idx1._reader(idx1.segment_names[0]).seg
             # .shape on the device arrays — np.asarray here would drag
             # the full adjacency (~640MB) through the tunnel for a shape
@@ -1339,30 +1398,41 @@ def main():
             extra[f"{tag}_graph_recall"] = round(rec1, 4)
             extra[f"{tag}_graph_ef"] = ef1
             extra[f"{tag}_graph_hbm_bytes_per_vector"] = hbm1
+            ms_t = None
+            if sc_tuned is not None:
+                ms_t = timed_ms(sc_tuned)
+                log(f"{tag} graph tier TUNED (ef={sc_tuned.ef_search}, "
+                    f"oq={sc_tuned.overquery_factor}): {ms_t:.4f} ms/query "
+                    f"batched, recall@{K}={rec_tuned:.4f}")
+                extra[f"{tag}_graph_tuned_ms_per_query"] = round(ms_t, 4)
+                extra[f"{tag}_graph_tuned_recall"] = round(rec_tuned, 4)
+                extra[f"{tag}_graph_tuned_ef"] = sc_tuned.ef_search
+                extra[f"{tag}_graph_tuned_oq"] = sc_tuned.overquery_factor
 
-            # same-segment exhaustive scan: the sub-linear win, explicit.
-            # The beam number above visits a few thousand nodes per query;
-            # this one scores all N codes per query and grows linearly.
+            # same-segment exhaustive scan: the tier-routing comparison,
+            # explicit. The beam visits a few thousand nodes per query
+            # (~constant in N); the scan scores all N codes per query and
+            # grows linearly — measured back-to-back with the beam cells
+            # so the tunnel drift cancels.
             if not over_budget("graph tier scan comparison"):
                 GLOBAL_SETTINGS.put(
                     "index.knn.advanced.scan_tier_max_codes", n1 + 1)
                 try:
                     res_s = idx1.search(q1, SearchConfig(k=K, ef_search=EF))
-                    t0 = time.time()
-                    for j in range(3):
-                        idx1.search(q1 + (j + 1) * 1e-9,
-                                    SearchConfig(k=K, ef_search=EF))
-                    ms_s = (time.time() - t0) / 3 / q1n * 1000.0
+                    ms_s = timed_ms(SearchConfig(k=K, ef_search=EF))
                 finally:
                     GLOBAL_SETTINGS.put(
                         "index.knn.advanced.scan_tier_max_codes", -1)
                 rec_s = recall_at_k(res_s.doc_ids, gt1, K)
+                ms_best = min(ms1, ms_t) if ms_t is not None else ms1
                 log(f"{tag} same-segment SCAN tier: {ms_s:.4f} ms/query "
-                    f"batched, recall@{K}={rec_s:.4f} -> beam is "
-                    f"{ms_s / ms1:.1f}x faster at this N (gap grows with N)")
+                    f"batched, recall@{K}={rec_s:.4f} -> best >=0.95 beam "
+                    f"point is {ms_s / ms_best:.2f}x the scan's speed at "
+                    f"this N (scan cost grows linearly with N, beam ~flat)")
                 extra[f"{tag}_scan_ms_per_query"] = round(ms_s, 4)
                 extra[f"{tag}_scan_recall"] = round(float(rec_s), 4)
-                extra[f"{tag}_beam_vs_scan_speedup"] = round(ms_s / ms1, 1)
+                extra[f"{tag}_beam_vs_scan_speedup"] = round(
+                    ms_s / ms_best, 2)
 
             # memory-tight at scale: force the breaker low -> the beam
             # degrades to codes-only PQ scoring (no decoded cache), HBM
@@ -1905,6 +1975,9 @@ if __name__ == "__main__":
         # offline prep (no watchdog, no budget, no JSON record): build +
         # persist the graph-tier index sec_graph_tier will serve from
         prep_tier1()
+        raise SystemExit(0)
+    if os.environ.get("BENCH_PREP_GT"):
+        prep_tier1_gt()
         raise SystemExit(0)
     signal.signal(signal.SIGTERM, _on_sigterm)
     threading.Thread(target=_watchdog, daemon=True).start()

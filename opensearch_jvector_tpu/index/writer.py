@@ -54,6 +54,15 @@ class IndexWriter:
         self.config = config
         self.stats = stats
         self.build_batch_size = build_batch_size
+        # on_disk PQ segments at/above this pow2 capacity build the graph
+        # from the decoded-PQ bf16 cache INSTEAD of a device-resident fp32
+        # corpus (the reference's pure PQ BuildScoreProvider semantics,
+        # BuildScoreProvider.pqBuildScoreProvider): beam scoring reads the
+        # cache natively, prune sites upcast their gathered blocks to f32.
+        # fp32 residency (4 d bytes/vec) is what capped single-chip builds
+        # at 2^22 (docs/design.md, build memory); the decoded cache is
+        # 2 d bytes/vec and is resident for serving anyway.
+        self.quantized_build_min_capacity = 1 << 22
         # The ingest buffer holds BLOCKS of (doc_ids, parent_ids, vectors)
         # arrays: single adds are 1-row blocks; `add_batch` appends whole
         # arrays without per-row Python overhead (the reference's _bulk
@@ -327,16 +336,30 @@ class IndexWriter:
         from opensearch_jvector_tpu.utils.circuit_breaker import BREAKER
 
         is_flat = self.config.index_type == "flat"
-        BREAKER.check(
-            BREAKER.estimate_segment_bytes(
-                count, self.config.dim,
-                0 if is_flat else self.config.m,
-                self.config.neighbor_overflow,
-                self.config.num_pq_subspaces
-                if self.config.quantization_type != QUANT_NONE else None,
-                keep_fp32=not (is_flat and self.config.mode == "on_disk"),
-            )
+        # quantized construction (decoded-PQ build source, no device fp32):
+        # on_disk PQ graph segments at/above the capacity where fp32
+        # residency OOMs the chip
+        quantized_build = (
+            not is_flat
+            and self.config.mode == "on_disk"
+            and self.config.quantization_type == "pq"
+            and count >= self.config.min_batch_size_for_quantization
+            and bucket_capacity(count) >= self.quantized_build_min_capacity
         )
+        est = BREAKER.estimate_segment_bytes(
+            count, self.config.dim,
+            0 if is_flat else self.config.m,
+            self.config.neighbor_overflow,
+            self.config.num_pq_subspaces
+            if self.config.quantization_type != QUANT_NONE else None,
+            keep_fp32=not (
+                quantized_build
+                or (is_flat and self.config.mode == "on_disk")
+            ),
+        )
+        if quantized_build:
+            est += count * self.config.dim * 2  # decoded-bf16 build source
+        BREAKER.check(est)
 
         flat = self.config.index_type == "flat"
         vectors = (
@@ -357,11 +380,14 @@ class IndexWriter:
             name = f"seg_{counter:06d}_{count}" if name.startswith(
                 "seg_") else name
             device_rows = None  # positions shifted; provider no longer aligns
-        if not flat:
+        if not flat and not quantized_build:
             # graph build needs device-resident rows; flat ingest keeps the
             # corpus HOST-side (train samples on host, encode streams
             # chunks, rows go straight to the native store). A device-rows
-            # provider replaces the upload wholesale.
+            # provider replaces the upload wholesale. Quantized builds keep
+            # the corpus host-side too: PQ trains on a host sample, encode
+            # streams (provider blocks or host chunks), and the graph
+            # builds from the decoded cache — fp32 rows never reside.
             if device_rows is not None:
                 n_rows = vectors.shape[0]
                 blk = DEVICE_ROWS_BLOCK
@@ -408,7 +434,16 @@ class IndexWriter:
             if build_pq is not None:
                 build_pq = {k: pad_rows(v, cap)
                             for k, v in build_pq.items()}
-            graph = builder.build(vectors, cfg.similarity, pq=build_pq,
+            if quantized_build:
+                # pure quantized construction: the decoded-PQ cache is the
+                # ONLY device-resident corpus — beam score source AND
+                # prune/bootstrap/cleanup row source (prune sites upcast
+                # their gathered blocks to f32)
+                assert build_pq is not None and "decoded" in build_pq
+                build_src = build_pq["decoded"]
+            else:
+                build_src = vectors
+            graph = builder.build(build_src, cfg.similarity, pq=build_pq,
                                   capacity=cap)
         self.stats.increment(
             Counter.KNN_GRAPH_BUILD_TIME, int((time.monotonic() - t0) * 1000)
@@ -450,11 +485,12 @@ class IndexWriter:
             docmap=docmap,
             # NVQ replaces inline fp32 storage (the reference's NVQ feature
             # replaces InlineVectors); PQ keeps fp32 inline for rerank.
-            # Flat segments keep the HOST array (write_segment slices the
-            # used prefix; pad_rows would upload the full fp32 corpus).
+            # Flat and quantized-build segments keep the HOST array
+            # (write_segment slices the used prefix straight into the row
+            # file; pad_rows would upload the full fp32 corpus).
             vectors=(
                 None if nvq is not None
-                else vectors if cfg.index_type == "flat"
+                else vectors if (cfg.index_type == "flat" or quantized_build)
                 else pad_rows(vectors, cap)
             ),
             nvq=nvq,

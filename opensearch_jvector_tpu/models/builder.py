@@ -64,6 +64,22 @@ BUILD_PROFILE = _os.environ.get("JVECTOR_TPU_BUILD_PROFILE", "0") == "1"
 _WARMED_PROGRAMS: set = set()
 
 
+def _as_build_rows(vectors) -> jax.Array:
+    """Build-source rows: fp32 by default, bf16 passed THROUGH.
+
+    A bf16 source is the quantized-construction configuration (the
+    decoded-PQ cache as the only resident corpus — the reference's pure
+    PQ BuildScoreProvider, BuildScoreProvider.pqBuildScoreProvider): beam
+    scoring reads it natively and every prune/score site upcasts its
+    gathered rows to f32, so the fp32 corpus never needs device
+    residency. This is what lifts the single-chip build ceiling past
+    2^22 (see docs/design.md, build memory)."""
+    arr = jnp.asarray(vectors)
+    if arr.dtype == jnp.bfloat16:
+        return arr
+    return arr.astype(jnp.float32)
+
+
 def _score_to_dist(scores: jax.Array, simf: SimilarityFunction) -> jax.Array:
     """Map similarity scores to a pruning distance (lower = closer)."""
     if simf is SimilarityFunction.EUCLIDEAN:
@@ -93,6 +109,12 @@ def robust_prune_batch(
     """
     simf = SimilarityFunction(simf_id)
     b, c = cand_ids.shape
+    # f32 edge precision even when the gathered rows come from a bf16
+    # build source (quantized construction): the gathers are [B, C, d]
+    # blocks, so the upcast is fused and never materializes a corpus copy
+    point_vecs = point_vecs.astype(jnp.float32)
+    cand_vecs = cand_vecs.astype(jnp.float32)
+    cand_scores = cand_scores.astype(jnp.float32)
 
     d_p = _score_to_dist(cand_scores, simf)  # [B, C]
     cc_scores = jax.vmap(lambda v: pairwise_scores(v, v, simf))(cand_vecs)
@@ -169,7 +191,7 @@ def _nearest_hostable(ob_dev, vectors, hostable_dev, simf):
     host ids (device array)."""
     cap = int(vectors.shape[0])
     cb = min(cap, ORPHAN_SCAN_BLOCK)
-    rows = vectors[ob_dev]
+    rows = vectors[ob_dev].astype(jnp.float32)
     fn = _make_orphan_block_fn(simf.value)
     best_s = jnp.full((ob_dev.shape[0],), NEG_INF, jnp.float32)
     best_i = jnp.zeros((ob_dev.shape[0],), jnp.int32)
@@ -189,7 +211,7 @@ def _make_round_prune_fn(simf_id: int, m_out: int, top_r: int, alpha: float):
 
     @jax.jit
     def run(batch_ids, cand_ids, cand_scores, vectors):
-        queries = vectors[batch_ids]
+        queries = vectors[batch_ids].astype(jnp.float32)
         b = queries.shape[0]
         if top_r > 0:
             rr = pairwise_scores(queries, queries, simf)
@@ -256,8 +278,8 @@ def _make_overflow_prune_fn(simf_id: int, m_out: int, alpha: float):
     @jax.jit
     def run(ids, adj, extras, vectors):
         cand = jnp.concatenate([adj[ids], extras], axis=1)
-        pvecs = vectors[ids]
-        cvecs = vectors[jnp.clip(cand, 0)]
+        pvecs = vectors[ids].astype(jnp.float32)
+        cvecs = vectors[jnp.clip(cand, 0)].astype(jnp.float32)
         scores = batched_candidate_scores(pvecs, cvecs, simf)
         scores = jnp.where(cand >= 0, scores, NEG_INF)
         sel = robust_prune_batch(
@@ -288,7 +310,7 @@ def _make_splice_prune_fn(simf_id: int, m_out: int, alpha: float):
         cand = jnp.concatenate([rows, hop2], axis=1)
         cand = jnp.where(live[jnp.clip(cand, 0)] & (cand >= 0), cand, -1)
         cand = jnp.where(cand == ids[:, None], -1, cand)
-        pvecs = vectors[ids]
+        pvecs = vectors[ids].astype(jnp.float32)
         cvecs = vectors[jnp.clip(cand, 0)]
         scores = batched_candidate_scores(pvecs, cvecs, simf)
         # Mask duplicate ids (keep one occurrence) BEFORE the top-k so the
@@ -927,7 +949,7 @@ class GraphIndexBuilder:
         if n == 0:
             return VamanaGraph.empty(capacity or 0, cap_deg)
         capacity = bucket_capacity(max(capacity or 0, n))
-        vectors = pad_rows(jnp.asarray(vectors, jnp.float32), capacity)
+        vectors = pad_rows(_as_build_rows(vectors), capacity)
         pq = self._pad_pq(pq, capacity)
         if pq is None and self.score_dtype == "bf16":
             # construction-only approximate score source: beam candidates
@@ -945,8 +967,10 @@ class GraphIndexBuilder:
         self._has_tombstones = False
 
         # entry point: medoid approximation = nearest to the mean (pad rows
-        # beyond n are zeros — exclude them from both mean and argmax)
-        mean = jnp.mean(vectors[:n], axis=0, keepdims=True)
+        # beyond n are zeros — exclude them from both mean and argmax).
+        # f32 accumulation: a multi-million-row mean in bf16 is garbage
+        mean = jnp.mean(vectors[:n].astype(jnp.float32), axis=0,
+                        keepdims=True)
         escores = pairwise_scores(mean, vectors, simf)[0]
         escores = jnp.where(jnp.arange(capacity) < n, escores, NEG_INF)
         entry = int(jnp.argmax(escores))
@@ -1030,7 +1054,7 @@ class GraphIndexBuilder:
         live = np.asarray(graph.live)
         live_dev = graph.live
         entry = int(graph.entry)
-        vectors = pad_rows(jnp.asarray(vectors, jnp.float32), graph.capacity)
+        vectors = pad_rows(_as_build_rows(vectors), graph.capacity)
         pq = self._pad_pq(pq, graph.capacity)
         ids_all = np.nonzero(live)[0]
         rng = np.random.default_rng(self.seed + 1)
@@ -1091,7 +1115,7 @@ class GraphIndexBuilder:
         bucket = bucket_capacity(real)
         ids_p = np.pad(np.asarray(ids), (0, bucket - real),
                        constant_values=ids[0])
-        v = vectors[jnp.asarray(ids_p)]
+        v = vectors[jnp.asarray(ids_p)].astype(jnp.float32)
         scores = pairwise_scores(v, v, simf)
         scores = jnp.where(jnp.eye(bucket, dtype=bool), NEG_INF, scores)
         # mask the pad COLUMNS too: 'bucket - real' duplicates of ids[0]
@@ -1143,7 +1167,7 @@ class GraphIndexBuilder:
         live = np.asarray(graph.live).copy()
         live_dev = graph.live
         entry = int(graph.entry)
-        vectors = pad_rows(jnp.asarray(vectors, jnp.float32), graph.capacity)
+        vectors = pad_rows(_as_build_rows(vectors), graph.capacity)
         pq = self._pad_pq(pq, graph.capacity)
         if pq is None and self.score_dtype == "bf16":
             pq = {"decoded": vectors.astype(jnp.bfloat16)}
@@ -1209,7 +1233,7 @@ class GraphIndexBuilder:
         st = _DeviceAdj(graph.adjacency, np.asarray(graph.degrees).copy())
         live = np.asarray(graph.live)
         live_dev = jnp.asarray(live)
-        vectors = pad_rows(jnp.asarray(vectors, jnp.float32), graph.capacity)
+        vectors = pad_rows(_as_build_rows(vectors), graph.capacity)
 
         # dead-neighbor scan ON DEVICE: only the [capacity] bool row mask
         # crosses the host link (the full-adjacency fetch this replaces was

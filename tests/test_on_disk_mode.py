@@ -429,3 +429,57 @@ def test_flush_device_rows_ignored_after_buffered_delete(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(seg.pqv.codes), np.asarray(seg2.pqv.codes)
     )
+
+
+def test_quantized_build_decoded_source_matches_exact_build(tmp_path,
+                                                            monkeypatch):
+    """Pure quantized construction (decoded-PQ build source, the
+    reference's BuildScoreProvider.pqBuildScoreProvider): at/above the
+    writer's capacity threshold the graph builds WITHOUT a device-resident
+    fp32 corpus. Serving quality must stay within a small margin of the
+    exact-prune build, and the row store must hold the true fp32 rows."""
+    from opensearch_jvector_tpu.api.settings import GLOBAL_SETTINGS
+
+    rng = np.random.default_rng(5)
+    n = 900
+    v = rng.standard_normal((n, DIM)).astype(np.float32)
+    q = rng.standard_normal((16, DIM)).astype(np.float32)
+    truth = ground_truth_topk(q, v, 10, SimilarityFunction.EUCLIDEAN)
+
+    def build(root, quantized: bool):
+        cfg = DiskAnnConfig(
+            dim=DIM, m=8, ef_construction=48, quantization_type="pq",
+            min_batch_size_for_quantization=128, num_pq_subspaces=8,
+            mode="on_disk",
+        )
+        idx = VectorIndex(root, cfg)
+        if quantized:
+            # force the big-capacity path at test scale
+            idx.writer.quantized_build_min_capacity = 1
+        idx.add_batch(np.arange(n), v)
+        name = idx.flush()
+        return idx, name
+
+    # route both through the BEAM tier so the graph itself is exercised
+    GLOBAL_SETTINGS.put("index.knn.advanced.scan_tier_max_codes", 1)
+    try:
+        idx_q, name_q = build(tmp_path / "quant", True)
+        seg = read_segment(tmp_path / "quant" / name_q)
+        assert seg.row_store is not None
+        assert seg.vectors is None
+        # row file holds the TRUE fp32 rows (not a PQ reconstruction)
+        got = seg.row_store.gather(np.arange(5))
+        np.testing.assert_allclose(got, v[:5], rtol=0, atol=0)
+
+        idx_e, _ = build(tmp_path / "exact", False)
+        sc = SearchConfig(k=10, ef_search=64)
+        rec_q = recall_at_k(idx_q.search(q, sc).doc_ids, truth, 10)
+        rec_e = recall_at_k(idx_e.search(q, sc).doc_ids, truth, 10)
+        # decoded-source prune costs a little graph quality; the exact
+        # host rerank recovers most of it
+        assert rec_q >= rec_e - 0.1, (rec_q, rec_e)
+        assert rec_q >= 0.7, rec_q
+        idx_q.close()
+        idx_e.close()
+    finally:
+        GLOBAL_SETTINGS.put("index.knn.advanced.scan_tier_max_codes", -1)
